@@ -1,0 +1,601 @@
+"""Expression tree → vectorized Arrow-compute kernel compiler.
+
+The Ray-Data replacement for the reference's per-row tree-walk interpreter
+(``src/execution/expression_execution.rs:30-591``): an expression compiles
+ONCE (driver side) into a closure ``(pa.Table) -> pa.Array`` built from
+``pyarrow.compute`` kernels, then runs per batch inside ``map_batches``.
+
+Reference semantics preserved exactly (each with its citation):
+
+* comparisons with any NULL operand yield **false**, not NULL
+  (``expression_execution.rs:46-72``);
+* ``IS`` / ``IS NOT`` are null-safe equality (``:73-81``);
+* int/int division truncates (i64 division, ``:106``);
+* ``AND``/``OR`` coerce NULL/non-bool to false first (``:173-178``,
+  ``model.rs:163-168``);
+* 1-based array indexing, NULL on out-of-range (``:516-532``);
+* ``length()`` is a character count (``:281-288``);
+* CASE requires ELSE; first true clause wins (``:560-568``).
+
+Documented divergences: mixed int/float arithmetic is an ERROR in the
+reference (``:82-143``) but follows Arrow's numeric promotion here;
+division by zero raises (Arrow) as the reference's row error would abort the
+query anyway.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sqlgrep_ray.schema import VType, STRING
+
+# ---------------------------------------------------------------------------
+# Expression tree
+# ---------------------------------------------------------------------------
+
+
+class Expr:
+    """Base class for expression nodes."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Col(Expr):
+    name: str
+
+
+@dataclass(frozen=True)
+class Lit(Expr):
+    value: Any
+    vtype: Optional[VType] = None
+
+
+@dataclass(frozen=True)
+class Bin(Expr):
+    """op ∈ eq ne gt ge lt le add sub mul div and or is is_not"""
+
+    op: str
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class Un(Expr):
+    """op ∈ neg not"""
+
+    op: str
+    operand: Expr
+
+
+@dataclass(frozen=True)
+class InList(Expr):
+    operand: Expr
+    items: tuple[Expr, ...]
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    name: str
+    args: tuple[Expr, ...]
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    whens: tuple[tuple[Expr, Expr], ...]
+    else_: Expr
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    operand: Expr
+    vtype: VType
+
+
+@dataclass(frozen=True)
+class Index(Expr):
+    """1-based array element access ``x[i]`` (OOB ⇒ NULL)."""
+
+    operand: Expr
+    index: Expr
+
+
+Kernel = Callable[[pa.Table], Union[pa.Array, pa.ChunkedArray, pa.Scalar]]
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def _as_array(v: Any, n: int) -> pa.Array:
+    """Broadcast a scalar result to an array of length n when needed."""
+    if isinstance(v, pa.ChunkedArray):
+        return v.combine_chunks()
+    if isinstance(v, (pa.Array,)):
+        return v
+    if isinstance(v, pa.Scalar):
+        return pa.repeat(v, n)
+    return pa.repeat(pa.scalar(v), n)
+
+
+def _is_ts(t: pa.DataType) -> bool:
+    return pa.types.is_timestamp(t)
+
+
+def _coerce_cmp_pair(l: Any, r: Any) -> tuple[Any, Any]:
+    """string ↔ timestamp auto-coerce for comparisons (``:46-72``)."""
+    lt = l.type if hasattr(l, "type") else None
+    rt = r.type if hasattr(r, "type") else None
+    if lt is not None and rt is not None:
+        if _is_ts(lt) and pa.types.is_string(rt):
+            r = pc.strptime(r, format="%Y-%m-%d %H:%M:%S", unit="us")
+        elif _is_ts(rt) and pa.types.is_string(lt):
+            l = pc.strptime(l, format="%Y-%m-%d %H:%M:%S", unit="us")
+    return l, r
+
+
+def _to_bool_strict(v: Any) -> Any:
+    """Value.bool(): non-bool / NULL ⇒ false (``model.rs:163-168``)."""
+    t = v.type if hasattr(v, "type") else None
+    if t is not None and not pa.types.is_boolean(t):
+        if isinstance(v, pa.Scalar):
+            return pa.scalar(False)
+        return pa.array(np.zeros(len(v), dtype=bool))
+    return pc.fill_null(v, False)
+
+
+_CMP = {
+    "eq": pc.equal,
+    "ne": pc.not_equal,
+    "gt": pc.greater,
+    "ge": pc.greater_equal,
+    "lt": pc.less,
+    "le": pc.less_equal,
+}
+
+_ARITH = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply, "div": pc.divide}
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompileCtx:
+    """Compile-time context. ``now`` pins the clock for determinism (the
+    reference's ``now()`` reads the wall clock, ``:402-404``)."""
+
+    now: Optional[_dt.datetime] = None
+
+
+def compile_expr(expr: Expr, ctx: Optional[CompileCtx] = None) -> Kernel:
+    ctx = ctx or CompileCtx()
+
+    if isinstance(expr, Col):
+        name = expr.name
+
+        def k_col(t: pa.Table) -> Any:
+            col = t[name]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        return k_col
+
+    if isinstance(expr, Lit):
+        sc = (
+            pa.scalar(expr.value, expr.vtype.to_arrow())
+            if expr.vtype is not None
+            else pa.scalar(expr.value)
+        )
+        return lambda t: sc
+
+    if isinstance(expr, Bin):
+        lk = compile_expr(expr.left, ctx)
+        rk = compile_expr(expr.right, ctx)
+        op = expr.op
+
+        if op in _CMP:
+            fn = _CMP[op]
+
+            def k_cmp(t: pa.Table) -> Any:
+                l, r = _coerce_cmp_pair(lk(t), rk(t))
+                return pc.fill_null(fn(l, r), False)  # NULL compare ⇒ false
+
+            return k_cmp
+
+        if op in ("is", "is_not"):
+
+            def k_is(t: pa.Table) -> Any:
+                l, r = _coerce_cmp_pair(lk(t), rk(t))
+                # null-safe equality (:73-81)
+                ln, rn = pc.is_null(l), pc.is_null(r)
+                both_null = pc.and_(ln, rn)
+                eq = pc.fill_null(pc.equal(l, r), False)
+                res = pc.or_(both_null, eq)
+                return pc.invert(res) if op == "is_not" else res
+
+            return k_is
+
+        if op in _ARITH:
+            fn = _ARITH[op]
+
+            def k_arith(t: pa.Table) -> Any:
+                return fn(lk(t), rk(t))
+
+            return k_arith
+
+        if op in ("and", "or"):
+            fn2 = pc.and_ if op == "and" else pc.or_
+
+            def k_bool(t: pa.Table) -> Any:
+                return fn2(_to_bool_strict(lk(t)), _to_bool_strict(rk(t)))
+
+            return k_bool
+
+        raise ValueError(f"unknown binary op {op!r}")
+
+    if isinstance(expr, Un):
+        ok = compile_expr(expr.operand, ctx)
+        if expr.op == "neg":
+            return lambda t: pc.negate(ok(t))
+        if expr.op == "not":
+            return lambda t: pc.invert(ok(t))  # NULL passes through (:144-172)
+        raise ValueError(f"unknown unary op {expr.op!r}")
+
+    if isinstance(expr, InList):
+        ok = compile_expr(expr.operand, ctx)
+        item_ks = [compile_expr(i, ctx) for i in expr.items]
+        negated = expr.negated
+
+        def k_in(t: pa.Table) -> Any:
+            vals = [ik(t) for ik in item_ks]
+            pyvals = [v.as_py() if isinstance(v, pa.Scalar) else v for v in vals]
+            res = pc.is_in(ok(t), value_set=pa.array(pyvals))
+            res = pc.fill_null(res, False)
+            return pc.invert(res) if negated else res
+
+        return k_in
+
+    if isinstance(expr, Case):
+        else_k = compile_expr(expr.else_, ctx)
+        when_ks = [
+            (compile_expr(c, ctx), compile_expr(v, ctx)) for c, v in expr.whens
+        ]
+
+        def k_case(t: pa.Table) -> Any:
+            res = else_k(t)
+            for ck, vk in reversed(when_ks):
+                res = pc.if_else(_to_bool_strict(ck(t)), vk(t), res)
+            return res
+
+        return k_case
+
+    if isinstance(expr, Cast):
+        ok = compile_expr(expr.operand, ctx)
+        vt = expr.vtype
+        return lambda t: _cast_value(ok(t), vt, t.num_rows)
+
+    if isinstance(expr, Index):
+        ok = compile_expr(expr.operand, ctx)
+        ik = compile_expr(expr.index, ctx)
+
+        def k_index(t: pa.Table) -> Any:
+            arr = ok(t)
+            idx = ik(t)
+            if isinstance(idx, pa.Scalar):
+                i = idx.as_py()
+                return _list_get_1based(_as_array(arr, t.num_rows), i)
+            # vector index: python fallback
+            lists = _as_array(arr, t.num_rows).to_pylist()
+            idxs = _as_array(idx, t.num_rows).to_pylist()
+            out = [
+                None
+                if (l is None or i is None or not (1 <= i <= len(l)))
+                else l[i - 1]
+                for l, i in zip(lists, idxs)
+            ]
+            return pa.array(out)
+
+        return k_index
+
+    if isinstance(expr, Func):
+        return _compile_func(expr, ctx)
+
+    raise ValueError(f"unknown expression node {expr!r}")
+
+
+def _list_get_1based(lists: pa.Array, i: Optional[int]) -> pa.Array:
+    if i is None:
+        return pa.nulls(len(lists), lists.type.value_type)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    idx0 = i - 1
+    if idx0 < 0:
+        return pa.nulls(len(lists), lists.type.value_type)
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    lengths = offsets[1:] - offsets[:-1]
+    valid = (lengths > idx0) & pc.is_valid(lists).to_numpy(zero_copy_only=False)
+    take_idx = np.where(valid, offsets[:-1] + idx0, 0).astype(np.int64)
+    taken = lists.values.take(pa.array(take_idx))
+    return pc.if_else(pa.array(valid), taken, pa.nulls(len(lists), lists.values.type))
+
+
+# ---------------------------------------------------------------------------
+# Casts — expression_execution.rs:533-559
+# ---------------------------------------------------------------------------
+
+
+def _format_value_display(v: Any) -> Optional[str]:
+    """Reference Display formatting (``model.rs:335-353``): floats ``{:.2}``,
+    bools true/false, timestamps ``%Y-%m-%d %H:%M:%S.%3f``."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:.2f}"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond // 1000:03d}"
+    return str(v)
+
+
+def _cast_value(v: Any, vt: VType, n: int) -> Any:
+    from sqlgrep_ray.stages.parse import coerce_strings  # cycle-free at runtime
+
+    arr = _as_array(v, n)
+    src = arr.type
+    k = vt.kind
+    if pa.types.is_string(src) and k != "string":
+        return coerce_strings(arr, vt)
+    if pa.types.is_duration(src):
+        secs = pc.divide(arr.cast(pa.int64()), 1_000_000)
+        if k == "int":
+            return secs
+        if k == "float":
+            return pc.divide(arr.cast(pa.int64()).cast(pa.float64()), 1e6)
+    if k == "string":
+        return pa.array([_format_value_display(x) for x in arr.to_pylist()], pa.string())
+    return arr.cast(vt.to_arrow())
+
+
+# ---------------------------------------------------------------------------
+# Scalar function registry — SURVEY.md §2.3
+# ---------------------------------------------------------------------------
+
+FuncKernel = Callable[..., Any]
+_FUNCS: dict[str, Callable[[list[Kernel], CompileCtx], Kernel]] = {}
+
+
+def register_function(name: str):
+    def deco(builder: Callable[[list[Kernel], CompileCtx], Kernel]):
+        _FUNCS[name] = builder
+        return builder
+
+    return deco
+
+
+def _compile_func(expr: Func, ctx: CompileCtx) -> Kernel:
+    builder = _FUNCS.get(expr.name.lower())
+    if builder is None:
+        raise ValueError(f"unknown function {expr.name!r}")
+    return builder([compile_expr(a, ctx) for a in expr.args], ctx)
+
+
+def _simple(fn: Callable[..., Any]):
+    def builder(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        return lambda t: fn(*(a(t) for a in args))
+
+    return builder
+
+
+_FUNCS["greatest"] = _simple(lambda a, b: pc.max_element_wise(a, b))
+_FUNCS["least"] = _simple(lambda a, b: pc.min_element_wise(a, b))
+_FUNCS["abs"] = _simple(pc.abs)
+_FUNCS["sqrt"] = _simple(pc.sqrt)
+_FUNCS["pow"] = _simple(pc.power)
+_FUNCS["length"] = _simple(pc.utf8_length)  # char count (:281-288)
+_FUNCS["upper"] = _simple(pc.utf8_upper)
+_FUNCS["lower"] = _simple(pc.utf8_lower)
+_FUNCS["array_length"] = _simple(pc.list_value_length)
+
+
+@register_function("regexp_matches")
+def _f_regexp_matches(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    sk, pk = args
+
+    def k(t: pa.Table) -> Any:
+        pat = pk(t)
+        pat_s = pat.as_py() if isinstance(pat, pa.Scalar) else pat
+        res = pc.match_substring_regex(sk(t), pattern=pat_s)
+        return pc.fill_null(res, False)  # NULL input ⇒ false (:305-317)
+
+    return k
+
+
+@register_function("create_array")
+def _f_create_array(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        cols = [_as_array(a(t), n) for a in args]
+        rows = list(zip(*(c.to_pylist() for c in cols))) if cols else []
+        return pa.array([list(r) for r in rows])
+
+    return k
+
+
+@register_function("array_unique")
+def _f_array_unique(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    (ak,) = args
+
+    def k(t: pa.Table) -> Any:
+        arr = _as_array(ak(t), t.num_rows)
+        # sorts + dedups (BTreeSet semantics, :333-343, :642-645)
+        out = [
+            None if l is None else sorted({e for e in l if e is not None})
+            for l in arr.to_pylist()
+        ]
+        return pa.array(out, arr.type)
+
+    return k
+
+
+@register_function("array_cat")
+def _f_array_cat(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    ak, bk = args
+
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        a, b = _as_array(ak(t), n).to_pylist(), _as_array(bk(t), n).to_pylist()
+        return pa.array(
+            [None if (x is None or y is None) else x + y for x, y in zip(a, b)]
+        )
+
+    return k
+
+
+@register_function("array_append")
+def _f_array_append(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    ak, vk = args
+
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        a = _as_array(ak(t), n).to_pylist()
+        v = _as_array(vk(t), n).to_pylist()
+        return pa.array(
+            [None if x is None else x + [y] for x, y in zip(a, v)]
+        )
+
+    return k
+
+
+@register_function("array_prepend")
+def _f_array_prepend(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    vk, ak = args
+
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        a = _as_array(ak(t), n).to_pylist()
+        v = _as_array(vk(t), n).to_pylist()
+        return pa.array(
+            [None if x is None else [y] + x for x, y in zip(a, v)]
+        )
+
+    return k
+
+
+@register_function("now")
+def _f_now(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    pinned = ctx.now
+
+    def k(t: pa.Table) -> Any:
+        val = pinned if pinned is not None else _dt.datetime.now()
+        return pa.scalar(val, pa.timestamp("us"))
+
+    return k
+
+
+@register_function("make_timestamp")
+def _f_make_timestamp(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        parts = [_as_array(a(t), n).to_pylist() for a in args]
+        while len(parts) < 7:
+            parts.append([0] * n)
+        out = []
+        for y, mo, d, h, mi, s, us in zip(*parts):
+            if None in (y, mo, d, h, mi, s):
+                out.append(None)
+                continue
+            try:
+                out.append(_dt.datetime(y, mo, d, h, mi, s, us or 0))
+            except ValueError:
+                out.append(None)  # invalid date ⇒ NULL (:405-416)
+        return pa.array(out, pa.timestamp("us"))
+
+    return k
+
+
+def _extract_builder(part: str):
+    def builder(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        (ak,) = args
+        if part == "epoch":
+            # millis/1000 as float (:417-458)
+            def k_epoch(t: pa.Table) -> Any:
+                us = _as_array(ak(t), t.num_rows).cast(pa.int64())
+                ms = pc.divide(us, 1000)
+                return pc.divide(ms.cast(pa.float64()), 1000.0)
+
+            return k_epoch
+        fn = {
+            "year": pc.year,
+            "month": pc.month,
+            "day": pc.day,
+            "hour": pc.hour,
+            "minute": pc.minute,
+            "second": pc.second,
+        }[part]
+        return lambda t: fn(ak(t)).cast(pa.int64())
+
+    return builder
+
+
+for _part in ("epoch", "year", "month", "day", "hour", "minute", "second"):
+    _FUNCS[f"timestamp_extract_{_part}"] = _extract_builder(_part)
+
+
+@register_function("date_trunc")
+def _f_date_trunc(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    pk, ak = args
+
+    def k(t: pa.Table) -> Any:
+        part = pk(t)
+        part_s = (part.as_py() if isinstance(part, pa.Scalar) else part).lower()
+        unit = {
+            "year": "year",
+            "month": "month",
+            "day": "day",
+            "hour": "hour",
+            "minute": "minute",
+            "second": "second",
+            "milliseconds": "millisecond",
+            "microseconds": "microsecond",
+        }[part_s]
+        return pc.floor_temporal(ak(t), unit=unit)
+
+    return k
+
+
+# ---------------------------------------------------------------------------
+# Public helpers
+# ---------------------------------------------------------------------------
+
+
+def compile_predicate(expr: Expr, ctx: Optional[CompileCtx] = None) -> Callable[[pa.Table], pa.Array]:
+    """WHERE-style predicate: rows pass iff the value is exactly TRUE
+    (NULL ⇒ false — select_execution.rs:21-25)."""
+    k = compile_expr(expr, ctx)
+
+    def pred(t: pa.Table) -> pa.Array:
+        v = k(t)
+        v = _as_array(v, t.num_rows)
+        if not pa.types.is_boolean(v.type):
+            return pa.array(np.zeros(t.num_rows, dtype=bool))
+        return pc.fill_null(v, False)
+
+    return pred
+
+
+def col(name: str) -> Col:
+    return Col(name)
+
+
+def lit(value: Any, vtype: Optional[VType] = None) -> Lit:
+    return Lit(value, vtype)

@@ -1,0 +1,96 @@
+"""Logical plans — the rebuild's ``Statement`` layer (reference ``model.rs:57-63``).
+
+A plan is a declarative dataclass tree; ``sqlgrep_ray.pipelines.runner`` turns
+(plan, Dataset) into a lazy Ray Data pipeline. The SQL front-end (later
+milestone) produces these same dataclasses, so everything is testable without
+SQL, mirroring how the reference's parser converts to ``SelectStatement`` /
+``AggregateStatement`` before execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Union
+
+from sqlgrep_ray.functions.exprs import Expr
+from sqlgrep_ray.schema import TableDef
+
+
+@dataclass(frozen=True)
+class Projection:
+    name: str
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    """Broadcast equi-join against a small fully-materialized side
+    (reference ``src/join.rs`` — 'the joined table is loaded completely in
+    memory', README.md:56).
+
+    ``right`` is resolved by the runner to a pyarrow Table (it may be a
+    pyarrow Table, a callable returning one, or a ray.ObjectRef of one).
+    ``how`` ∈ {"inner", "left"} — OUTER is the reference's left-outer on the
+    streamed side (``join.rs:125-138``). Under aggregation OUTER degrades to
+    INNER (``execution_engine.rs:227-244``).
+    """
+
+    right: Any
+    left_key: str
+    right_key: str
+    how: str = "inner"
+    right_prefix: str = ""  # prepended to right column names in the output
+
+
+@dataclass(frozen=True)
+class SelectPlan:
+    """SELECT path: filter → project (wildcard = all columns) → distinct → limit."""
+
+    projections: Optional[tuple[Projection, ...]] = None  # None ⇒ wildcard
+    where: Optional[Expr] = None
+    join: Optional[JoinSpec] = None
+    distinct: bool = False
+    limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class AggItem:
+    """One aggregate projection (reference ``AggregateStatementAggregation``,
+    ``model.rs:31-36``): max one aggregate per projection; ``transform`` is a
+    post-aggregation scalar expression over pseudo-column ``$value``
+    (``aggregate_execution.rs:332-339``)."""
+
+    name: str
+    func: str  # count | count_star | count_distinct | min | max | sum | avg |
+    #            stddev | variance | percentile | bool_and | bool_or |
+    #            array_agg | string_agg
+    arg: Optional[Expr] = None
+    extra: Any = None  # percentile p ∈ [0,1] / string_agg delimiter
+    transform: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class GroupKey:
+    name: str
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class AggregatePlan:
+    """GROUP BY path. ``having`` is evaluated over a table holding the group
+    keys plus every aggregate output (including having-only aggregates —
+    reference gives those extra slots, ``aggregate_execution.rs:88-115``);
+    having-only aggs carry names starting with ``__having`` and are dropped
+    after the filter. Output is sorted ascending by group-key tuple
+    (BTreeMap iteration order, ``aggregate_execution.rs:17,254``)."""
+
+    group_by: tuple[GroupKey, ...] = ()
+    aggs: tuple[AggItem, ...] = ()
+    where: Optional[Expr] = None
+    join: Optional[JoinSpec] = None
+    having: Optional[Expr] = None
+    distinct: bool = False
+    limit: Optional[int] = None
+
+
+Plan = Union[SelectPlan, AggregatePlan]

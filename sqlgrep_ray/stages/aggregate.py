@@ -1,0 +1,339 @@
+"""GROUP BY engine — combiner-first distributed aggregation.
+
+Rebuild of the reference's in-memory group state machine
+(``src/execution/aggregate_execution.rs:15-23, 131-591``) on Ray Data:
+
+* **Associative aggregates** (count / count* / sum / min / max / avg /
+  stddev / variance / bool_and / bool_or) run as a THREE-phase pipeline:
+
+  1. ``map_batches`` evaluates group-key + value expressions and immediately
+     **pre-aggregates inside the block** with ``pyarrow.TableGroupBy`` — the
+     map-side combiner, so the all-to-all shuffle only moves
+     one-row-per-(block, key) partials, not raw rows;
+  2. ``Dataset.groupby(keys).aggregate(...)`` merges partials (sums of sums,
+     min of mins, …) — the only shuffle;
+  3. a final ``map_batches`` turns merged partials into results
+     (``avg = sum/count`` with INTEGER division for int inputs —
+     ``aggregate_execution.rs:473-489``; population variance
+     ``(Σx² − (Σx)²/n)/n`` — ``:490-539``).
+
+* **Holistic aggregates** (percentile / array_agg / string_agg /
+  count_distinct) need the whole group:
+  ``Dataset.groupby(keys).map_groups(...)`` ships each group to one worker —
+  the same memory contract as the reference, which buffers every value of a
+  group in RAM (``aggregate_execution.rs:540-543``). A hot group must fit a
+  worker's heap; salt keys upstream if that's violated.
+
+Divergences (documented):
+* stddev/variance accumulate in float64 (reference accumulates in the input
+  type; int64 Σx² would overflow at 10^12-row scale);
+* array_agg / string_agg order values ASCENDING within the group instead of
+  input order (Ray blocks are unordered; ascending is deterministic and
+  matches an ``ORDER BY`` oracle).
+
+Output rows are sorted ascending by group-key tuple, mirroring the
+reference's BTreeMap iteration (``aggregate_execution.rs:17,254,281-283``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sqlgrep_ray.functions.exprs import (
+    CompileCtx,
+    Expr,
+    Kernel,
+    _as_array,
+    compile_expr,
+    compile_predicate,
+)
+from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan
+
+HOLISTIC = {"percentile", "array_agg", "string_agg", "count_distinct"}
+_CONST_KEY = "__gk"
+
+
+# ---------------------------------------------------------------------------
+# Phase 0+1: evaluate exprs, block-level combine
+# ---------------------------------------------------------------------------
+
+
+class PartialAggregator:
+    """``map_batches`` callable producing per-block partial aggregates."""
+
+    def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
+        self.key_names = [k.name for k in plan.group_by] or [_CONST_KEY]
+        self.has_keys = bool(plan.group_by)
+        self.key_kernels = [compile_expr(k.expr, ctx) for k in plan.group_by]
+        self.aggs = plan.aggs
+        self.val_kernels: list[Optional[Kernel]] = [
+            compile_expr(a.arg, ctx) if a.arg is not None else None for a in plan.aggs
+        ]
+        # pyarrow block-level aggregation spec
+        self.pa_aggs: list[tuple[Any, str]] = []
+        seen: set[tuple[Any, str]] = set()
+        for i, a in enumerate(self.aggs):
+            for spec in _partial_specs(i, a):
+                if spec not in seen:
+                    seen.add(spec)
+                    col_name, kind = spec
+                    self.pa_aggs.append(([] if kind == "count_all" else col_name, kind))
+
+    def _narrow(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, Any] = {}
+        for name, kk in zip(self.key_names, self.key_kernels):
+            cols[name] = _as_array(kk(batch), n)
+        if not self.has_keys:
+            cols[_CONST_KEY] = pa.array(np.zeros(n, dtype=np.int8))
+        for i, (a, vk) in enumerate(zip(self.aggs, self.val_kernels)):
+            if vk is None:
+                continue
+            v = _as_array(vk(batch), n)
+            if a.func in ("bool_and", "bool_or"):
+                v = v.cast(pa.int8())
+            cols[f"__a{i}"] = v
+            if a.func in ("stddev", "variance"):
+                f = v.cast(pa.float64())
+                cols[f"__a{i}"] = f
+                cols[f"__a{i}sq"] = pc.multiply(f, f)
+                cols[f"__a{i}ty"] = pa.repeat(
+                    pa.scalar(str(v.type)), n
+                )  # dropped, informational
+        return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        narrow = self._narrow(batch)
+        narrow = narrow.drop_columns(
+            [c for c in narrow.column_names if c.endswith("ty")]
+        )
+        gb = pa.TableGroupBy(narrow, self.key_names)
+        return gb.aggregate(self.pa_aggs)
+
+
+def _partial_specs(i: int, a: AggItem) -> list[tuple[Any, str]]:
+    v = f"__a{i}"
+    f = a.func
+    if f == "count_star":
+        return [("__star__", "count_all")]
+    if f == "count":
+        return [(v, "count")]
+    if f == "sum":
+        return [(v, "sum")]
+    if f == "min" or f == "bool_and":
+        return [(v, "min")]
+    if f == "max" or f == "bool_or":
+        return [(v, "max")]
+    if f == "avg":
+        return [(v, "sum"), (v, "count")]
+    if f in ("stddev", "variance"):
+        return [(v, "sum"), (f"{v}sq", "sum"), (v, "count")]
+    raise ValueError(f"{f} is not an associative aggregate")
+
+
+def _merge_aggs(plan: AggregatePlan) -> list[Any]:
+    """Ray-side merge aggregators over the partial columns."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    out: list[Any] = []
+    seen: set[str] = set()
+    for i, a in enumerate(plan.aggs):
+        for col_name, kind in _partial_specs(i, a):
+            pcol = "count_all" if kind == "count_all" else f"{col_name}_{kind}"
+            if pcol in seen:
+                continue
+            seen.add(pcol)
+            if kind in ("sum", "count", "count_all"):
+                out.append(Sum(pcol, alias_name=pcol, ignore_nulls=True))
+            elif kind == "min":
+                out.append(Min(pcol, alias_name=pcol, ignore_nulls=True))
+            elif kind == "max":
+                out.append(Max(pcol, alias_name=pcol, ignore_nulls=True))
+    return out
+
+
+class FinalizeAggregates:
+    """``map_batches`` callable: merged partials → named result columns."""
+
+    def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
+        self.plan = plan
+        self.key_names = [k.name for k in plan.group_by]
+        self.ctx = ctx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {k: batch[k] for k in self.key_names}
+        for i, a in enumerate(self.plan.aggs):
+            cols[a.name] = _finalize_one(batch, i, a)
+        out = pa.table(cols)
+        return apply_transforms(out, self.plan, self.ctx)
+
+
+def _finalize_one(batch: pa.Table, i: int, a: AggItem) -> pa.Array:
+    v = f"__a{i}"
+    f = a.func
+    if f == "count_star":
+        return pc.fill_null(batch["count_all"], 0).cast(pa.int64())
+    if f == "count":
+        return pc.fill_null(batch[f"{v}_count"], 0).cast(pa.int64())
+    if f == "sum":
+        return _chunk(batch[f"{v}_sum"])
+    if f in ("min", "max"):
+        return _chunk(batch[f"{v}_{f}"])
+    if f == "bool_and":
+        return _chunk(batch[f"{v}_min"]).cast(pa.int8()).cast(pa.bool_())
+    if f == "bool_or":
+        return _chunk(batch[f"{v}_max"]).cast(pa.int8()).cast(pa.bool_())
+    if f == "avg":
+        s, c = _chunk(batch[f"{v}_sum"]), _chunk(batch[f"{v}_count"])
+        if pa.types.is_integer(s.type):
+            # integer division (aggregate_execution.rs:473-489)
+            return pc.divide(s, c.cast(pa.int64()))
+        return pc.divide(s, c.cast(pa.float64()))
+    if f in ("stddev", "variance"):
+        s = _chunk(batch[f"{v}_sum"]).cast(pa.float64())
+        sq = _chunk(batch[f"{v}sq_sum"]).cast(pa.float64())
+        n = _chunk(batch[f"{v}_count"]).cast(pa.float64())
+        var = pc.divide(pc.subtract(sq, pc.divide(pc.multiply(s, s), n)), n)
+        # clamp tiny negative fp residue
+        var = pc.max_element_wise(var, pa.scalar(0.0))
+        return pc.sqrt(var) if f == "stddev" else var
+    raise ValueError(f"{f} not associative")
+
+
+def _chunk(c: Any) -> pa.Array:
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+# ---------------------------------------------------------------------------
+# Holistic path: whole group on one worker (same contract as the reference)
+# ---------------------------------------------------------------------------
+
+
+class GroupEvaluator:
+    """``map_batches`` callable evaluating key+value expressions (no combine)."""
+
+    def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
+        self.key_names = [k.name for k in plan.group_by] or [_CONST_KEY]
+        self.has_keys = bool(plan.group_by)
+        self.key_kernels = [compile_expr(k.expr, ctx) for k in plan.group_by]
+        self.val_kernels = [
+            compile_expr(a.arg, ctx) if a.arg is not None else None
+            for a in plan.aggs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols: dict[str, Any] = {}
+        for name, kk in zip(self.key_names, self.key_kernels):
+            cols[name] = _as_array(kk(batch), n)
+        if not self.has_keys:
+            cols[_CONST_KEY] = pa.array(np.zeros(n, dtype=np.int8))
+        for i, vk in enumerate(self.val_kernels):
+            if vk is not None:
+                cols[f"__a{i}"] = _as_array(vk(batch), n)
+        return pa.table(cols)
+
+
+class HolisticGroupAgg:
+    """``map_groups`` callable computing ALL aggregates of one group."""
+
+    def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
+        self.plan = plan
+        self.key_names = [k.name for k in plan.group_by]
+        self.ctx = ctx
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {}
+        for k in self.key_names or [_CONST_KEY]:
+            cols[k] = group[k][:1]
+        for i, a in enumerate(self.plan.aggs):
+            val = _holistic_value(group, i, a)
+            cols[a.name] = val if isinstance(val, pa.Array) else pa.array([val])
+        out = pa.table(cols)
+        if not self.key_names:
+            out = out.drop_columns([_CONST_KEY])
+        return apply_transforms(out, self.plan, self.ctx)
+
+
+def _holistic_value(group: pa.Table, i: int, a: AggItem) -> Any:
+    f = a.func
+    if f == "count_star":
+        return pa.array([group.num_rows], pa.int64())
+    col = _chunk(group[f"__a{i}"]) if f"__a{i}" in group.column_names else None
+    if f == "count":
+        return pa.array([len(col.drop_null())], pa.int64())
+    if f == "count_distinct":
+        return pa.array([len(pc.unique(col.drop_null()))], pa.int64())
+    if f == "sum":
+        return pa.array([pc.sum(col).as_py()], col.type)
+    if f == "min":
+        return pa.array([pc.min(col).as_py()], col.type)
+    if f == "max":
+        return pa.array([pc.max(col).as_py()], col.type)
+    if f == "avg":
+        vals = col.drop_null()
+        if len(vals) == 0:
+            return pa.array([None], col.type)
+        s = pc.sum(vals).as_py()
+        if pa.types.is_integer(col.type):
+            # truncate toward zero like Rust i64 division (:473-489)
+            q = -((-s) // len(vals)) if s < 0 else s // len(vals)
+            return pa.array([q], pa.int64())
+        return pa.array([s / len(vals)], pa.float64())
+    if f in ("stddev", "variance"):
+        vals = col.drop_null().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return pa.array([None], pa.float64())
+        var = float(np.mean(vals * vals) - np.mean(vals) ** 2)
+        var = max(var, 0.0)
+        return pa.array([math.sqrt(var) if f == "stddev" else var], pa.float64())
+    if f == "percentile":
+        # sort, take index (p*len) truncated; OOB ⇒ NULL (:540-543,578-591)
+        vals = col.drop_null().sort()
+        idx = int(a.extra * len(vals))
+        v = vals[idx].as_py() if idx < len(vals) else None
+        return pa.array([v], col.type)
+    if f == "array_agg":
+        vals = col.drop_null().sort()  # deterministic (see module divergences)
+        return pa.array([vals.to_pylist()], pa.list_(col.type))
+    if f == "string_agg":
+        vals = col.drop_null().sort().to_pylist()
+        return pa.array([a.extra.join(str(v) for v in vals)], pa.string())
+    if f in ("bool_and", "bool_or"):
+        vals = col.drop_null()
+        if len(vals) == 0:
+            return pa.array([None], pa.bool_())
+        red = pc.min(vals) if f == "bool_and" else pc.max(vals)
+        return pa.array([red.as_py()], pa.bool_())
+    raise ValueError(f"unknown aggregate {f!r}")
+
+
+# ---------------------------------------------------------------------------
+# Post-aggregation transforms ($value expressions)
+# ---------------------------------------------------------------------------
+
+
+def apply_transforms(
+    table: pa.Table, plan: AggregatePlan, ctx: Optional[CompileCtx]
+) -> pa.Table:
+    """Evaluate each AggItem.transform over pseudo-column ``$value``
+    (reference scope AggregationValue, ``aggregate_execution.rs:332-339``)."""
+    for a in plan.aggs:
+        if a.transform is None:
+            continue
+        k = compile_expr(a.transform, ctx)
+        tmp = pa.table({"$value": table[a.name]})
+        newv = _as_array(k(tmp), table.num_rows)
+        idx = table.column_names.index(a.name)
+        table = table.set_column(idx, a.name, newv)
+    return table
+
+
+def is_holistic(plan: AggregatePlan) -> bool:
+    return any(a.func in HOLISTIC for a in plan.aggs)
