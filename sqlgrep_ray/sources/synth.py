@@ -1,0 +1,236 @@
+"""Deterministic synthetic transcripts — the flagship pipeline's input.
+
+Generates the Parquet table of multi-turn conversation / agent transcripts
+described by ``BASELINE.json`` ``input_hint``:
+
+    conv_id: string, turn_idx: int32, role: string, text: string,
+    tool: string, ts: timestamp[us]
+
+and FIXTURES.md §F1: ~40% ftpd-shaped lines, ~20% ssh-shaped, ~20% one-line
+JSON (clients shape), ~10% ``;``-separated split rows, ~10% non-matching
+noise; 3 hot conversations own ~20% of all turns (skew fixture); turn_idx
+contiguous per conversation; ts monotonic per conversation.
+
+Everything is a pure function of (seed, sf): same inputs → byte-identical
+table. Scale: ``rows = 6_000_000 × sf`` (sf 0.001 → 6k, 0.01 → 60k,
+0.1 → 600k), matching TESTDATA.md's lineitem scale.
+
+Output is written as MULTIPLE parquet shard files (one directory), so
+Ray parallelizes the read and the checkpoint/resume layer has per-shard
+lineage units.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+ROWS_PER_SF = 6_000_000
+CACHE_ROOT = "/tmp/graft_transcripts"
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["bash", "search", "editor", "browser", "python", "none"])
+
+# the F5-style enrich lookup: tool → (category, cost_class)
+TOOL_LOOKUP_ROWS = [
+    ("bash", "shell", "cheap"),
+    ("search", "retrieval", "mid"),
+    ("editor", "shell", "cheap"),
+    ("browser", "retrieval", "expensive"),
+    ("python", "compute", "mid"),
+    # "none" intentionally absent → exercises left-outer misses
+]
+
+_HOSTS = np.array(
+    [
+        "lns-vlq-45.bru.adsl.nextra.be",
+        "24-54-76-216.bflony.adelphia.net",
+        "host-ip9-45.example.org",
+        "dsl-189-134.example.net",
+        "mail.example.com",
+        "",  # empty parens ⇒ NULL hostname downstream
+    ]
+)
+_USERS = np.array(["root", "admin", "guest", "test", "oracle", "dev"])
+_DOWS = np.array(["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"])
+_MONS = np.array(["Jun", "Jul"])
+_NOISE_WORDS = np.array(
+    ["session", "opened", "closed", "for", "check", "pass", "cron", "sudo", "kernel"]
+)
+
+
+def tool_lookup_table() -> pa.Table:
+    cols = list(zip(*TOOL_LOOKUP_ROWS))
+    return pa.table(
+        {
+            "tool": pa.array(cols[0], pa.string()),
+            "tool_category": pa.array(cols[1], pa.string()),
+            "tool_cost": pa.array(cols[2], pa.string()),
+        }
+    )
+
+
+def _conv_layout(n_rows: int, rng: np.random.RandomState) -> tuple[np.ndarray, np.ndarray]:
+    """Return (conv_idx per row, turn_idx per row) with 3 hot convs ≈20%."""
+    hot_rows = int(n_rows * 0.20)
+    hot_sizes = [hot_rows // 3, hot_rows // 3, hot_rows - 2 * (hot_rows // 3)]
+    rest = n_rows - sum(hot_sizes)
+    sizes = list(hot_sizes)
+    avg = 12
+    while rest > 0:
+        s = int(rng.geometric(1.0 / avg))
+        s = max(1, min(s, 60, rest))
+        sizes.append(s)
+        rest -= s
+    sizes_arr = np.array(sizes, dtype=np.int64)
+    conv_idx = np.repeat(np.arange(len(sizes_arr)), sizes_arr)
+    ends = np.cumsum(sizes_arr)
+    starts = ends - sizes_arr
+    turn_idx = np.arange(n_rows, dtype=np.int64) - np.repeat(starts, sizes_arr)
+    return conv_idx, turn_idx
+
+
+def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    conv_idx, turn_idx = _conv_layout(n_rows, rng)
+    n_convs = int(conv_idx.max()) + 1 if n_rows else 0
+
+    conv_id = np.array([f"conv-{k:06d}" for k in range(n_convs)])[conv_idx]
+    role = ROLES[turn_idx % 4]
+    tool = TOOLS[rng.randint(0, len(TOOLS), n_rows)]
+
+    # timestamps: per-conv random start (June 2025) + per-turn 1-90 s increments
+    base = np.datetime64("2025-06-01T00:00:00", "us")
+    conv_start = rng.randint(0, 30 * 86400, n_convs).astype("int64")
+    incr = rng.randint(1, 90, n_rows).astype("int64")
+    # cumulative increments within each conversation
+    cum = np.cumsum(incr)
+    conv_row_start = np.zeros(n_rows, dtype=np.int64)
+    first_of_conv = np.r_[True, conv_idx[1:] != conv_idx[:-1]]
+    conv_base_cum = np.where(first_of_conv, cum - incr, 0)
+    conv_base_cum = np.maximum.accumulate(np.where(first_of_conv, cum - incr, 0))
+    within = cum - conv_base_cum
+    ts = base + ((conv_start[conv_idx] + within) * 1_000_000).astype("timedelta64[us]")
+
+    # text shapes: 40/20/20/10/10
+    shape = rng.choice(5, n_rows, p=[0.40, 0.20, 0.20, 0.10, 0.10])
+    ips = (
+        rng.randint(1, 255, (n_rows, 4)).astype(str)
+    )
+    day = rng.randint(1, 29, n_rows)
+    hh = rng.randint(0, 24, n_rows)
+    mm = rng.randint(0, 60, n_rows)
+    ss = rng.randint(0, 60, n_rows)
+    year = np.full(n_rows, 2005)
+    pid = rng.randint(1000, 32000, n_rows)
+    host = _HOSTS[rng.randint(0, len(_HOSTS), n_rows)]
+    user = _USERS[rng.randint(0, len(_USERS), n_rows)]
+    dow = _DOWS[rng.randint(0, 7, n_rows)]
+    mon = _MONS[rng.randint(0, 2, n_rows)]
+    dev = rng.randint(100, 260, n_rows)
+    ms = rng.randint(1_609_000_000_000, 1_610_000_000_000, n_rows).astype("int64")
+    mac = rng.randint(0, 256, (n_rows, 6))
+    has_events = rng.rand(n_rows) < 0.10
+    nw = _NOISE_WORDS[rng.randint(0, len(_NOISE_WORDS), (n_rows, 4))]
+
+    texts: list[str] = [""] * n_rows
+    for i in range(n_rows):
+        s = shape[i]
+        if s == 0:  # ftpd
+            texts[i] = (
+                f"{mon[i]} {day[i]} {hh[i]:02d}:{mm[i]:02d}:{ss[i]:02d} combo "
+                f"ftpd[{pid[i]}]: connection from "
+                f"{ips[i,0]}.{ips[i,1]}.{ips[i,2]}.{ips[i,3]} ({host[i]}) at "
+                f"{dow[i]} {mon[i]} {day[i]} {hh[i]:02d}:{mm[i]:02d}:{ss[i]:02d} "
+                f"{year[i]}"
+            )
+        elif s == 1:  # ssh
+            texts[i] = (
+                f"{mon[i]} {day[i]} {hh[i]:02d}:{mm[i]:02d}:{ss[i]:02d} combo "
+                f"sshd(pam_unix)[{pid[i]}]: authentication failure; "
+                f"logname= uid=0 euid=0 tty=NODEVssh ruser= "
+                f"rhost={host[i] or 'unknown.example.net'}  user={user[i]}"
+            )
+        elif s == 2:  # clients JSON
+            ev = ', "events": ["started", "stopped"]' if has_events[i] else ""
+            m = mac[i]
+            texts[i] = (
+                f'{{"timestamp": {ms[i]}, "metadata": {{"device_id": "{dev[i]}", '
+                f'"mac_address": "{m[0]:02x}:{m[1]:02x}:{m[2]:02x}:{m[3]:02x}:'
+                f'{m[4]:02x}:{m[5]:02x}"}}{ev}}}'
+            )
+        elif s == 3:  # split csv (8 fields)
+            texts[i] = (
+                f"{ips[i,0]}.{ips[i,1]}.{ips[i,2]}.{ips[i,3]};{host[i]};{year[i]};"
+                f"{mon[i]};{day[i]};{hh[i]};{mm[i]};{ss[i]}"
+            )
+        else:  # noise
+            texts[i] = f"{mon[i]} {day[i]} combo {nw[i,0]} {nw[i,1]} {nw[i,2]} {nw[i,3]}"
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv_id, pa.string()),
+            "turn_idx": pa.array(turn_idx.astype(np.int32), pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tool, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    # log-stream order: sort by ts so conversations interleave (realistic
+    # shuffle pressure for the conv_id groupby downstream)
+    return tbl.sort_by("ts")
+
+
+def _sf_label(sf: float) -> str:
+    return f"sf{sf:g}"
+
+
+def ensure_transcripts(
+    sf: float, root: str = CACHE_ROOT, seed: int = SEED, force: bool = False
+) -> str:
+    """Idempotently materialize the transcripts shard directory for ``sf``.
+
+    Returns the directory path. Shard size targets ~75k rows so even sf0.01
+    produces ≥1 shard and sf0.1 produces 8 (per-shard lineage units).
+    """
+    out_dir = os.path.join(root, _sf_label(sf), "transcripts")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        return out_dir
+    n_rows = int(ROWS_PER_SF * sf)
+    tbl = generate_transcripts(n_rows, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    shard_rows = 75_000
+    n_shards = max(1, (n_rows + shard_rows - 1) // shard_rows)
+    for i in range(n_shards):
+        part = tbl.slice(i * shard_rows, shard_rows)
+        pq.write_table(
+            part,
+            os.path.join(out_dir, f"shard-{i:05d}.parquet"),
+            row_group_size=32_768,
+        )
+    with open(done, "w") as f:
+        f.write(f"rows={n_rows} seed={seed} shards={n_shards}\n")
+    return out_dir
+
+
+def sf_of_dir(sf_dir: str) -> float:
+    """Map a ``/root/testdata/sf0.01``-style path to its scale factor."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return 0.001
+
+
+def transcripts_for(sf_dir: str) -> str:
+    """Transcripts dir matching the driver's sf directory (deterministic)."""
+    return ensure_transcripts(sf_of_dir(sf_dir))

