@@ -405,6 +405,15 @@ _FUNCS["length"] = _simple(pc.utf8_length)  # char count (:281-288)
 _FUNCS["upper"] = _simple(pc.utf8_upper)
 _FUNCS["lower"] = _simple(pc.utf8_lower)
 _FUNCS["array_length"] = _simple(pc.list_value_length)
+# round(x[, ndigits]) — half-away-from-zero (SQL/DuckDB convention; the
+# reference has no round, this is an engine extension used by pipelines)
+_FUNCS["round"] = _simple(
+    lambda x, nd=None: pc.round(
+        x,
+        ndigits=(nd.as_py() if isinstance(nd, pa.Scalar) else nd) or 0,
+        round_mode="half_towards_infinity",
+    )
+)
 
 
 @register_function("regexp_matches")

@@ -1,0 +1,839 @@
+"""Driver-contract queries: Ray pipelines + DuckDB oracle SQL, paired.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data addition) over the driver's parquet tables; ``oracle_sql()``
+entries are ANSI SQL equivalents DuckDB runs on the same tables. Column
+names are aligned on both sides (driver hashes values under sorted column
+names).
+
+Float determinism policy (cross-engine value-hash equality):
+* per-row float math (e.g. ``price * (1 - discount)``) is IEEE-identical in
+  both engines — safe unrounded;
+* SUMs over floats are order-dependent → queries only sum columns whose
+  values are integral (exact in double) or pre-scale to integral
+  (``round(x * 10000)``), making the sum exact and order-independent;
+* stddev/variance use different algorithms per engine → rounded to 6 dp;
+* knn omits the score column (float32/float64 accumulation differences).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from sqlgrep_ray.functions.exprs import Bin, Case, Cast, Col, Func, InList, Lit, Un
+from sqlgrep_ray.pipelines.flagship import (
+    FTPD_PATTERN,
+    SSH_PATTERN,
+    flagship,
+    hour_histogram,
+    sink_counts,
+    sink_role_counts,
+)
+from sqlgrep_ray.pipelines.plan import (
+    AggItem,
+    AggregatePlan,
+    GroupKey,
+    JoinSpec,
+    Projection,
+    SelectPlan,
+)
+from sqlgrep_ray.pipelines.runner import run_plan
+from sqlgrep_ray.schema import (
+    INT,
+    STRING,
+    ColumnDef,
+    JsonPath,
+    PatternDef,
+    RegexCapture,
+    RegexRef,
+    TableDef,
+)
+from sqlgrep_ray.sources.synth import transcripts_for
+from sqlgrep_ray.stages.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+from sqlgrep_ray.stages.multimodal import decode_featurize, synth_media
+from sqlgrep_ray.stages.similarity import knn_brute_force, knn_ivf
+from sqlgrep_ray.stages.textstats import text_stats
+
+Result = Any  # Dataset | pandas.DataFrame | pyarrow.Table
+
+
+def _t(sf_dir: str, name: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pat(sf_dir: str, name: str) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2–§2.8)
+# ---------------------------------------------------------------------------
+
+
+def q_select_where_project(sf_dir: str) -> Result:
+    """M8 filter + M9 projection with computed column."""
+    plan = SelectPlan(
+        projections=(
+            Projection("l_orderkey", Col("l_orderkey")),
+            Projection("l_linenumber", Col("l_linenumber")),
+            Projection(
+                "revenue",
+                Bin(
+                    "mul",
+                    Col("l_extendedprice"),
+                    Bin("sub", Lit(1.0), Col("l_discount")),
+                ),
+            ),
+        ),
+        where=Bin(
+            "and",
+            Bin("gt", Col("l_quantity"), Lit(45.0)),
+            Bin("le", Col("l_discount"), Lit(0.05)),
+        ),
+    )
+    return run_plan(_t(sf_dir, "lineitem"), plan)
+
+
+SQL_SELECT_WHERE_PROJECT = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.05
+"""
+
+
+def q_agg_global(sf_dir: str) -> Result:
+    """Global (no GROUP BY) aggregates — one group, key [Null] (§2.6)."""
+    plan = AggregatePlan(
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("sum_qty", "sum", Col("l_quantity")),
+            AggItem("avg_qty", "avg", Col("l_quantity")),
+            AggItem("min_price", "min", Col("l_extendedprice")),
+            AggItem("max_price", "max", Col("l_extendedprice")),
+        ),
+    )
+    return run_plan(_t(sf_dir, "lineitem"), plan)
+
+
+SQL_AGG_GLOBAL = """
+SELECT count(*) AS n, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty,
+       min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem
+"""
+
+
+def q_groupby_q1(sf_dir: str) -> Result:
+    """TPC-H Q1 shape: multi-key groupby, sums exact via integral scaling."""
+    rev_c = Func(
+        "round",
+        (
+            Bin(
+                "mul",
+                Bin(
+                    "mul",
+                    Col("l_extendedprice"),
+                    Bin("sub", Lit(1.0), Col("l_discount")),
+                ),
+                Lit(10000.0),
+            ),
+        ),
+    )
+    plan = AggregatePlan(
+        group_by=(
+            GroupKey("l_returnflag", Col("l_returnflag")),
+            GroupKey("l_linestatus", Col("l_linestatus")),
+        ),
+        aggs=(
+            AggItem("sum_qty", "sum", Col("l_quantity")),
+            AggItem("avg_qty", "avg", Col("l_quantity")),
+            AggItem("sum_rev_c", "sum", rev_c),
+            AggItem("n", "count_star"),
+            AggItem("n2", "count_star", transform=Bin("mul", Col("$value"), Lit(2))),
+        ),
+        where=Bin("le", Col("l_shipdate"), Lit("1998-09-02 00:00:00")),
+    )
+    return run_plan(_t(sf_dir, "lineitem"), plan)
+
+
+SQL_GROUPBY_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty,
+       sum(round(l_extendedprice * (1.0 - l_discount) * 10000.0)) AS sum_rev_c,
+       count(*) AS n, count(*) * 2 AS n2
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_groupby_expr_hour(sf_dir: str) -> Result:
+    """GROUP BY expression (EXTRACT hour) — §2.6 group-by-expression."""
+    plan = AggregatePlan(
+        group_by=(GroupKey("hour", Func("timestamp_extract_hour", (Col("ts"),))),),
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("max_value", "max", Col("value")),
+            AggItem("min_value", "min", Col("value")),
+        ),
+    )
+    return run_plan(_t(sf_dir, "events"), plan)
+
+
+SQL_GROUPBY_EXPR_HOUR = """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n,
+       max(value) AS max_value, min(value) AS min_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_having_priority(sf_dir: str) -> Result:
+    plan = AggregatePlan(
+        group_by=(GroupKey("o_orderpriority", Col("o_orderpriority")),),
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("max_total", "max", Col("o_totalprice")),
+        ),
+        having=Bin("gt", Col("n"), Lit(2900)),
+    )
+    return run_plan(_t(sf_dir, "orders"), plan)
+
+
+SQL_HAVING_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_total
+FROM orders GROUP BY 1 HAVING count(*) > 2900 ORDER BY 1
+"""
+
+
+def q_distinct_status(sf_dir: str) -> Result:
+    plan = SelectPlan(
+        projections=(
+            Projection("o_orderstatus", Col("o_orderstatus")),
+            Projection("o_orderpriority", Col("o_orderpriority")),
+        ),
+        distinct=True,
+    )
+    return run_plan(_t(sf_dir, "orders"), plan)
+
+
+SQL_DISTINCT_STATUS = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+def q_join_customer_nation(sf_dir: str) -> Result:
+    """ST2 broadcast hash join (inner) + aggregate."""
+    nation = _pat(sf_dir, "nation")
+    plan = AggregatePlan(
+        group_by=(GroupKey("n_name", Col("n_name")),),
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("max_bal", "max", Col("c_acctbal")),
+            AggItem("min_bal", "min", Col("c_acctbal")),
+        ),
+        join=JoinSpec(
+            right=nation, left_key="c_nationkey", right_key="n_nationkey", how="inner"
+        ),
+    )
+    return run_plan(_t(sf_dir, "customer"), plan)
+
+
+SQL_JOIN_CUSTOMER_NATION = """
+SELECT n_name, count(*) AS n, max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_join_left_part(sf_dir: str) -> Result:
+    """Left-outer broadcast join (null fill on miss) then aggregate —
+    composed as select-path join (OUTER is select-only in the reference,
+    execution_engine.rs:186-200) + second aggregate plan."""
+    part = _pat(sf_dir, "part")
+    import pyarrow.compute as pc
+
+    big = part.filter(pc.greater_equal(part["p_size"], 48)).select(
+        ["p_partkey", "p_brand"]
+    )
+    joined = run_plan(
+        _t(sf_dir, "lineitem"),
+        SelectPlan(
+            join=JoinSpec(
+                right=big, left_key="l_partkey", right_key="p_partkey", how="left"
+            )
+        ),
+    )
+    return run_plan(
+        joined,
+        AggregatePlan(
+            group_by=(GroupKey("p_brand", Col("p_brand")),),
+            aggs=(AggItem("n", "count_star"),),
+        ),
+    )
+
+
+SQL_JOIN_LEFT_PART = """
+SELECT p_brand, count(*) AS n
+FROM lineitem LEFT JOIN (
+  SELECT p_partkey, p_brand FROM part WHERE p_size >= 48
+) ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_count_distinct_users(sf_dir: str) -> Result:
+    plan = AggregatePlan(
+        group_by=(GroupKey("event_type", Col("event_type")),),
+        aggs=(
+            AggItem("users", "count_distinct", Col("user_id")),
+            AggItem("n", "count_star"),
+        ),
+    )
+    return run_plan(_t(sf_dir, "events"), plan)
+
+
+SQL_COUNT_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_stddev_quantity(sf_dir: str) -> Result:
+    """Population stddev/variance ((Σx² − (Σx)²/n)/n, reference
+    aggregate_execution.rs:490-539), rounded for cross-engine equality."""
+    plan = AggregatePlan(
+        group_by=(GroupKey("l_returnflag", Col("l_returnflag")),),
+        aggs=(
+            AggItem(
+                "sd_qty",
+                "stddev",
+                Col("l_quantity"),
+                transform=Func("round", (Col("$value"), Lit(6))),
+            ),
+            AggItem(
+                "var_qty",
+                "variance",
+                Col("l_quantity"),
+                transform=Func("round", (Col("$value"), Lit(6))),
+            ),
+        ),
+    )
+    return run_plan(_t(sf_dir, "lineitem"), plan)
+
+
+SQL_STDDEV_QUANTITY = """
+SELECT l_returnflag, round(stddev_pop(l_quantity), 6) AS sd_qty,
+       round(var_pop(l_quantity), 6) AS var_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_percentile_price(sf_dir: str) -> Result:
+    """Reference percentile: sort, index = trunc(p·len) (:578-591)."""
+    plan = AggregatePlan(
+        group_by=(GroupKey("l_linestatus", Col("l_linestatus")),),
+        aggs=(AggItem("p50", "percentile", Col("l_extendedprice"), extra=0.5),),
+    )
+    return run_plan(_t(sf_dir, "lineitem"), plan)
+
+
+SQL_PERCENTILE_PRICE = """
+SELECT l_linestatus,
+       (array_agg(l_extendedprice ORDER BY l_extendedprice))
+         [CAST(floor(0.5 * count(*)) AS INT) + 1] AS p50
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_array_string_agg(sf_dir: str) -> Result:
+    """ARRAY_AGG / STRING_AGG (holistic; engine sorts values — documented
+    divergence from the reference's insertion order, matched by ORDER BY in
+    the oracle)."""
+    plan = AggregatePlan(
+        group_by=(GroupKey("n_regionkey", Col("n_regionkey")),),
+        aggs=(
+            AggItem("names", "array_agg", Col("n_name")),
+            AggItem("joined", "string_agg", Col("n_name"), extra=","),
+        ),
+    )
+    return run_plan(_t(sf_dir, "nation"), plan)
+
+
+SQL_ARRAY_STRING_AGG = """
+SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS names,
+       string_agg(n_name, ',' ORDER BY n_name) AS joined
+FROM nation GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_case_priority(sf_dir: str) -> Result:
+    band = Case(
+        whens=(
+            (
+                InList(Col("o_orderpriority"), (Lit("1-URGENT"), Lit("2-HIGH"))),
+                Lit("high"),
+            ),
+            (Bin("eq", Col("o_orderpriority"), Lit("3-MEDIUM")), Lit("mid")),
+        ),
+        else_=Lit("low"),
+    )
+    plan = AggregatePlan(
+        group_by=(GroupKey("band", band),),
+        aggs=(AggItem("n", "count_star"),),
+    )
+    return run_plan(_t(sf_dir, "orders"), plan)
+
+
+SQL_CASE_PRIORITY = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+            ELSE 'low' END AS band, count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_scalar_funcs_part(sf_dir: str) -> Result:
+    """Scalar function battery (§2.3): upper/lower/length/abs/sqrt/case math."""
+    plan = SelectPlan(
+        projections=(
+            Projection("p_partkey", Col("p_partkey")),
+            Projection("brand_u", Func("upper", (Col("p_brand"),))),
+            Projection("type_l", Func("lower", (Col("p_type"),))),
+            Projection("name_len", Func("length", (Col("p_name"),))),
+            Projection(
+                "price_sqrt", Func("sqrt", (Func("abs", (Col("p_retailprice"),)),))
+            ),
+            Projection(
+                "size_big",
+                Func("greatest", (Col("p_size"), Lit(25))),
+            ),
+        ),
+        where=Bin("lt", Col("p_partkey"), Lit(500)),
+    )
+    return run_plan(_t(sf_dir, "part"), plan)
+
+
+SQL_SCALAR_FUNCS_PART = """
+SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+       length(p_name) AS name_len, sqrt(abs(p_retailprice)) AS price_sqrt,
+       greatest(p_size, 25) AS size_big
+FROM part WHERE p_partkey < 500
+"""
+
+
+def q_in_list_flags(sf_dir: str) -> Result:
+    plan = AggregatePlan(
+        group_by=(GroupKey("l_returnflag", Col("l_returnflag")),),
+        aggs=(AggItem("n", "count_star"),),
+        where=InList(Col("l_returnflag"), (Lit("A"), Lit("R"))),
+    )
+    return run_plan(_t(sf_dir, "lineitem"), plan)
+
+
+SQL_IN_LIST_FLAGS = """
+SELECT l_returnflag, count(*) AS n FROM lineitem
+WHERE l_returnflag IN ('A','R') GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_groupby_limit(sf_dir: str) -> Result:
+    """LIMIT after aggregate = truncate sorted result (ST5 / §2.7)."""
+    plan = AggregatePlan(
+        group_by=(GroupKey("o_orderpriority", Col("o_orderpriority")),),
+        aggs=(AggItem("n", "count_star"),),
+        limit=3,
+    )
+    return run_plan(_t(sf_dir, "orders"), plan)
+
+
+SQL_GROUPBY_LIMIT = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+GROUP BY 1 ORDER BY 1 LIMIT 3
+"""
+
+
+def q_date_trunc_day(sf_dir: str) -> Result:
+    plan = AggregatePlan(
+        group_by=(
+            GroupKey("day", Func("date_trunc", (Lit("day"), Col("ts")))),
+        ),
+        aggs=(AggItem("n", "count_star"),),
+    )
+    return run_plan(_t(sf_dir, "events"), plan)
+
+
+SQL_DATE_TRUNC_DAY = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Parse/extract stages (M1–M7) over real columns
+# ---------------------------------------------------------------------------
+
+_KW_PATTERN = r"(spark|hash|window) (\w+)"
+
+
+def q_regex_extract_docs(sf_dir: str) -> Result:
+    tdef = TableDef(
+        "kw",
+        [PatternDef("p", _KW_PATTERN)],
+        [
+            ColumnDef("kw", STRING, RegexCapture(RegexRef("p", 1))),
+            ColumnDef("nxt", STRING, RegexCapture(RegexRef("p", 2))),
+        ],
+    )
+    from sqlgrep_ray.stages.parse import ParseTable
+
+    parsed = _t(sf_dir, "documents").map_batches(
+        ParseTable(tdef, "text"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return run_plan(
+        parsed,
+        AggregatePlan(
+            group_by=(GroupKey("kw", Col("kw")),),
+            aggs=(AggItem("n", "count_star"),),
+        ),
+    )
+
+
+SQL_REGEX_EXTRACT_DOCS = """
+SELECT regexp_extract(text, '(spark|hash|window) (\\w+)', 1) AS kw, count(*) AS n
+FROM documents WHERE regexp_matches(text, '(spark|hash|window) (\\w+)')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_json_extract_events(sf_dir: str) -> Result:
+    tdef = TableDef(
+        "props",
+        [],
+        [ColumnDef("k", INT, JsonPath(("k",)))],
+    )
+    from sqlgrep_ray.stages.parse import ParseTable
+
+    parsed = _t(sf_dir, "events").map_batches(
+        ParseTable(tdef, "props"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return run_plan(
+        parsed,
+        AggregatePlan(
+            group_by=(GroupKey("k", Col("k")),),
+            aggs=(AggItem("n", "count_star"),),
+        ),
+    )
+
+
+SQL_JSON_EXTRACT_EVENTS = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_split_extract_docs(sf_dir: str) -> Result:
+    """Split-mode extraction (M2): first whitespace field, 1-based."""
+    tdef = TableDef(
+        "sp",
+        [PatternDef("s", " ", "split")],
+        [ColumnDef("w1", STRING, RegexCapture(RegexRef("s", 1)))],
+    )
+    from sqlgrep_ray.stages.parse import ParseTable
+
+    parsed = _t(sf_dir, "documents").map_batches(
+        ParseTable(tdef, "text"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return run_plan(
+        parsed,
+        AggregatePlan(
+            group_by=(GroupKey("w1", Col("w1")),),
+            aggs=(AggItem("n", "count_star"),),
+        ),
+    )
+
+
+SQL_SPLIT_EXTRACT_DOCS = """
+SELECT string_split(text, ' ')[1] AS w1, count(*) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / text / similarity / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> Result:
+    """Exact dedup on a collision-rich key: keep min doc_id per n_chars."""
+    return exact_dedup(_t(sf_dir, "documents"), key="n_chars", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT n_chars, min(doc_id) AS doc_id FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_token_counts(sf_dir: str) -> Result:
+    ds = text_stats(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        tokens=True,
+        quality=False,
+        language=False,
+        fingerprint=False,
+    )
+    return run_plan(
+        ds,
+        SelectPlan(
+            projections=(
+                Projection("doc_id", Col("doc_id")),
+                Projection("n_tokens_ws", Col("n_tokens_ws")),
+            )
+        ),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         AS n_tokens_ws
+FROM documents
+"""
+
+
+def q_knn_top5(sf_dir: str) -> Result:
+    """Brute-force cosine top-5 for 3 query vectors (ids only — float scores
+    differ in last ulp across engines)."""
+    emb = _pat(sf_dir, "embeddings")
+    import pyarrow.compute as pc
+
+    q = emb.filter(pc.less(emb["vec_id"], 3)).select(["vec_id", "embedding"])
+    q = q.rename_columns(["query_id", "embedding"])
+    out = knn_brute_force(_t(sf_dir, "embeddings"), q, k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+SQL_KNN_TOP5 = """
+SELECT query_id, vec_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS score
+  FROM embeddings q, embeddings e WHERE q.vec_id < 3
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY score DESC, e.vec_id) <= 5
+)
+"""
+
+
+def q_minhash_pairs(sf_dir: str) -> Result:
+    return minhash_lsh_dedup(_t(sf_dir, "documents"), id_col="doc_id", threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str) -> Result:
+    return simhash_dedup(_t(sf_dir, "documents"), id_col="doc_id", max_hamming=3)
+
+
+def q_embedding_dups(sf_dir: str) -> Result:
+    return embedding_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.95)
+
+
+def q_knn_ivf(sf_dir: str) -> Result:
+    emb = _pat(sf_dir, "embeddings")
+    import pyarrow.compute as pc
+
+    q = emb.filter(pc.less(emb["vec_id"], 3)).select(["vec_id", "embedding"])
+    q = q.rename_columns(["query_id", "embedding"])
+    out = knn_ivf(_t(sf_dir, "embeddings"), q, k=5, n_centroids=8, n_probe=4)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def q_lang_quality(sf_dir: str) -> Result:
+    ds = text_stats(
+        _t(sf_dir, "documents").select_columns(["doc_id", "text"]), tokens=False
+    )
+    return ds.select_columns(["doc_id", "lang_pred", "quality_score", "fingerprint"])
+
+
+def q_multimodal(sf_dir: str) -> Result:
+    media = synth_media(500)
+    out = decode_featurize(ray.data.from_arrow(media), batch_size=64)
+    return out.select_columns(["media_id", "media_type", "img_mean", "rms"])
+
+
+# ---------------------------------------------------------------------------
+# Flagship transcript pipeline (north_rule) — oracles read the deterministic
+# generated parquet directly (driver runs at sf0.01)
+# ---------------------------------------------------------------------------
+
+_TR_GLOB = "/tmp/graft_transcripts/sf0.01/transcripts/*.parquet"
+
+# SQL single-quoted strings are not backslash-escaped: pass regexes verbatim
+# (neither pattern contains a single quote)
+_SQL_FTPD = FTPD_PATTERN
+_SQL_SSH = SSH_PATTERN
+
+# sink CASE shared by the transcript oracles (mirrors TranscriptRouter's
+# first-match priority; validated == router counts at sf0.01)
+_SQL_SINK = f"""
+  CASE
+    WHEN regexp_matches(text, '{_SQL_FTPD}') THEN 'ftpd'
+    WHEN regexp_matches(text, '{_SQL_SSH}') THEN 'ssh'
+    WHEN json_valid(text) AND (json_extract(text,'$.timestamp') IS NOT NULL
+         OR json_extract(text,'$.metadata.device_id') IS NOT NULL
+         OR json_extract(text,'$.metadata.mac_address') IS NOT NULL
+         OR json_extract(text,'$.events') IS NOT NULL) THEN 'clients'
+    WHEN len(string_split(text, ';')) >= 8
+         AND TRY_CAST(string_split(text,';')[3] AS BIGINT) IS NOT NULL
+         AND TRY_CAST(string_split(text,';')[5] AS BIGINT) IS NOT NULL
+         AND TRY_CAST(string_split(text,';')[6] AS BIGINT) IS NOT NULL
+         AND TRY_CAST(string_split(text,';')[7] AS BIGINT) IS NOT NULL
+         AND TRY_CAST(string_split(text,';')[8] AS BIGINT) IS NOT NULL THEN 'csv'
+    ELSE NULL END
+"""
+
+
+def q_flagship_sink_counts(sf_dir: str) -> Result:
+    return sink_counts(flagship(transcripts_for(sf_dir)))
+
+
+SQL_FLAGSHIP_SINK_COUNTS = f"""
+SELECT sink, count(*) AS n FROM (
+  SELECT {_SQL_SINK} AS sink FROM read_parquet('{_TR_GLOB}')
+) WHERE sink IS NOT NULL GROUP BY sink ORDER BY sink
+"""
+
+
+def q_flagship_sink_role_counts(sf_dir: str) -> Result:
+    return sink_role_counts(flagship(transcripts_for(sf_dir)))
+
+
+SQL_FLAGSHIP_SINK_ROLE_COUNTS = f"""
+SELECT sink, role, count(*) AS n FROM (
+  SELECT role, {_SQL_SINK} AS sink FROM read_parquet('{_TR_GLOB}')
+) WHERE sink IS NOT NULL GROUP BY sink, role ORDER BY sink, role
+"""
+
+
+def q_flagship_hour_histogram(sf_dir: str) -> Result:
+    return hour_histogram(flagship(transcripts_for(sf_dir)))
+
+
+SQL_FLAGSHIP_HOUR_HISTOGRAM = f"""
+SELECT hour, count(*) AS n, max(minute) AS max_minute FROM (
+  SELECT CASE WHEN sink = 'ftpd'
+              THEN CAST(regexp_extract(text, '{_SQL_FTPD}', 6) AS BIGINT)
+              WHEN sink = 'csv'
+              THEN CAST(string_split(text, ';')[6] AS BIGINT) END AS hour,
+         CASE WHEN sink = 'ftpd'
+              THEN CAST(regexp_extract(text, '{_SQL_FTPD}', 7) AS BIGINT)
+              WHEN sink = 'csv'
+              THEN CAST(string_split(text, ';')[7] AS BIGINT) END AS minute
+  FROM (SELECT text, {_SQL_SINK} AS sink FROM read_parquet('{_TR_GLOB}'))
+  WHERE sink IN ('ftpd', 'csv')
+) WHERE hour IS NOT NULL GROUP BY hour ORDER BY hour
+"""
+
+
+def q_flagship_enriched(sf_dir: str) -> Result:
+    routed = flagship(transcripts_for(sf_dir))
+    return run_plan(
+        routed,
+        AggregatePlan(
+            group_by=(GroupKey("tool_category", Col("tool_category")),),
+            aggs=(AggItem("n", "count_star"),),
+        ),
+    )
+
+
+SQL_FLAGSHIP_ENRICHED = f"""
+SELECT lk.tool_category, count(*) AS n
+FROM (
+  SELECT tool, {_SQL_SINK} AS sink FROM read_parquet('{_TR_GLOB}')
+) r
+LEFT JOIN (VALUES ('bash','shell'), ('search','retrieval'), ('editor','shell'),
+                  ('browser','retrieval'), ('python','compute'))
+       AS lk(tool, tool_category) ON r.tool = lk.tool
+WHERE r.sink IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Result]] = {
+    "select_where_project": q_select_where_project,
+    "agg_global": q_agg_global,
+    "groupby_q1": q_groupby_q1,
+    "groupby_expr_hour": q_groupby_expr_hour,
+    "having_priority": q_having_priority,
+    "distinct_status": q_distinct_status,
+    "join_customer_nation": q_join_customer_nation,
+    "join_left_part": q_join_left_part,
+    "count_distinct_users": q_count_distinct_users,
+    "stddev_quantity": q_stddev_quantity,
+    "percentile_price": q_percentile_price,
+    "array_string_agg": q_array_string_agg,
+    "case_priority": q_case_priority,
+    "scalar_funcs_part": q_scalar_funcs_part,
+    "in_list_flags": q_in_list_flags,
+    "groupby_limit": q_groupby_limit,
+    "date_trunc_day": q_date_trunc_day,
+    "regex_extract_docs": q_regex_extract_docs,
+    "json_extract_events": q_json_extract_events,
+    "split_extract_docs": q_split_extract_docs,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "knn_top5": q_knn_top5,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dups": q_embedding_dups,
+    "knn_ivf": q_knn_ivf,
+    "lang_quality": q_lang_quality,
+    "multimodal_features": q_multimodal,
+    "flagship_sink_counts": q_flagship_sink_counts,
+    "flagship_sink_role_counts": q_flagship_sink_role_counts,
+    "flagship_hour_histogram": q_flagship_hour_histogram,
+    "flagship_enriched": q_flagship_enriched,
+}
+
+ORACLES: dict[str, str] = {
+    "select_where_project": SQL_SELECT_WHERE_PROJECT,
+    "agg_global": SQL_AGG_GLOBAL,
+    "groupby_q1": SQL_GROUPBY_Q1,
+    "groupby_expr_hour": SQL_GROUPBY_EXPR_HOUR,
+    "having_priority": SQL_HAVING_PRIORITY,
+    "distinct_status": SQL_DISTINCT_STATUS,
+    "join_customer_nation": SQL_JOIN_CUSTOMER_NATION,
+    "join_left_part": SQL_JOIN_LEFT_PART,
+    "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
+    "stddev_quantity": SQL_STDDEV_QUANTITY,
+    "percentile_price": SQL_PERCENTILE_PRICE,
+    "array_string_agg": SQL_ARRAY_STRING_AGG,
+    "case_priority": SQL_CASE_PRIORITY,
+    "scalar_funcs_part": SQL_SCALAR_FUNCS_PART,
+    "in_list_flags": SQL_IN_LIST_FLAGS,
+    "groupby_limit": SQL_GROUPBY_LIMIT,
+    "date_trunc_day": SQL_DATE_TRUNC_DAY,
+    "regex_extract_docs": SQL_REGEX_EXTRACT_DOCS,
+    "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
+    "split_extract_docs": SQL_SPLIT_EXTRACT_DOCS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "knn_top5": SQL_KNN_TOP5,
+    "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
+    "flagship_sink_role_counts": SQL_FLAGSHIP_SINK_ROLE_COUNTS,
+    "flagship_hour_histogram": SQL_FLAGSHIP_HOUR_HISTOGRAM,
+    "flagship_enriched": SQL_FLAGSHIP_ENRICHED,
+    # minhash_pairs / simhash_pairs / embedding_dups / knn_ivf / lang_quality /
+    # multimodal_features: probabilistic or heuristic — rows-only checks
+}

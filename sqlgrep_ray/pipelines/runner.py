@@ -92,22 +92,95 @@ def _apply_where(
     )
 
 
+# ---------------------------------------------------------------------------
+# Null-safe shuffle keys.  Ray Data's sort-based groupby / sort cannot compare
+# NULL key values (TypeError in sort_and_partition), but the reference allows
+# NULL group keys and sorts them FIRST (Value::Null is enum variant 0 —
+# SURVEY §2.6).  Encoding: per key column an int8 marker ``__kr{i}`` (0 =
+# null, 1 = present) + nulls filled with a type default; shuffle/sort on the
+# interleaved (marker, key) tuple — ascending puts nulls first — and restore
+# the nulls after the last order-sensitive stage.
+# ---------------------------------------------------------------------------
+
+
+def _null_default(t: pa.DataType):
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        return pa.scalar(0, t)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pa.scalar(0, t)
+    return None  # exotic key type: leave nulls (fails only if nulls occur)
+
+
+def _marker(i: int) -> str:
+    return f"__kr{i}"
+
+
+def _encode_keys(key_names: list[str]):
+    def fn(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(key_names):
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mark = pc.invert(pc.is_null(col)).cast(pa.int8())
+            d = _null_default(col.type)
+            if d is not None:
+                col = pc.fill_null(col, d)
+            t = t.set_column(t.column_names.index(k), k, col)
+            t = t.append_column(_marker(i), mark)
+        return t
+
+    return fn
+
+
+def _restore_keys(key_names: list[str]):
+    def fn(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(key_names):
+            mark = t[_marker(i)]
+            if isinstance(mark, pa.ChunkedArray):
+                mark = mark.combine_chunks()
+            col = t[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = pc.if_else(pc.equal(mark, 0), pa.scalar(None, col.type), col)
+            t = t.set_column(t.column_names.index(k), k, col)
+        return t.drop_columns([_marker(i) for i in range(len(key_names))])
+
+    return fn
+
+
+def _interleaved(key_names: list[str]) -> list[str]:
+    out: list[str] = []
+    for i, k in enumerate(key_names):
+        out.extend([_marker(i), k])
+    return out
+
+
 def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact dedup: hash-partition by the full row, keep one per group
     (SURVEY.md §2.8; the reference's first-seen order is not reproducible on
     unordered blocks — result SET equality is the contract)."""
 
     cols = ds.schema().names
+    enc, res = _encode_keys(cols), _restore_keys(cols)
 
     def block_head(g: pa.Table) -> pa.Table:
         return g.slice(0, 1)
 
-    # per-block pre-dedup (combiner) then global groupby-first
+    # per-block pre-dedup (combiner) then global groupby-first; keys are
+    # null-encoded because projected columns may contain NULLs
     def block_dedup(t: pa.Table) -> pa.Table:
+        t = enc(t)
         return t.group_by(t.column_names).aggregate([])
 
     ds = ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby(cols).map_groups(block_head, batch_format="pyarrow")
+    deduped = ds.groupby(_interleaved(cols)).map_groups(
+        block_head, batch_format="pyarrow"
+    )
+    return deduped.map_batches(res, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def run_select(
@@ -145,25 +218,37 @@ def run_aggregate(
     ds = _apply_where(ds, plan.where, ctx)
 
     key_names = [k.name for k in plan.group_by]
-    gb_keys = key_names or [_CONST_KEY]
+    # NULL group keys: shuffle/sort on (marker, filled-key) pairs, restore
+    # after the final sort (reference sorts NULL keys first, SURVEY §2.6)
+    enc = _encode_keys(key_names) if key_names else None
+    gb_keys = _interleaved(key_names) if key_names else [_CONST_KEY]
+    markers = [_marker(i) for i in range(len(key_names))]
 
     if is_holistic(plan):
         ds = ds.map_batches(
             GroupEvaluator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
         )
+        if enc is not None:
+            ds = ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
         hga = HolisticGroupAgg(plan, ctx)
 
         def holistic_group(g: pa.Table) -> pa.Table:
-            return hga(g)
+            out = hga(g)
+            for m in markers:  # markers are group-constant; keep for sort
+                out = out.append_column(m, g[m][:1])
+            return out
 
         agged = ds.groupby(gb_keys).map_groups(holistic_group, batch_format="pyarrow")
     else:
         ds = ds.map_batches(
             PartialAggregator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
         )
+        if enc is not None:
+            ds = ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
         merged = ds.groupby(gb_keys).aggregate(*_merge_aggs(plan))
         agged = merged.map_batches(
-            FinalizeAggregates(plan, ctx), batch_format="pyarrow"
+            FinalizeAggregates(plan, ctx, passthrough=markers),
+            batch_format="pyarrow",
         )
         if not key_names:
             agged = agged.map_batches(
@@ -175,8 +260,10 @@ def run_aggregate(
 
     if plan.having is not None:
         pred = compile_predicate(plan.having, ctx)
+        rest = _restore_keys(key_names) if key_names else (lambda t: t)
+        # evaluate on a null-restored view, filter the marker-carrying table
         agged = agged.map_batches(
-            lambda t: t.filter(pred(t)), batch_format="pyarrow"
+            lambda t: t.filter(pred(rest(t))), batch_format="pyarrow"
         )
     # drop having-only aggregate slots
     having_only = [a.name for a in plan.aggs if a.name.startswith("__having")]
@@ -185,10 +272,15 @@ def run_aggregate(
             lambda t: t.drop_columns([c for c in having_only if c in t.column_names]),
             batch_format="pyarrow",
         )
+    if key_names:
+        # BTreeMap order parity incl. NULL-first (SURVEY §2.6): ascending on
+        # (null-marker, filled key) pairs, then restore the NULLs
+        agged = agged.sort(gb_keys)
+        agged = agged.map_batches(
+            _restore_keys(key_names), batch_format="pyarrow", zero_copy_batch=True
+        )
     if plan.distinct:
         agged = _distinct(agged)
-    if key_names:
-        agged = agged.sort(key_names)  # BTreeMap order parity (SURVEY §2.6)
     if plan.limit is not None:
         agged = agged.limit(plan.limit)
     return agged

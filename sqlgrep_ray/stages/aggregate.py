@@ -103,16 +103,10 @@ class PartialAggregator:
                 f = v.cast(pa.float64())
                 cols[f"__a{i}"] = f
                 cols[f"__a{i}sq"] = pc.multiply(f, f)
-                cols[f"__a{i}ty"] = pa.repeat(
-                    pa.scalar(str(v.type)), n
-                )  # dropped, informational
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         narrow = self._narrow(batch)
-        narrow = narrow.drop_columns(
-            [c for c in narrow.column_names if c.endswith("ty")]
-        )
         gb = pa.TableGroupBy(narrow, self.key_names)
         return gb.aggregate(self.pa_aggs)
 
@@ -161,13 +155,22 @@ def _merge_aggs(plan: AggregatePlan) -> list[Any]:
 class FinalizeAggregates:
     """``map_batches`` callable: merged partials → named result columns."""
 
-    def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
+    def __init__(
+        self,
+        plan: AggregatePlan,
+        ctx: Optional[CompileCtx] = None,
+        passthrough: Sequence[str] = (),
+    ):
         self.plan = plan
         self.key_names = [k.name for k in plan.group_by]
         self.ctx = ctx
+        self.passthrough = list(passthrough)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, Any] = {k: batch[k] for k in self.key_names}
+        for m in self.passthrough:
+            if m in batch.column_names:
+                cols[m] = batch[m]
         for i, a in enumerate(self.plan.aggs):
             cols[a.name] = _finalize_one(batch, i, a)
         out = pa.table(cols)

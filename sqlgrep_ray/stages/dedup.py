@@ -234,10 +234,12 @@ class SimHasher:
     def simhash64(text: Optional[str]) -> int:
         acc = np.zeros(64, dtype=np.int64)
         for tok in (text or "").split():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            h = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
             )
-            bits = (h >> np.arange(64)) & 1
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         out = 0
         for i in range(64):

@@ -1,0 +1,244 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Scale-path additions beyond the reference (sqlgrep has no vector ops).
+
+* ``knn_brute_force`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch does ONE numpy matmul against it, and
+  per-batch local top-k results are reduced to global top-k with a single
+  small groupby. The dataset streams; only (query_id, vec_id, score) rows
+  ever shuffle.
+* ``knn_ivf`` — IVF-style: k-means-lite centroids learned on a driver-side
+  SAMPLE (small, bounded), every vector assigned to its nearest centroid in
+  a map_batches pass; queries probe only ``n_probe`` nearest lists. The
+  shuffle moves only assigned candidate rows, not the whole corpus.
+
+Both stages are actor-pool ``map_batches`` classes: the (normalized) query
+matrix is fetched from the object store ONCE per actor in ``__init__``
+(broadcast pattern, not re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.flatten()).reshape(n, -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class BatchTopK:
+    """Actor stage: per-batch cosine top-k against the broadcast queries."""
+
+    def __init__(
+        self,
+        queries_ref,  # ray.ObjectRef of dict(query_id -> np.ndarray) or pa.Table
+        k: int,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        if isinstance(q, pa.Table):
+            qids = np.asarray(q["query_id"].to_numpy(zero_copy_only=False))
+            qm = _to_matrix(q["embedding"], q.num_rows)
+        else:
+            qids = np.array(sorted(q))
+            qm = np.stack([q[i] for i in qids]).astype(np.float64)
+        self.query_ids = qids
+        self.Q = _normalize(qm)  # (nq, d), normalized ONCE per actor
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        X = _normalize(_to_matrix(batch[self.emb_col], n))  # (n, d)
+        ids = np.asarray(batch[self.id_col].to_numpy(zero_copy_only=False))
+        sims = self.Q @ X.T  # (nq, n) — one matmul per batch
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # local top-k
+        nq = len(self.query_ids)
+        out_q = np.repeat(self.query_ids, k)
+        out_v = ids[top.reshape(-1)]
+        out_s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                self.id_col: pa.array(out_v),
+                "score": pa.array(out_s.astype(np.float64)),
+            }
+        )
+
+
+def _global_topk(cands: "ray.data.Dataset", k: int, id_col: str) -> "ray.data.Dataset":
+    """Reduce per-batch candidates to exact global top-k per query."""
+
+    def head_k(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                np.asarray(g[id_col].to_numpy(zero_copy_only=False)),
+                -np.asarray(g["score"].to_numpy(zero_copy_only=False)),
+            )
+        )
+        return g.take(pa.array(order[:k]))
+
+    return cands.groupby("query_id").map_groups(head_k, batch_format="pyarrow")
+
+
+def knn_brute_force(
+    ds: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for each query row of ``queries``
+    (columns ``query_id``, ``embedding``). Returns
+    (query_id, vec_id, score) sorted per group by score desc."""
+    qref = ray.put(queries)  # broadcast once — NOT captured per batch
+    cands = ds.select_columns([id_col, emb_col]).map_batches(
+        BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return _global_topk(cands, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed variant (the 100-TB path)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_lite(
+    sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 3
+) -> np.ndarray:
+    """Tiny deterministic k-means on a bounded sample (driver side)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(sample.astype(np.float64))
+    cent = sample[rng.choice(len(sample), min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssign:
+    """Actor stage: assign each vector to its nearest centroid list."""
+
+    def __init__(self, centroids_ref, emb_col: str):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.C = np.asarray(c, dtype=np.float64)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch[self.emb_col], batch.num_rows))
+        lists = (X @ self.C.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_rows: int = 4096,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k: probe only the ``n_probe`` nearest IVF lists
+    per query. Recall < 1.0 by design; raise n_probe → exact at n_probe =
+    n_centroids. The centroid fit uses a bounded driver-side sample — the
+    only materialization, O(sample_rows × d)."""
+    sample = ds.select_columns([emb_col]).limit(sample_rows).take_all()
+    S = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in sample])
+    cent = _kmeans_lite(S, n_centroids)
+    cref = ray.put(cent)
+
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        IvfAssign,
+        fn_constructor_kwargs=dict(centroids_ref=cref, emb_col=emb_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    # per-query probe lists
+    qm = _normalize(_to_matrix(queries["embedding"], queries.num_rows))
+    qids = np.asarray(queries["query_id"].to_numpy(zero_copy_only=False))
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_sets: dict[int, np.ndarray] = {
+        int(lst): qids[np.any(probes == lst, axis=1)]
+        for lst in np.unique(probes)
+    }
+    wanted_lists = set(probe_sets)
+
+    class ProbedTopK(BatchTopK):
+        """Top-k but each batch first drops rows whose list no query probes,
+        and each query only scores rows in its probed lists."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lists = np.asarray(batch["ivf_list"].to_numpy(zero_copy_only=False))
+            keep = np.isin(lists, list(wanted_lists))
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            sub = batch.filter(pa.array(keep))
+            lists = lists[keep]
+            n = sub.num_rows
+            X = _normalize(_to_matrix(sub[emb_col], n))
+            ids = np.asarray(sub[id_col].to_numpy(zero_copy_only=False))
+            sims = self.Q @ X.T
+            # mask out rows not in each query's probe set
+            qid_to_row = {int(q): r for r, q in enumerate(self.query_ids)}
+            mask = np.zeros_like(sims, dtype=bool)
+            for lst, qs in probe_sets.items():
+                cols = lists == lst
+                if cols.any():
+                    rows = [qid_to_row[int(q)] for q in qs]
+                    mask[np.ix_(rows, np.nonzero(cols)[0])] = True
+            sims = np.where(mask, sims, -np.inf)
+            kk = min(self.k, n)
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q = np.repeat(self.query_ids, kk)
+            out_v = ids[top.reshape(-1)]
+            out_s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+            ok = np.isfinite(out_s)
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q[ok]),
+                    id_col: pa.array(out_v[ok]),
+                    "score": pa.array(out_s[ok].astype(np.float64)),
+                }
+            )
+
+    qref = ray.put(queries)
+    cands = assigned.map_batches(
+        ProbedTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return _global_topk(cands, k, id_col)

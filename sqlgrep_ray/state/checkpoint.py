@@ -57,7 +57,8 @@ class CheckpointedRun:
     """Drives ``build_pipeline`` over input shards chunk-by-chunk with resume.
 
     ``build_pipeline(ds) -> ds`` must be a pure Dataset→Dataset function; the
-    input Dataset already carries the ``shard`` column.
+    input Dataset already carries the ``shard`` column and the pipeline MUST
+    preserve it (it is the output partition key that makes chunks resumable).
     """
 
     def __init__(
