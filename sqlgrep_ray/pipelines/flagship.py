@@ -148,17 +148,23 @@ class TranscriptRouter:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        claimed = np.zeros(n, dtype=bool)
+        # rows claimed by an earlier table are REMOVED from the batch before
+        # the next table's extraction runs — later (more expensive: JSON,
+        # split) parsers only see the still-unclaimed tail
         pieces: list[pa.Table] = []
+        cur = batch
         for tdef, parser in zip(ROUTE_TABLES, self.parsers):
-            extracted, keep = parser.extract_with_mask(batch)
-            take = keep & ~claimed
-            claimed |= take
-            if not take.any():
-                continue
-            sub = extracted.filter(pa.array(take))
-            pieces.append(self._unify(sub, tdef.name))
+            if cur.num_rows == 0:
+                break
+            extracted, keep = parser.extract_with_mask(cur)
+            if keep.any():
+                sub = extracted.filter(pa.array(keep))
+                pieces.append(self._unify(sub, tdef.name))
+            rest = ~keep
+            if not rest.any():
+                cur = cur.slice(0, 0)
+                break
+            cur = cur.filter(pa.array(rest))
         if not pieces:
             return self._empty()
         return pa.concat_tables(pieces, promote_options="default")
@@ -199,12 +205,48 @@ class TranscriptRouter:
 # ---------------------------------------------------------------------------
 
 
+# Module-level per-worker caches: stateless map_batches TASKS reuse Ray's
+# pre-started worker processes (no actor-pool spin-up per pipeline); the
+# router/joiner build once per worker process — same compile-once contract as
+# an actor __init__ (reference data_model.rs:44-50) without the startup cost.
+_ROUTER_CACHE: dict[str, TranscriptRouter] = {}
+_JOINER_CACHE: dict[str, BroadcastJoiner] = {}
+
+
+def _route_batch(batch: pa.Table) -> pa.Table:
+    r = _ROUTER_CACHE.get("default")
+    if r is None:
+        r = _ROUTER_CACHE["default"] = TranscriptRouter()
+    return r(batch)
+
+
+def _enrich_batch(batch: pa.Table, lookup_ref=None) -> pa.Table:
+    key = lookup_ref.hex() if hasattr(lookup_ref, "hex") else str(id(lookup_ref))
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        right = ray.get(lookup_ref) if isinstance(lookup_ref, ray.ObjectRef) else lookup_ref
+        j = _JOINER_CACHE[key] = BroadcastJoiner(
+            right=right,
+            left_key="tool",
+            right_key="tool",
+            how="left",
+            right_prefix="lk_",
+        )
+    t = j(batch)
+    return t.drop_columns(["lk_tool"]).rename_columns(
+        [
+            c.replace("lk_", "") if c.startswith("lk_") else c
+            for c in t.column_names
+            if c != "lk_tool"
+        ]
+    )
+
+
 def parse_and_route(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(
-        TranscriptRouter,
+        _route_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 16),
     )
 
 
@@ -212,26 +254,11 @@ def enrich_tools(
     ds: "ray.data.Dataset", lookup: Optional[pa.Table] = None
 ) -> "ray.data.Dataset":
     lookup = lookup if lookup is not None else tool_lookup_table()
-    # drop the duplicate build-side key column by prefixing and selecting later
+    # broadcast ONCE via the object store; workers fetch zero-copy per process
+    ref = ray.put(lookup)
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs=dict(
-            right=lookup.drop_columns([]),
-            left_key="tool",
-            right_key="tool",
-            how="left",
-            right_prefix="lk_",
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).map_batches(
-        lambda t: t.drop_columns(["lk_tool"]).rename_columns(
-            [
-                c.replace("lk_", "") if c.startswith("lk_") else c
-                for c in t.column_names
-                if c != "lk_tool"
-            ]
-        ),
+        _enrich_batch,
+        fn_kwargs=dict(lookup_ref=ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -240,6 +267,13 @@ def enrich_tools(
 def route_to_sinks(ds: "ray.data.Dataset", out_dir: str) -> None:
     """Fan-out writer: one Parquet directory per sink (S8 in SURVEY §2.1)."""
     ds.write_parquet(out_dir, partition_cols=["sink"])
+
+
+def flagship_ds(
+    ds: "ray.data.Dataset", lookup: Optional[pa.Table] = None
+) -> "ray.data.Dataset":
+    """parse → enrich over an already-constructed Dataset."""
+    return enrich_tools(parse_and_route(ds), lookup)
 
 
 def flagship(
@@ -252,7 +286,14 @@ def flagship(
     When ``out_dir`` is given the routed rows are also fanned out to
     per-sink Parquet directories.
     """
-    ds = ray.data.read_parquet(transcripts_dir)
+    # one block per shard file: avoids the SplitBlocks operator, which breaks
+    # read→map fusion and doubles object-store traffic for the raw text blocks
+    n_files = len(
+        [f for f in os.listdir(transcripts_dir) if f.endswith(".parquet")]
+    )
+    ds = ray.data.read_parquet(
+        transcripts_dir, override_num_blocks=max(1, n_files)
+    )
     routed = enrich_tools(parse_and_route(ds), lookup)
     if out_dir is not None:
         route_to_sinks(routed, out_dir)

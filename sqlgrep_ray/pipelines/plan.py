@@ -91,6 +91,13 @@ class AggregatePlan:
     having: Optional[Expr] = None
     distinct: bool = False
     limit: Optional[int] = None
+    # True (default): group-key cardinality is small (sqlgrep's norm) — after
+    # the per-block combiner the partials are coalesced to ONE block and
+    # merged/finalized/sorted locally, skipping two Ray all-to-all stages
+    # (each costs ~75 ms/input-block of fixed overhead).  Set False for
+    # high-cardinality keys (e.g. dedup-grade GROUP BYs): then the merge runs
+    # as a distributed ``groupby().aggregate()`` shuffle.
+    small_result: bool = True
 
 
 Plan = Union[SelectPlan, AggregatePlan]

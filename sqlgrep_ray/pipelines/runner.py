@@ -40,6 +40,7 @@ from sqlgrep_ray.stages.aggregate import (
     FinalizeAggregates,
     GroupEvaluator,
     HolisticGroupAgg,
+    LocalMergeFinalize,
     PartialAggregator,
     _merge_aggs,
     apply_transforms,
@@ -223,6 +224,29 @@ def run_aggregate(
     enc = _encode_keys(key_names) if key_names else None
     gb_keys = _interleaved(key_names) if key_names else [_CONST_KEY]
     markers = [_marker(i) for i in range(len(key_names))]
+
+    if plan.small_result and not is_holistic(plan):
+        # combiner-first tree-reduce: per-block partials → one block → local
+        # merge+finalize+having+sort (no Ray all-to-all; see plan.small_result)
+        ds = ds.map_batches(
+            PartialAggregator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
+        )
+        agged = ds.repartition(1).map_batches(
+            LocalMergeFinalize(plan, ctx), batch_format="pyarrow"
+        )
+        having_only = [a.name for a in plan.aggs if a.name.startswith("__having")]
+        if having_only:
+            agged = agged.map_batches(
+                lambda t: t.drop_columns(
+                    [c for c in having_only if c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        if plan.distinct:
+            agged = _distinct(agged)
+        if plan.limit is not None:
+            agged = agged.limit(plan.limit)
+        return agged
 
     if is_holistic(plan):
         ds = ds.map_batches(

@@ -131,6 +131,60 @@ def _partial_specs(i: int, a: AggItem) -> list[tuple[Any, str]]:
     raise ValueError(f"{f} is not an associative aggregate")
 
 
+class LocalMergeFinalize:
+    """Single-block merge of per-block partials (the ``small_result`` path).
+
+    Input: the union of every block's partial-aggregate rows, coalesced into
+    one block (``repartition(1)``).  Does locally what the distributed path
+    does with two all-to-alls: merge partials per key (``pa.TableGroupBy``),
+    finalize, filter by HAVING, and sort ascending by group key with NULLs
+    FIRST (``pc.sort_indices(null_placement="at_start")`` — reference BTreeMap
+    order, ``Value::Null`` variant 0).  Arrow handles NULL keys natively, so
+    no marker encoding is needed on this path.
+    """
+
+    def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
+        self.plan = plan
+        self.key_names = [k.name for k in plan.group_by] or [_CONST_KEY]
+        self.has_keys = bool(plan.group_by)
+        self.finalize = FinalizeAggregates(plan, ctx)
+        self.ctx = ctx
+        # merge spec over the partial columns (sum of sums, min of mins, …)
+        self.merge_spec: list[tuple[str, str]] = []
+        seen: set[str] = set()
+        for i, a in enumerate(plan.aggs):
+            for col_name, kind in _partial_specs(i, a):
+                pcol = "count_all" if kind == "count_all" else f"{col_name}_{kind}"
+                if pcol in seen:
+                    continue
+                seen.add(pcol)
+                kind2 = "sum" if kind in ("sum", "count", "count_all") else kind
+                self.merge_spec.append((pcol, kind2))
+
+    def __call__(self, partials: pa.Table) -> pa.Table:
+        gb = pa.TableGroupBy(partials, self.key_names)
+        merged = gb.aggregate(self.merge_spec)
+        # pa names outputs "<pcol>_<kind2>" — rename back to "<pcol>"
+        renames = {f"{pcol}_{kind2}": pcol for pcol, kind2 in self.merge_spec}
+        merged = merged.rename_columns(
+            [renames.get(c, c) for c in merged.column_names]
+        )
+        out = self.finalize(merged)
+        if not self.has_keys:
+            if _CONST_KEY in out.column_names:
+                out = out.drop_columns([_CONST_KEY])
+            return out
+        if self.plan.having is not None:
+            pred = compile_predicate(self.plan.having, self.ctx)
+            out = out.filter(pred(out))
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[(k, "ascending") for k in self.key_names],
+            null_placement="at_start",
+        )
+        return out.take(idx)
+
+
 def _merge_aggs(plan: AggregatePlan) -> list[Any]:
     """Ray-side merge aggregators over the partial columns."""
     from ray.data.aggregate import Max, Min, Sum

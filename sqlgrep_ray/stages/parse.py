@@ -496,7 +496,10 @@ class ParseTable:
         if self._has_json:
             json_objs = []
             for s in text.to_pylist():
-                if s is None:
+                # cheap candidate check: only objects/arrays can yield a path
+                # value (bare JSON scalars never satisfy a .field/[i] access),
+                # so skip json.loads — and its costly exception — otherwise
+                if s is None or not s or s.lstrip()[0:1] not in ("{", "["):
                     json_objs.append(None)
                     continue
                 try:
