@@ -1,0 +1,267 @@
+"""Public library API — the Ray-Data analogue of sqlgrep's Python bindings.
+
+The reference exposes (pyo3 module ``libsqlgrep``, ``src/python_wrapper.rs``):
+``Tables.add_table(text)``, ``execute_query(lines, sql) -> list[dict]``, and
+query compilation for reuse. This module mirrors that surface on Ray Data:
+
+    tables = Tables()
+    tables.add_tables(CREATE_TABLE_SQL)
+    ds = tables.execute_query(sql, source=dataset_or_path)   # lazy Dataset
+    rows = tables.execute_query_rows(sql, source=lines_list) # list[dict]
+
+``source`` may be a ``ray.data.Dataset`` with a raw-text column, a path (text
+file → ``ray.data.read_text``; .parquet → ``read_parquet``), or a list of
+strings. ``FROM table::'file'`` bindings in the SQL override ``source``
+(reference ``main.rs:146-156``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Iterable, Optional, Union
+
+import pyarrow as pa
+import ray.data
+
+from sqlgrep_ray.functions.exprs import (
+    Bin,
+    Case,
+    Cast,
+    Col,
+    Expr,
+    Func,
+    Index,
+    InList,
+    Un,
+)
+from sqlgrep_ray.pipelines.plan import (
+    AggregatePlan,
+    JoinSpec,
+    Projection,
+    SelectPlan,
+)
+from sqlgrep_ray.pipelines.runner import run_plan
+from sqlgrep_ray.schema import TableDef
+from sqlgrep_ray.sqlfront import Query, SqlError, parse, parse_query
+from sqlgrep_ray.stages.parse import ParseTable
+
+Source = Union["ray.data.Dataset", str, list]
+
+
+def _rewrite_cols(e: Expr, fn) -> Expr:
+    if isinstance(e, Col):
+        return fn(e)
+    if isinstance(e, Bin):
+        return Bin(e.op, _rewrite_cols(e.left, fn), _rewrite_cols(e.right, fn))
+    if isinstance(e, Un):
+        return Un(e.op, _rewrite_cols(e.operand, fn))
+    if isinstance(e, InList):
+        return InList(
+            _rewrite_cols(e.operand, fn),
+            tuple(_rewrite_cols(i, fn) for i in e.items),
+            e.negated,
+        )
+    if isinstance(e, Func):
+        return Func(e.name, tuple(_rewrite_cols(a, fn) for a in e.args))
+    if isinstance(e, Case):
+        return Case(
+            tuple(
+                (_rewrite_cols(c, fn), _rewrite_cols(v, fn)) for c, v in e.whens
+            ),
+            _rewrite_cols(e.else_, fn),
+        )
+    if isinstance(e, Cast):
+        return Cast(_rewrite_cols(e.operand, fn), e.vtype)
+    if isinstance(e, Index):
+        return Index(_rewrite_cols(e.operand, fn), _rewrite_cols(e.index, fn))
+    return e
+
+
+class Tables:
+    """Catalog of table definitions (reference ``Tables``, data_model.rs:458-515)."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, TableDef] = {}
+
+    def add_table(self, tdef: TableDef) -> None:
+        self._tables[tdef.name] = tdef
+
+    def add_tables(self, definitions_sql: str) -> None:
+        for stmt in parse(definitions_sql):
+            if isinstance(stmt, TableDef):
+                self._tables[stmt.name] = stmt
+
+    def __getitem__(self, name: str) -> TableDef:
+        if name not in self._tables:
+            raise SqlError(f"unknown table {name!r}")
+        return self._tables[name]
+
+    # -- execution ---------------------------------------------------------
+
+    def _as_dataset(self, source: Source, text_col: str) -> "ray.data.Dataset":
+        if isinstance(source, ray.data.Dataset):
+            return source
+        if isinstance(source, str):
+            if source.endswith(".parquet") or os.path.isdir(source):
+                return ray.data.read_parquet(source)
+            return ray.data.read_text(source)
+        # iterable of raw lines
+        return ray.data.from_arrow(
+            pa.table({text_col: pa.array(list(source), pa.string())})
+        )
+
+    def _parse_stage(
+        self,
+        ds: "ray.data.Dataset",
+        tdef: TableDef,
+        text_col: str,
+        add_input: bool,
+    ) -> "ray.data.Dataset":
+        return ds.map_batches(
+            ParseTable(tdef, text_col, add_input_col=add_input),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _build_join_side(
+        self, q: Query, source: Optional[Source], text_col: str
+    ) -> pa.Table:
+        """Fully materialize the joined table (reference semantics: 'loaded
+        completely in memory', README.md:56 / join.rs:30-79)."""
+        jdef = self[q.join_table]
+        src: Source
+        if q.join_file is not None:
+            src = q.join_file
+        elif source is not None:
+            src = source
+        else:
+            raise SqlError(f"no source for joined table {q.join_table!r}")
+        ds = self._as_dataset(src, text_col)
+        parsed = self._parse_stage(ds, jdef, text_col, add_input=False)
+        batches = list(parsed.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return jdef.arrow_schema().empty_table()
+        return pa.concat_tables(batches, promote_options="default")
+
+    def compile_query(
+        self,
+        sql: str,
+        source: Optional[Source] = None,
+        join_source: Optional[Source] = None,
+        text_col: str = "text",
+    ):
+        """Compile sql → (Query, bound plan builder). Returns a closure
+        ``run(ds) -> Dataset`` plus the parse stage pre-applied."""
+        q = parse_query(sql)
+        tdef = self[q.table]
+        streamed_cols = [c.name for c in tdef.columns]
+
+        plan = q.plan
+        join = None
+        prefix = ""
+        right_cols: list[str] = []
+        if q.join_table is not None:
+            right = self._build_join_side(q, join_source, text_col)
+            prefix = f"{q.join_table}."
+            right_cols = right.column_names
+            join = JoinSpec(
+                right=right,
+                left_key=q.join_left_col,
+                right_key=q.join_right_col,
+                how="left" if q.join_how == "left" else "inner",
+                right_prefix=prefix,
+            )
+
+        # bind column names: strip own-table qualification; joined columns
+        # become "<join_table>.<col>"; unqualified non-clashing joined names
+        # resolve to the qualified output column (join.rs:142-173)
+        def bind(c: Col) -> Expr:
+            n = c.name
+            if "." in n:
+                t, col = n.split(".", 1)
+                if t == q.table:
+                    return Col(col)
+                if q.join_table is not None and t == q.join_table:
+                    return Col(prefix + col)
+                return c
+            if (
+                q.join_table is not None
+                and n not in streamed_cols
+                and n != "input"
+                and n in right_cols
+            ):
+                return Col(prefix + n)
+            return c
+
+        def bind_expr(e: Optional[Expr]) -> Optional[Expr]:
+            return None if e is None else _rewrite_cols(e, bind)
+
+        from sqlgrep_ray.sqlfront import _children
+
+        needs_input = False
+
+        def scan_input(e: Optional[Expr]) -> None:
+            nonlocal needs_input
+            if e is None:
+                return
+            if isinstance(e, Col) and e.name == "input":
+                needs_input = True
+            for child in _children(e):
+                scan_input(child)
+
+        if isinstance(plan, SelectPlan):
+            projs = plan.projections
+            if projs is not None:
+                for p in projs:
+                    scan_input(p.expr)
+                projs = tuple(
+                    Projection(p.name, bind_expr(p.expr)) for p in projs
+                )
+            plan = dataclasses.replace(
+                plan, projections=projs, where=bind_expr(plan.where), join=join
+            )
+        else:
+            plan = dataclasses.replace(
+                plan,
+                group_by=tuple(
+                    dataclasses.replace(k, expr=bind_expr(k.expr))
+                    for k in plan.group_by
+                ),
+                aggs=tuple(
+                    dataclasses.replace(a, arg=bind_expr(a.arg)) for a in plan.aggs
+                ),
+                where=bind_expr(plan.where),
+                having=bind_expr(plan.having),
+                join=join,
+            )
+
+        def run(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+            parsed = self._parse_stage(ds, tdef, text_col, add_input=needs_input)
+            return run_plan(parsed, plan)
+
+        return q, run
+
+    def execute_query(
+        self,
+        sql: str,
+        source: Optional[Source] = None,
+        join_source: Optional[Source] = None,
+        text_col: str = "text",
+    ) -> "ray.data.Dataset":
+        """SQL → lazy Ray Data pipeline over the raw-text source."""
+        q, run = self.compile_query(sql, source, join_source, text_col)
+        src = q.file if q.file is not None else source
+        if src is None:
+            raise SqlError("no input source (pass source= or use FROM t::'file')")
+        return run(self._as_dataset(src, text_col))
+
+    def execute_query_rows(
+        self,
+        sql: str,
+        source: Optional[Source] = None,
+        join_source: Optional[Source] = None,
+        text_col: str = "text",
+    ) -> list[dict]:
+        """Reference ``execute_query`` shape: fully evaluated list of dicts."""
+        return self.execute_query(sql, source, join_source, text_col).take_all()

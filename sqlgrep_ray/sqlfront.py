@@ -1,0 +1,866 @@
+"""SQL front-end — the reference dialect → plan dataclasses.
+
+Re-implements sqlgrep's three-layer front-end (tokenizer
+``src/parsing/tokenizer.rs:311-519``, precedence-climbing parser
+``src/parsing/parser.rs:216-1129``, AST→statement converter
+``src/parsing/parser_tree_converter.rs:82-755``; dialect spec
+``README.md:48-142``) as a compact recursive-descent parser producing the
+SAME dataclasses the rest of the engine executes
+(:mod:`sqlgrep_ray.pipelines.plan`, :mod:`sqlgrep_ray.schema`), so every
+construct is testable with or without SQL.
+
+Supported surface (the reference's full dialect):
+* ``CREATE TABLE`` with named patterns (captures + ``split`` modes), inline
+  anonymous patterns, multi-group array/timestamp columns, ``{ .a.b[2] }``
+  JSON paths, and the NOT NULL / TRIM / CONVERT / DEFAULT / MICROSECONDS
+  modifiers;
+* ``SELECT`` with projections (aliases; reference default names: column
+  name, ``count{i}`` for COUNT, else ``p{i}``), WHERE, GROUP BY (arbitrary
+  expressions), HAVING (with aggregates not in the projection list → hidden
+  ``__having{i}`` slots), DISTINCT, LIMIT, INNER/OUTER JOIN … ON,
+  ``FROM table::'file'`` bindings;
+* expressions: precedence-climbing operators, ``IS [NOT]``, ``[NOT] IN``,
+  ``CASE``, ``EXTRACT(part FROM ts)``, 1-based ``x[i]`` indexing, ``::type``
+  casts, ``array[…]`` literals, ``--`` comments, ``\\``-escaped strings.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+from sqlgrep_ray.functions.exprs import (
+    Bin,
+    Case,
+    Cast,
+    Col,
+    Expr,
+    Func,
+    Index,
+    InList,
+    Lit,
+    Un,
+)
+from sqlgrep_ray.pipelines.plan import (
+    AggItem,
+    AggregatePlan,
+    GroupKey,
+    Plan,
+    Projection,
+    SelectPlan,
+)
+from sqlgrep_ray.schema import (
+    BOOL,
+    FLOAT,
+    INT,
+    STRING,
+    ColumnDef,
+    JsonPath,
+    MultiRegex,
+    PatternDef,
+    RegexCapture,
+    RegexRef,
+    TableDef,
+    VType,
+    parse_type_name,
+)
+
+AGGREGATE_FUNCS = {
+    "count", "min", "max", "sum", "avg", "stddev", "variance",
+    "percentile", "bool_and", "bool_or", "array_agg", "string_agg",
+}
+
+# reference function-name → engine kernel name (parser_tree_converter.rs:313-341)
+_FUNC_ALIASES = {"regex_matches": "regexp_matches"}
+
+
+class SqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*)
+  | (?P<number>\d+\.\d+|\d+)
+  | (?P<string>'(?:\\.|[^'\\])*')
+  | (?P<dcolon>::)
+  | (?P<arrow>=>)
+  | (?P<ne><>|!=)
+  | (?P<le><=) | (?P<ge>>=)
+  | (?P<op>[=<>+\-*/(),;\[\]{}.])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str  # number | string | ident | op  (op value holds the symbol)
+    value: Any
+    pos: int
+
+
+def tokenize(text: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SqlError(f"bad character {text[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        v = m.group()
+        if kind == "number":
+            out.append(Tok("number", float(v) if "." in v else int(v), m.start()))
+        elif kind == "string":
+            body = v[1:-1]
+            body = re.sub(r"\\(.)", lambda mm: mm.group(1), body)
+            out.append(Tok("string", body, m.start()))
+        elif kind == "ident":
+            out.append(Tok("ident", v, m.start()))
+        else:  # operators incl. multi-char
+            out.append(Tok("op", v, m.start()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Query:
+    """A parsed query statement bound to a logical table."""
+
+    plan: Plan
+    table: str
+    file: Optional[str] = None  # FROM table::'file'
+    join_table: Optional[str] = None
+    join_file: Optional[str] = None
+    join_left_col: Optional[str] = None
+    join_right_col: Optional[str] = None
+    join_how: Optional[str] = None  # inner | left
+
+
+Statement = Union[TableDef, Query]
+
+_PRECEDENCE = {
+    "or": 1, "and": 2,
+    "=": 4, "!=": 4, "<>": 4, "<": 4, "<=": 4, ">": 4, ">=": 4,
+    "is": 4, "in": 4,
+    "+": 5, "-": 5, "*": 6, "/": 6,
+}
+_CMP_OPS = {"=": "eq", "!=": "ne", "<>": "ne", "<": "lt", "<=": "le",
+            ">": "gt", ">=": "ge", "+": "add", "-": "sub", "*": "mul", "/": "div"}
+_EXTRACT_PARTS = {"epoch", "year", "month", "day", "hour", "minute", "second"}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # -- token helpers -----------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Optional[Tok]:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SqlError("unexpected end of input")
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "ident" and t.value.lower() in kws
+
+    def eat_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.eat_kw(kw):
+            raise SqlError(f"expected {kw.upper()!r} at token {self.peek()}")
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "op" and t.value in ops
+
+    def eat_op(self, *ops: str) -> bool:
+        if self.at_op(*ops):
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.eat_op(op):
+            raise SqlError(f"expected {op!r} at token {self.peek()}")
+
+    def expect_ident(self) -> str:
+        t = self.next()
+        if t.kind != "ident":
+            raise SqlError(f"expected identifier, got {t}")
+        return t.value
+
+    # -- statements --------------------------------------------------------
+
+    def parse_statements(self) -> list[Statement]:
+        out: list[Statement] = []
+        while self.peek() is not None:
+            if self.at_kw("create"):
+                out.append(self.parse_create_table())
+            elif self.at_kw("select"):
+                out.append(self.parse_query())
+            else:
+                raise SqlError(f"expected CREATE or SELECT at {self.peek()}")
+            self.eat_op(";")
+        return out
+
+    # -- CREATE TABLE ------------------------------------------------------
+
+    def parse_create_table(self) -> TableDef:
+        self.expect_kw("create")
+        self.expect_kw("table")
+        name = self.expect_ident()
+        self.expect_op("(")
+        patterns: list[PatternDef] = []
+        columns: list[ColumnDef] = []
+        anon = 0
+        while not self.at_op(")"):
+            t = self.peek()
+            if t.kind == "string":
+                # inline anonymous pattern: 'regex' => col TYPE (group 1)
+                regex = self.next().value
+                anon += 1
+                pname = f"_pattern{anon}"
+                patterns.append(PatternDef(pname, regex, "captures"))
+                self.expect_op("=>")
+                columns.append(self._parse_column([RegexRef(pname, 1)]))
+            elif t.kind == "op" and t.value == "{":
+                path = self._parse_json_path()
+                self.expect_op("=>")
+                columns.append(self._parse_column(None, json_path=path))
+            elif t.kind == "ident":
+                pname = self.expect_ident()
+                if self.eat_op("="):
+                    # pattern definition: name = ['split'] 'regex'
+                    mode = "captures"
+                    if self.eat_kw("split"):
+                        mode = "split"
+                    rtok = self.next()
+                    if rtok.kind != "string":
+                        raise SqlError(f"expected regex string, got {rtok}")
+                    patterns.append(PatternDef(pname, rtok.value, mode))
+                elif self.at_op("["):
+                    # group refs: name[i][, name[j] ...] => col TYPE
+                    refs = [self._parse_group_ref(pname)]
+                    while self.at_op(",") and self._lookahead_is_group_ref():
+                        self.expect_op(",")
+                        refs.append(self._parse_group_ref(self.expect_ident()))
+                    self.expect_op("=>")
+                    columns.append(self._parse_column(refs))
+                else:
+                    raise SqlError(f"bad table entry at {self.peek()}")
+            else:
+                raise SqlError(f"bad table entry at {t}")
+            self.eat_op(",")
+        self.expect_op(")")
+        return TableDef(name, patterns, columns)
+
+    def _lookahead_is_group_ref(self) -> bool:
+        # after a ',', a group ref looks like: ident '['
+        t1, t2 = self.peek(1), self.peek(2)
+        return (
+            t1 is not None and t1.kind == "ident"
+            and t2 is not None and t2.kind == "op" and t2.value == "["
+        )
+
+    def _parse_group_ref(self, pname: str) -> RegexRef:
+        self.expect_op("[")
+        idx = self.next()
+        if idx.kind != "number" or isinstance(idx.value, float):
+            raise SqlError(f"expected integer group index, got {idx}")
+        self.expect_op("]")
+        return RegexRef(pname, int(idx.value))
+
+    def _parse_json_path(self) -> tuple[Union[str, int], ...]:
+        self.expect_op("{")
+        parts: list[Union[str, int]] = []
+        while not self.at_op("}"):
+            if self.eat_op("."):
+                parts.append(self.expect_ident())
+            elif self.eat_op("["):
+                idx = self.next()
+                if idx.kind != "number":
+                    raise SqlError(f"expected index in json path, got {idx}")
+                parts.append(int(idx.value))
+                self.expect_op("]")
+            else:
+                raise SqlError(f"bad json path at {self.peek()}")
+        self.expect_op("}")
+        if not parts:
+            raise SqlError("empty json path")
+        return tuple(parts)
+
+    def _parse_column(
+        self,
+        refs: Optional[list[RegexRef]],
+        json_path: Optional[tuple[Union[str, int], ...]] = None,
+    ) -> ColumnDef:
+        cname = self.expect_ident()
+        vtype = self._parse_type()
+        kwargs: dict[str, Any] = {}
+        while True:
+            if self.eat_kw("not"):
+                self.expect_kw("null")
+                kwargs["not_null"] = True
+            elif self.eat_kw("trim"):
+                kwargs["trim"] = True
+            elif self.eat_kw("convert"):
+                kwargs["convert"] = True
+            elif self.eat_kw("microseconds"):
+                kwargs["microseconds"] = True
+            elif self.eat_kw("default"):
+                kwargs["default"] = self._parse_literal_value()
+            else:
+                break
+        if json_path is not None:
+            parsing: Any = JsonPath(json_path)
+        elif refs is not None and len(refs) > 1:
+            parsing = MultiRegex(tuple(refs))
+        else:
+            assert refs is not None
+            parsing = RegexCapture(refs[0])
+        return ColumnDef(cname, vtype, parsing, **kwargs)
+
+    def _parse_type(self) -> VType:
+        base = self.expect_ident()
+        depth = 0
+        while self.at_op("[") and (
+            self.peek(1) is not None
+            and self.peek(1).kind == "op"
+            and self.peek(1).value == "]"
+        ):
+            self.expect_op("[")
+            self.expect_op("]")
+            depth += 1
+        return parse_type_name(base + "[]" * depth)
+
+    def _parse_literal_value(self) -> Any:
+        t = self.next()
+        if t.kind in ("number", "string"):
+            return t.value
+        if t.kind == "ident":
+            lv = t.value.lower()
+            if lv == "true":
+                return True
+            if lv == "false":
+                return False
+            if lv == "null":
+                return None
+        raise SqlError(f"expected literal, got {t}")
+
+    # -- SELECT ------------------------------------------------------------
+
+    def parse_query(self) -> Query:
+        self.expect_kw("select")
+        distinct = self.eat_kw("distinct")
+        projections: Optional[list[tuple[Optional[str], Expr]]] = None
+        if self.eat_op("*"):
+            projections = None  # wildcard
+        else:
+            projections = []
+            while True:
+                e = self.parse_expr()
+                alias = None
+                if self.eat_kw("as"):
+                    alias = self.expect_ident()
+                projections.append((alias, e))
+                if not self.eat_op(","):
+                    break
+        self.expect_kw("from")
+        table = self.expect_ident()
+        file = None
+        if self.eat_op("::"):
+            ftok = self.next()
+            if ftok.kind != "string":
+                raise SqlError(f"expected file string after ::, got {ftok}")
+            file = ftok.value
+
+        join_table = join_file = None
+        join_left = join_right = join_how = None
+        if self.at_kw("inner", "outer", "full", "left", "join"):
+            join_how = "inner"
+            if self.eat_kw("inner"):
+                pass
+            elif self.eat_kw("outer") or self.eat_kw("full") or self.eat_kw("left"):
+                join_how = "left"
+                self.eat_kw("outer")
+            self.expect_kw("join")
+            join_table = self.expect_ident()
+            if self.eat_op("::"):
+                ftok = self.next()
+                if ftok.kind != "string":
+                    raise SqlError("expected file string after ::")
+                join_file = ftok.value
+            self.expect_kw("on")
+            l_tab, l_col = self._parse_qualified()
+            self.expect_op("=")
+            r_tab, r_col = self._parse_qualified()
+            # either table order accepted (parser_tree_converter.rs:207-249)
+            if l_tab == join_table and r_tab != join_table:
+                l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
+            join_left, join_right = l_col, r_col
+
+        where = self.parse_expr() if self.eat_kw("where") else None
+
+        group_by: Optional[list[Expr]] = None
+        if self.eat_kw("group"):
+            self.expect_kw("by")
+            group_by = [self.parse_expr()]
+            while self.eat_op(","):
+                group_by.append(self.parse_expr())
+
+        having = self.parse_expr() if self.eat_kw("having") else None
+
+        limit = None
+        if self.eat_kw("limit"):
+            t = self.next()
+            if t.kind != "number" or isinstance(t.value, float):
+                raise SqlError(f"expected integer LIMIT, got {t}")
+            limit = int(t.value)
+
+        plan = convert_query(projections, where, group_by, having, distinct, limit)
+        return Query(
+            plan=plan,
+            table=table,
+            file=file,
+            join_table=join_table,
+            join_file=join_file,
+            join_left_col=join_left,
+            join_right_col=join_right,
+            join_how=join_how,
+        )
+
+    def _parse_qualified(self) -> tuple[Optional[str], str]:
+        a = self.expect_ident()
+        if self.eat_op("."):
+            return a, self.expect_ident()
+        return None, a
+
+    # -- expressions (precedence climbing) ----------------------------------
+
+    def parse_expr(self, min_prec: int = 1) -> Expr:
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            opname: Optional[str] = None
+            if t.kind == "op" and t.value in _PRECEDENCE:
+                opname = t.value
+            elif t.kind == "ident" and t.value.lower() in ("and", "or", "is", "in", "not"):
+                lv = t.value.lower()
+                if lv == "not":
+                    # only as part of NOT IN
+                    nxt = self.peek(1)
+                    if nxt is not None and nxt.kind == "ident" and nxt.value.lower() == "in":
+                        opname = "in"  # handled below with negation
+                    else:
+                        break
+                else:
+                    opname = lv
+            if opname is None or _PRECEDENCE.get(opname, 0) < min_prec:
+                break
+            prec = _PRECEDENCE[opname]
+
+            if opname == "is":
+                self.next()
+                negated = self.eat_kw("not")
+                right = self.parse_expr(prec + 1)
+                left = Bin("is_not" if negated else "is", left, right)
+                continue
+            if opname == "in":
+                negated = False
+                if self.at_kw("not"):
+                    self.next()
+                    negated = True
+                self.expect_kw("in")
+                self.expect_op("(")
+                items = [self.parse_expr()]
+                while self.eat_op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+                left = InList(left, tuple(items), negated)
+                continue
+
+            self.next()
+            right = self.parse_expr(prec + 1)
+            if opname in ("and", "or"):
+                left = Bin(opname, left, right)
+            else:
+                left = Bin(_CMP_OPS[opname], left, right)
+        return left
+
+    def parse_unary(self) -> Expr:
+        if self.eat_kw("not"):
+            return Un("not", self.parse_unary())
+        if self.eat_op("-"):
+            operand = self.parse_unary()
+            if isinstance(operand, Lit) and isinstance(operand.value, (int, float)):
+                return Lit(-operand.value, operand.vtype)
+            return Un("neg", operand)
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Expr:
+        e = self.parse_primary()
+        while True:
+            if self.at_op("[") :
+                self.expect_op("[")
+                idx = self.parse_expr()
+                self.expect_op("]")
+                e = Index(e, idx)
+            elif self.eat_op("::"):
+                tname = self.expect_ident()
+                depth = 0
+                while self.at_op("[") and self.peek(1) and self.peek(1).value == "]":
+                    self.expect_op("[")
+                    self.expect_op("]")
+                    depth += 1
+                e = Cast(e, parse_type_name(tname + "[]" * depth))
+            else:
+                break
+        return e
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t is None:
+            raise SqlError("unexpected end of expression")
+        if t.kind == "number":
+            self.next()
+            return Lit(t.value, FLOAT if isinstance(t.value, float) else INT)
+        if t.kind == "string":
+            self.next()
+            return Lit(t.value, STRING)
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind != "ident":
+            raise SqlError(f"unexpected token {t}")
+        name = self.next().value
+        lname = name.lower()
+        if lname == "true":
+            return Lit(True, BOOL)
+        if lname == "false":
+            return Lit(False, BOOL)
+        if lname == "null":
+            return Lit(None)
+        if lname == "case":
+            return self._parse_case()
+        if lname == "extract":
+            # EXTRACT(part FROM ts) → timestamp_extract_{part} (parser.rs:966-988)
+            self.expect_op("(")
+            part = self.expect_ident().lower()
+            if part not in _EXTRACT_PARTS:
+                raise SqlError(f"bad EXTRACT part {part!r}")
+            self.expect_kw("from")
+            ts = self.parse_expr()
+            self.expect_op(")")
+            return Func(f"timestamp_extract_{part}", (ts,))
+        if lname == "array" and self.at_op("["):
+            self.expect_op("[")
+            items = []
+            if not self.at_op("]"):
+                items.append(self.parse_expr())
+                while self.eat_op(","):
+                    items.append(self.parse_expr())
+            self.expect_op("]")
+            return Func("create_array", tuple(items))
+        if self.at_op("("):
+            # function / aggregate call
+            self.expect_op("(")
+            distinct = self.eat_kw("distinct")
+            args: list[Expr] = []
+            star = False
+            if self.eat_op("*"):
+                star = True
+            elif not self.at_op(")"):
+                args.append(self.parse_expr())
+                while self.eat_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            fname = _FUNC_ALIASES.get(lname, lname)
+            if fname in AGGREGATE_FUNCS:
+                return AggCall(fname, tuple(args), distinct=distinct, star=star)
+            if distinct or star:
+                raise SqlError(f"DISTINCT/* not valid in {fname}()")
+            return Func(fname, tuple(args))
+        if self.at_op(".") and self.peek(1) is not None and self.peek(1).kind == "ident":
+            self.next()
+            col = self.expect_ident()
+            return Col(f"{name}.{col}")  # qualified — resolved at bind time
+        return Col(name)
+
+    def _parse_case(self) -> Expr:
+        whens: list[tuple[Expr, Expr]] = []
+        while self.eat_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            val = self.parse_expr()
+            whens.append((cond, val))
+        self.expect_kw("else")  # ELSE required (parser.rs:990-1019)
+        else_ = self.parse_expr()
+        self.expect_kw("end")
+        return Case(tuple(whens), else_)
+
+
+@dataclass(frozen=True)
+class AggCall(Expr):
+    """An aggregate call inside an expression tree (pre-conversion only)."""
+
+    func: str
+    args: tuple[Expr, ...]
+    distinct: bool = False
+    star: bool = False
+
+
+# ---------------------------------------------------------------------------
+# AST → plan conversion (parser_tree_converter.rs:82-755)
+# ---------------------------------------------------------------------------
+
+
+def _contains_agg(e: Expr) -> bool:
+    if isinstance(e, AggCall):
+        return True
+    for child in _children(e):
+        if _contains_agg(child):
+            return True
+    return False
+
+
+def _children(e: Expr) -> list[Expr]:
+    if isinstance(e, Bin):
+        return [e.left, e.right]
+    if isinstance(e, Un):
+        return [e.operand]
+    if isinstance(e, InList):
+        return [e.operand, *e.items]
+    if isinstance(e, (Func, AggCall)):
+        return list(e.args)
+    if isinstance(e, Case):
+        return [x for w in e.whens for x in w] + [e.else_]
+    if isinstance(e, Cast):
+        return [e.operand]
+    if isinstance(e, Index):
+        return [e.operand, e.index]
+    return []
+
+
+def _replace(e: Expr, target: Expr, repl: Expr) -> Expr:
+    if e == target:
+        return repl
+    if isinstance(e, Bin):
+        return Bin(e.op, _replace(e.left, target, repl), _replace(e.right, target, repl))
+    if isinstance(e, Un):
+        return Un(e.op, _replace(e.operand, target, repl))
+    if isinstance(e, InList):
+        return InList(
+            _replace(e.operand, target, repl),
+            tuple(_replace(i, target, repl) for i in e.items),
+            e.negated,
+        )
+    if isinstance(e, Func):
+        return Func(e.name, tuple(_replace(a, target, repl) for a in e.args))
+    if isinstance(e, Case):
+        return Case(
+            tuple(
+                (_replace(c, target, repl), _replace(v, target, repl))
+                for c, v in e.whens
+            ),
+            _replace(e.else_, target, repl),
+        )
+    if isinstance(e, Cast):
+        return Cast(_replace(e.operand, target, repl), e.vtype)
+    if isinstance(e, Index):
+        return Index(_replace(e.operand, target, repl), _replace(e.index, target, repl))
+    return e
+
+
+def _find_aggs(e: Expr) -> list[AggCall]:
+    out: list[AggCall] = []
+    if isinstance(e, AggCall):
+        out.append(e)
+    for c in _children(e):
+        out.extend(_find_aggs(c))
+    return out
+
+
+def _agg_item_of(call: AggCall, name: str) -> AggItem:
+    f = call.func
+    if f == "count":
+        if call.star or not call.args:
+            if call.distinct:
+                raise SqlError("COUNT(DISTINCT) requires a column")
+            return AggItem(name, "count_star")
+        if call.distinct:
+            return AggItem(name, "count_distinct", call.args[0])
+        return AggItem(name, "count", call.args[0])
+    if f == "percentile":
+        if len(call.args) != 2 or not isinstance(call.args[1], Lit):
+            raise SqlError("percentile(x, p) needs a literal p")
+        p = float(call.args[1].value)
+        if not 0.0 <= p <= 1.0:
+            raise SqlError("percentile p must be in [0, 1]")
+        return AggItem(name, "percentile", call.args[0], extra=p)
+    if f == "string_agg":
+        if len(call.args) != 2 or not isinstance(call.args[1], Lit):
+            raise SqlError("string_agg(x, delim) needs a literal delimiter")
+        return AggItem(name, "string_agg", call.args[0], extra=str(call.args[1].value))
+    if not call.args:
+        raise SqlError(f"{f}() needs an argument")
+    return AggItem(name, f, call.args[0])
+
+
+def convert_query(
+    projections: Optional[list[tuple[Optional[str], Expr]]],
+    where: Optional[Expr],
+    group_by: Optional[list[Expr]],
+    having: Optional[Expr],
+    distinct: bool,
+    limit: Optional[int],
+) -> Plan:
+    is_agg = bool(group_by) or (
+        projections is not None and any(_contains_agg(e) for _, e in projections)
+    ) or (having is not None)
+    if not is_agg:
+        projs = None
+        if projections is not None:
+            projs = tuple(
+                Projection(
+                    alias or (e.name if isinstance(e, Col) else f"p{i}"), e
+                )
+                for i, (alias, e) in enumerate(projections)
+            )
+        return SelectPlan(
+            projections=projs, where=where, distinct=distinct, limit=limit
+        )
+
+    # aggregate statement
+    if projections is None:
+        raise SqlError("SELECT * not allowed with GROUP BY / aggregates")
+    group_exprs = list(group_by or [])
+    keys: list[GroupKey] = []
+    aggs: list[AggItem] = []
+    used_keys: set[int] = set()
+
+    for i, (alias, e) in enumerate(projections):
+        calls = _find_aggs(e)
+        if len(calls) > 1:
+            raise SqlError("at most one aggregate per projection")  # TooManyAggregates
+        if calls:
+            call = calls[0]
+            default = f"count{i}" if call.func == "count" else f"p{i}"
+            name = alias or (
+                e.name if isinstance(e, Col) else default
+            )
+            item = _agg_item_of(call, name)
+            transform = None
+            if e != call:  # surrounding scalar expr → $value transform (:486-653)
+                transform = _replace(e, call, Col("$value"))
+            aggs.append(
+                AggItem(item.name, item.func, item.arg, item.extra, transform)
+            )
+        else:
+            # must match a GROUP BY entry by expression-tree equality
+            # (aggregate_execution.rs:268-273,341-347 via tree hash)
+            match = next(
+                (j for j, g in enumerate(group_exprs) if g == e), None
+            )
+            if match is None:
+                raise SqlError(
+                    f"projection {alias or e!r} is not in GROUP BY"
+                )  # validate_group_key
+            used_keys.add(match)
+            name = alias or (e.name if isinstance(e, Col) else f"p{i}")
+            keys.append(GroupKey(name, e))
+
+    # GROUP BY entries never projected still partition the groups
+    for j, g in enumerate(group_exprs):
+        if j not in used_keys:
+            keys.append(
+                GroupKey(g.name if isinstance(g, Col) else f"gk{j}", g)
+            )
+
+    # HAVING: group keys → their output names; aggregates → existing slots or
+    # hidden __having{i} extras (aggregate_execution.rs:88-115)
+    having_expr = having
+    if having_expr is not None:
+        for call in _find_aggs(having_expr):
+            # structural match: same func/arg/extra, no transform
+            probe = _agg_item_of(call, "__probe")
+            existing = next(
+                (
+                    a.name
+                    for a in aggs
+                    if a.func == probe.func
+                    and a.arg == probe.arg
+                    and a.extra == probe.extra
+                    and a.transform is None
+                ),
+                None,
+            )
+            if existing is None:
+                hname = f"__having{len(aggs)}"
+                aggs.append(_agg_item_of(call, hname))
+                having_expr = _replace(having_expr, call, Col(hname))
+            else:
+                having_expr = _replace(having_expr, call, Col(existing))
+        for k in keys:
+            having_expr = _replace(having_expr, k.expr, Col(k.name))
+
+    return AggregatePlan(
+        group_by=tuple(keys),
+        aggs=tuple(aggs),
+        where=where,
+        having=having_expr,
+        distinct=distinct,
+        limit=limit,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def parse(text: str) -> list[Statement]:
+    """Parse a definition/query string into TableDef / Query statements."""
+    return Parser(text).parse_statements()
+
+
+def parse_query(text: str) -> Query:
+    stmts = parse(text)
+    qs = [s for s in stmts if isinstance(s, Query)]
+    if len(qs) != 1:
+        raise SqlError(f"expected exactly one query, got {len(qs)}")
+    return qs[0]
+
+
+def parse_table_defs(text: str) -> list[TableDef]:
+    return [s for s in parse(text) if isinstance(s, TableDef)]
