@@ -567,6 +567,39 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_sql_regex_groupby(sf_dir: str) -> Result:
+    """The same extraction as q_regex_extract_docs, but driven end-to-end
+    through the SQL front-end + Tables API (SURVEY §2.11)."""
+    from sqlgrep_ray.api import Tables
+
+    t = Tables()
+    t.add_tables(
+        r"CREATE TABLE kwt('(spark|hash|window) (\\w+)' => kw TEXT);"
+    )
+    return t.execute_query(
+        "SELECT kw, COUNT(*) AS n FROM kwt GROUP BY kw",
+        source=_t(sf_dir, "documents"),
+    )
+
+
+SQL_SQL_REGEX_GROUPBY = SQL_REGEX_EXTRACT_DOCS
+
+
+def q_sql_json_groupby(sf_dir: str) -> Result:
+    from sqlgrep_ray.api import Tables
+
+    t = Tables()
+    t.add_tables("CREATE TABLE props_t({ .k } => k INT);")
+    return t.execute_query(
+        "SELECT k, COUNT(*) AS n FROM props_t GROUP BY k",
+        source=_t(sf_dir, "events"),
+        text_col="props",
+    )
+
+
+SQL_SQL_JSON_GROUPBY = SQL_JSON_EXTRACT_EVENTS
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators (dedup / text / similarity / multimodal)
 # ---------------------------------------------------------------------------
@@ -790,6 +823,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "date_trunc_day": q_date_trunc_day,
     "regex_extract_docs": q_regex_extract_docs,
     "json_extract_events": q_json_extract_events,
+    "sql_regex_groupby": q_sql_regex_groupby,
+    "sql_json_groupby": q_sql_json_groupby,
     "split_extract_docs": q_split_extract_docs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
@@ -826,6 +861,8 @@ ORACLES: dict[str, str] = {
     "date_trunc_day": SQL_DATE_TRUNC_DAY,
     "regex_extract_docs": SQL_REGEX_EXTRACT_DOCS,
     "json_extract_events": SQL_JSON_EXTRACT_EVENTS,
+    "sql_regex_groupby": SQL_SQL_REGEX_GROUPBY,
+    "sql_json_groupby": SQL_SQL_JSON_GROUPBY,
     "split_extract_docs": SQL_SPLIT_EXTRACT_DOCS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
