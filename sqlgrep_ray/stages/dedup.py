@@ -25,12 +25,116 @@ cap with ``max_bucket`` and log drops.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+def _hot_bucket_verify(
+    bucketed: "ray.data.Dataset",
+    verify: "Callable[[pa.Table], pa.Table]",
+    empty: pa.Table,
+    distributed: bool = False,
+) -> "ray.data.Dataset":
+    """Run ``verify`` over every bucket that has ≥2 members.
+
+    Local path (default): bucket counts via per-block combiner + one-block
+    merge (all vectorized), broadcast the HOT bucket set, filter candidates
+    (only rows whose bucket collides — small by construction), coalesce, and
+    loop over hot buckets in one task. Avoids ``groupby().map_groups``,
+    whose per-group Python call over mostly-singleton buckets dominated the
+    stage (~0.1 ms × |buckets|).
+
+    ``distributed=True`` falls back to the shuffle path for corpora whose
+    collision set cannot fit one worker (pathological near-dup-heavy data).
+    """
+    import ray
+
+    if distributed:
+        def per_group(g: pa.Table) -> pa.Table:
+            return verify(g) if g.num_rows >= 2 else empty
+
+        pairs = bucketed.groupby("bucket").map_groups(
+            per_group, batch_format="pyarrow"
+        )
+        return _dedup_rows_small(pairs)
+
+    # two consumers (count pass + candidate filter) — pin the exploded set in
+    # the object store once instead of recomputing the signature pipeline
+    bucketed = bucketed.materialize()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t.select(["bucket"]), ["bucket"]).aggregate(
+            [([], "count_all")]
+        )
+
+    partials = bucketed.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1)
+
+    def hot_of(t: pa.Table) -> pa.Table:
+        merged = pa.TableGroupBy(t, ["bucket"]).aggregate([("count_all", "sum")])
+        mask = pc.greater_equal(merged["count_all_sum"], 2)
+        return merged.filter(mask).select(["bucket"])
+
+    hot_tbl = pa.concat_tables(
+        list(
+            partials.map_batches(hot_of, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        or [pa.table({"bucket": pa.array([], pa.int64())})]
+    )
+    hot_ref = ray.put(hot_tbl["bucket"].combine_chunks())
+
+    def filter_hot(t: pa.Table, hot_ref=None) -> pa.Table:
+        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        return t.filter(pc.is_in(t["bucket"], value_set=hot))
+
+    cands = bucketed.map_batches(
+        filter_hot,
+        fn_kwargs=dict(hot_ref=hot_ref),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).repartition(1)
+
+    def verify_all(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, [("bucket", "ascending")]))
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
+        pieces = []
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            if e - s >= 2:
+                out = verify(t.slice(s, e - s))
+                if out.num_rows:
+                    pieces.append(out)
+        if not pieces:
+            return empty
+        # same pair surfaces from several bands — dedup in-task (the
+        # candidates are already coalesced to this one block)
+        all_pairs = pa.concat_tables(pieces)
+        return all_pairs.group_by(all_pairs.column_names).aggregate([])
+
+    return cands.map_batches(verify_all, batch_format="pyarrow")
+
+
+def _dedup_rows_small(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact row dedup for SMALL results (candidate pairs): per-block distinct
+    → one block → distinct. No all-to-all; a per-group ``map_groups`` over
+    thousands of 1-row groups costs a Python call per group, which dominated
+    the pair-dedup stage."""
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(t.column_names).aggregate([])
+
+    return ds.map_batches(
+        distinct, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1).map_batches(distinct, batch_format="pyarrow")
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -63,6 +167,7 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_HASHER_CACHE: dict = {}  # per-worker-process stage state (stateless tasks)
 
 
 def _hash64(s: bytes) -> int:
@@ -148,13 +253,20 @@ def minhash_lsh_dedup(
     pointer and verify in a second pass.
     """
     rows_per_band = n_perm // bands
+
+    # stateless task + per-worker-process cache (no actor-pool spin-up; cf.
+    # flagship router): the permutation params build once per process
+    def minhash_batch(t: pa.Table, text_col=text_col, n_perm=n_perm, k=shingle_k):
+        key = (text_col, n_perm, k)
+        mh = _HASHER_CACHE.get(key)
+        if mh is None:
+            mh = _HASHER_CACHE[key] = MinHasher(text_col, n_perm, k)
+        return mh(t)
+
     sigged = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, n_perm=n_perm, shingle_k=shingle_k
-        ),
+        minhash_batch,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        zero_copy_batch=True,
     )
 
     def explode_bands(t: pa.Table) -> pa.Table:
@@ -212,11 +324,14 @@ def minhash_lsh_dedup(
             }
         )
 
-    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    # same pair can surface from several bands → dedup
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
     )
+    return _hot_bucket_verify(buckets, verify, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -264,11 +379,15 @@ def simhash_dedup(
     """Near-dup pairs by simhash: bucket on each of ``n_tables`` 16-bit
     chunks (any pair within Hamming ≤3 of a 64-bit hash shares at least one
     of 4 chunks — pigeonhole), verify Hamming within bucket."""
+    def simhash_batch(t: pa.Table, text_col=text_col):
+        key = ("simhash", text_col)
+        sh = _HASHER_CACHE.get(key)
+        if sh is None:
+            sh = _HASHER_CACHE[key] = SimHasher(text_col)
+        return sh(t)
+
     sigged = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        simhash_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -316,10 +435,14 @@ def simhash_dedup(
             }
         )
 
-    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
     )
+    return _hot_bucket_verify(buckets, verify, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -361,8 +484,10 @@ def embedding_dup_pairs(
                 key |= signs[:, i].astype(np.int64) << i
             return t.append_column("bucket", pa.array(key))
 
+    _bucketer = Bucketer()  # planes derive lazily on first batch per worker
+
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        Bucketer, batch_format="pyarrow", concurrency=(1, 8)
+        _bucketer, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def verify(group: pa.Table) -> pa.Table:
@@ -391,7 +516,11 @@ def embedding_dup_pairs(
             }
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
     )
+    return _hot_bucket_verify(bucketed, verify, empty)
