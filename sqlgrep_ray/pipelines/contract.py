@@ -799,6 +799,70 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_conv_stats(sf_dir: str) -> Result:
+    """Per-conversation stats — HIGH-cardinality GROUP BY (one group per
+    conv_id, hot conversations own ~20% of rows) through the DISTRIBUTED
+    aggregate path (small_result=False): per-block combiner neutralizes the
+    hot-key skew before the shuffle (stages/skew.py module doc)."""
+    tr = transcripts_for(sf_dir)
+    ds = ray.data.read_parquet(tr)
+    plan = AggregatePlan(
+        group_by=(GroupKey("conv_id", Col("conv_id")),),
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("max_turn", "max", Col("turn_idx")),
+            AggItem("last_ts", "max", Col("ts")),
+        ),
+        small_result=False,
+    )
+    return run_plan(ds, plan)
+
+
+SQL_CONV_STATS = f"""
+SELECT conv_id, count(*) AS n, max(turn_idx) AS max_turn, max(ts) AS last_ts
+FROM read_parquet('{_TR_GLOB}') GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_conv_distinct_tools(sf_dir: str) -> Result:
+    """Skew-safe exact COUNT(DISTINCT tool) per conversation (two-stage
+    groupby, stages/skew.py)."""
+    from sqlgrep_ray.stages.skew import salted_count_distinct
+
+    ds = ray.data.read_parquet(transcripts_for(sf_dir))
+    return salted_count_distinct(ds, ["conv_id"], "tool", alias="tools")
+
+
+SQL_CONV_DISTINCT_TOOLS = f"""
+SELECT conv_id, count(DISTINCT tool) AS tools
+FROM read_parquet('{_TR_GLOB}') GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_hot_conv_roles(sf_dir: str) -> Result:
+    """Salted ARRAY_AGG over the hottest conversations: hot keys spread over
+    16 reducers, sublists merged per key (stages/skew.py)."""
+    from sqlgrep_ray.stages.skew import salted_array_agg
+
+    import pyarrow.compute as pc
+
+    hot = pa.array(["conv-000000", "conv-000001"])
+    ds = ray.data.read_parquet(transcripts_for(sf_dir)).map_batches(
+        lambda t: t.filter(pc.is_in(t["conv_id"], value_set=hot)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return salted_array_agg(ds, ["conv_id"], "role", alias="roles", salt=16)
+
+
+SQL_HOT_CONV_ROLES = f"""
+SELECT conv_id, array_agg(role ORDER BY role) AS roles
+FROM read_parquet('{_TR_GLOB}')
+WHERE conv_id IN ('conv-000000', 'conv-000001')
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -835,6 +899,9 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "knn_ivf": q_knn_ivf,
     "lang_quality": q_lang_quality,
     "multimodal_features": q_multimodal,
+    "conv_stats": q_conv_stats,
+    "conv_distinct_tools": q_conv_distinct_tools,
+    "hot_conv_roles": q_hot_conv_roles,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
@@ -867,6 +934,9 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_top5": SQL_KNN_TOP5,
+    "conv_stats": SQL_CONV_STATS,
+    "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,
+    "hot_conv_roles": SQL_HOT_CONV_ROLES,
     "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
     "flagship_sink_role_counts": SQL_FLAGSHIP_SINK_ROLE_COUNTS,
     "flagship_hour_histogram": SQL_FLAGSHIP_HOUR_HISTOGRAM,

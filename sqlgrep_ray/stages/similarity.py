@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+_STAGE_CACHE: dict = {}  # per-worker-process stage state (stateless tasks)
+
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -106,12 +108,17 @@ def knn_brute_force(
     (columns ``query_id``, ``embedding``). Returns
     (query_id, vec_id, score) sorted per group by score desc."""
     qref = ray.put(queries)  # broadcast once — NOT captured per batch
+    def topk_batch(t: pa.Table, qref=qref):
+        key = ("topk", qref.hex(), k, id_col, emb_col)
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = BatchTopK(qref, k, id_col, emb_col)
+        return st(t)
+
     cands = ds.select_columns([id_col, emb_col]).map_batches(
-        BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, emb_col=emb_col),
+        topk_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     return _global_topk(cands, k, id_col)
 
@@ -171,12 +178,17 @@ def knn_ivf(
     cent = _kmeans_lite(S, n_centroids)
     cref = ray.put(cent)
 
+    def assign_batch(t: pa.Table, cref=cref):
+        key = ("ivf", cref.hex(), emb_col)
+        st = _STAGE_CACHE.get(key)
+        if st is None:
+            st = _STAGE_CACHE[key] = IvfAssign(cref, emb_col)
+        return st(t)
+
     assigned = ds.select_columns([id_col, emb_col]).map_batches(
-        IvfAssign,
-        fn_constructor_kwargs=dict(centroids_ref=cref, emb_col=emb_col),
+        assign_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
     # per-query probe lists
@@ -234,11 +246,10 @@ def knn_ivf(
             )
 
     qref = ray.put(queries)
+    probed = ProbedTopK(qref, k, id_col, emb_col)
     cands = assigned.map_batches(
-        ProbedTopK,
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, id_col=id_col, emb_col=emb_col),
+        probed,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     return _global_topk(cands, k, id_col)

@@ -170,13 +170,22 @@ class TextStats:
         return batch
 
 
+_STATS_CACHE: dict = {}  # per-worker-process stage state (stateless tasks)
+
+
 def text_stats(
     ds: "ray.data.Dataset", text_col: str = "text", **kwargs
 ) -> "ray.data.Dataset":
+    key = (text_col, tuple(sorted(kwargs.items())))
+
+    def stats_batch(t: pa.Table, key=key):
+        st = _STATS_CACHE.get(key)
+        if st is None:
+            st = _STATS_CACHE[key] = TextStats(text_col, **dict(key[1]))
+        return st(t)
+
     return ds.map_batches(
-        TextStats,
-        fn_constructor_kwargs=dict(text_col=text_col, **kwargs),
+        stats_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
