@@ -289,6 +289,48 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_join_chain_region(sf_dir: str) -> Result:
+    """Composition beyond the reference (which allows ONE join per query):
+    two chained broadcast joins supplier→nation→region, then aggregate."""
+    nation = _pat(sf_dir, "nation")
+    region = _pat(sf_dir, "region")
+    j1 = run_plan(
+        _t(sf_dir, "supplier"),
+        SelectPlan(
+            join=JoinSpec(
+                right=nation, left_key="s_nationkey", right_key="n_nationkey"
+            )
+        ),
+    )
+    j2 = run_plan(
+        j1,
+        SelectPlan(
+            join=JoinSpec(
+                right=region, left_key="n_regionkey", right_key="r_regionkey"
+            )
+        ),
+    )
+    return run_plan(
+        j2,
+        AggregatePlan(
+            group_by=(GroupKey("r_name", Col("r_name")),),
+            aggs=(
+                AggItem("n", "count_star"),
+                AggItem("max_bal", "max", Col("s_acctbal")),
+            ),
+        ),
+    )
+
+
+SQL_JOIN_CHAIN_REGION = """
+SELECT r_name, count(*) AS n, max(s_acctbal) AS max_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_count_distinct_users(sf_dir: str) -> Result:
     plan = AggregatePlan(
         group_by=(GroupKey("event_type", Col("event_type")),),
@@ -876,6 +918,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "distinct_status": q_distinct_status,
     "join_customer_nation": q_join_customer_nation,
     "join_left_part": q_join_left_part,
+    "join_chain_region": q_join_chain_region,
     "count_distinct_users": q_count_distinct_users,
     "stddev_quantity": q_stddev_quantity,
     "percentile_price": q_percentile_price,
@@ -917,6 +960,7 @@ ORACLES: dict[str, str] = {
     "distinct_status": SQL_DISTINCT_STATUS,
     "join_customer_nation": SQL_JOIN_CUSTOMER_NATION,
     "join_left_part": SQL_JOIN_LEFT_PART,
+    "join_chain_region": SQL_JOIN_CHAIN_REGION,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "stddev_quantity": SQL_STDDEV_QUANTITY,
     "percentile_price": SQL_PERCENTILE_PRICE,
