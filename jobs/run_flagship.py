@@ -39,6 +39,12 @@ def main() -> int:
     ap.add_argument("--out", required=True, help="output root (checkpointed)")
     ap.add_argument("--files-per-chunk", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--max-chunks",
+        type=int,
+        default=None,
+        help="stop after N fresh chunks (simulates a killed run; rerun resumes)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -83,7 +89,7 @@ def main() -> int:
         files_per_chunk=args.files_per_chunk,
     )
     t0 = time.time()
-    results = run.run()
+    results = run.run(max_chunks=args.max_chunks)
     wall = time.time() - t0
 
     done = [r for r in results if not r.skipped]
