@@ -28,6 +28,16 @@ from __future__ import annotations
 
 import json
 import re
+
+try:  # ~4-8x faster JSON parse when available; stdlib fallback otherwise
+    import orjson as _fastjson
+
+    def _json_loads(s: str):
+        return _fastjson.loads(s)
+
+except ImportError:  # pragma: no cover
+    def _json_loads(s: str):
+        return json.loads(s)
 from typing import Any, Callable, Optional, Sequence
 
 import numpy as np
@@ -503,7 +513,7 @@ class ParseTable:
                     json_objs.append(None)
                     continue
                 try:
-                    json_objs.append(json.loads(s))
+                    json_objs.append(_json_loads(s))
                 except (ValueError, TypeError):
                     json_objs.append(None)
 

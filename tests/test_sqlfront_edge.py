@@ -1,0 +1,100 @@
+"""SQL parser edge cases: precedence, negation, escapes, multi-statement."""
+
+import pytest
+
+from sqlgrep_ray.functions.exprs import Bin, Case, Cast, Col, Func, InList, Lit, Un
+from sqlgrep_ray.sqlfront import SqlError, parse, parse_query
+
+
+def test_and_or_precedence():
+    # a > 1 AND b < 2 OR c = 3  ⇒  (a>1 AND b<2) OR c=3
+    w = parse_query("SELECT a FROM t WHERE a > 1 AND b < 2 OR c = 3").plan.where
+    assert w.op == "or" and w.left.op == "and" and w.right.op == "eq"
+
+
+def test_arith_precedence():
+    # a + 1 * 2 > 3 - 1  ⇒  (a + (1*2)) > (3-1)
+    w = parse_query("SELECT a FROM t WHERE a + 1 * 2 > 3 - 1").plan.where
+    assert (w.op, w.left.op, w.left.right.op, w.right.op) == (
+        "gt", "add", "mul", "sub",
+    )
+
+
+def test_not_in_and_unary_not():
+    w = parse_query("SELECT a FROM t WHERE a NOT IN (1, 2) AND NOT b").plan.where
+    assert isinstance(w.left, InList) and w.left.negated
+    assert isinstance(w.right, Un) and w.right.op == "not"
+
+
+def test_is_not_null_and_parens():
+    w = parse_query("SELECT a FROM t WHERE (x IS NOT NULL)").plan.where
+    assert w.op == "is_not"
+
+
+def test_string_escape_and_comments():
+    q = parse_query("-- lead\nSELECT a FROM t -- trail\nWHERE a = 'it\\'s'")
+    assert q.plan.where.right.value == "it's"
+
+
+def test_unary_minus_folds_literal():
+    w = parse_query("SELECT a FROM t WHERE a > -5").plan.where
+    assert isinstance(w.right, Lit) and w.right.value == -5
+
+
+def test_cast_postfix_and_index_chain():
+    p = parse_query("SELECT xs[1]::int AS v FROM t").plan.projections[0]
+    assert isinstance(p.expr, Cast)
+    assert p.expr.operand.__class__.__name__ == "Index"
+
+
+def test_nested_case():
+    sql = (
+        "SELECT CASE WHEN a = 1 THEN CASE WHEN b = 2 THEN 'x' ELSE 'y' END "
+        "ELSE 'z' END AS c FROM t"
+    )
+    p = parse_query(sql).plan.projections[0]
+    assert isinstance(p.expr, Case)
+    assert isinstance(p.expr.whens[0][1], Case)
+
+
+def test_multi_statement_defs_and_query():
+    stmts = parse(
+        """
+        CREATE TABLE a(line = 'x(\\\\d+)', line[1] => n INT);
+        CREATE TABLE b(line = 'y(\\\\d+)', line[1] => m INT);
+        SELECT n FROM a WHERE n > 0;
+        """
+    )
+    kinds = [type(s).__name__ for s in stmts]
+    assert kinds == ["TableDef", "TableDef", "Query"]
+
+
+def test_default_projection_names():
+    q = parse_query("SELECT a, b + 1, COUNT(c), MAX(d) FROM t GROUP BY a, b + 1")
+    names = [k.name for k in q.plan.group_by] + [x.name for x in q.plan.aggs]
+    # column → its name; expr → p{i}; COUNT → count{i}; other agg → p{i}
+    assert names == ["a", "p1", "count2", "p3"]
+
+
+def test_count_distinct_requires_column():
+    with pytest.raises(SqlError):
+        parse_query("SELECT COUNT(DISTINCT *) AS n FROM t GROUP BY a")
+
+
+def test_percentile_requires_literal_p_in_range():
+    with pytest.raises(SqlError):
+        parse_query("SELECT PERCENTILE(x, 1.5) AS p FROM t GROUP BY a")
+
+
+def test_having_reuses_projected_aggregate_slot():
+    q = parse_query(
+        "SELECT a, COUNT(*) AS n FROM t GROUP BY a HAVING COUNT(*) > 1"
+    )
+    # no hidden slot added — HAVING references the projected n
+    assert [x.name for x in q.plan.aggs] == ["n"]
+    assert isinstance(q.plan.having, Bin) and q.plan.having.left == Col("n")
+
+
+def test_regex_matches_alias():
+    q = parse_query("SELECT a FROM t WHERE regex_matches(a, 'x+')")
+    assert q.plan.where.name == "regexp_matches"
