@@ -344,6 +344,14 @@ def _format_value_display(v: Any) -> Optional[str]:
         return f"{v:.2f}"
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond // 1000:03d}"
+    if isinstance(v, _dt.timedelta):
+        # HH:MM:SS.mmm (model.rs:345-351)
+        total_s = int(v.total_seconds())
+        ms = int(v.total_seconds() * 1000) - total_s * 1000
+        return (
+            f"{total_s // 3600:02d}:{(total_s // 60) % 60:02d}:"
+            f"{total_s % 60:02d}.{ms:03d}"
+        )
     return str(v)
 
 

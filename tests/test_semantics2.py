@@ -68,6 +68,19 @@ def test_interval_cast_to_int_seconds():
     assert _eval(Cast(Col("iv"), FLOAT), t) == [90.5]
 
 
+def test_interval_cast_to_text_display_parity():
+    """::text uses reference Display: HH:MM:SS.mmm (model.rs:345-351)."""
+    t = pa.table(
+        {
+            "iv": pa.array(
+                [dt.timedelta(hours=1, minutes=2, seconds=3, milliseconds=45)],
+                pa.duration("us"),
+            )
+        }
+    )
+    assert _eval(Cast(Col("iv"), STRING), t) == ["01:02:03.045"]
+
+
 def _null_key_table():
     return pa.table(
         {
