@@ -149,6 +149,85 @@ def test_metrics_counters(ray_session, tiny_dir):
     assert snap["counters"]["parse.rows_in"] >= n_out
 
 
+def test_per_turn_text_equality(ray_session, tiny_dir):
+    """The north-rule invariant: for every routed turn, the text recovered by
+    joining the routed (conv_id, turn_idx) keys back to the input equals the
+    input text, compared under stable (conv_id, turn_idx) ordering; and the
+    routed set is exactly the set an independent reimplementation of the
+    routing predicate admits."""
+    import pandas as pd
+    import re as _re
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from sqlgrep_ray.pipelines.flagship import (
+        FTPD_PATTERN,
+        SSH_PATTERN,
+        parse_and_route,
+    )
+    import ray.data
+
+    routed = (
+        parse_and_route(ray.data.read_parquet(tiny_dir))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    inp = (
+        pq.read_table(tiny_dir)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    ftpd = _re.compile(FTPD_PATTERN)
+    ssh = _re.compile(SSH_PATTERN)
+
+    def expected_sink(text: str):
+        if ftpd.search(text):
+            return "ftpd"
+        if ssh.search(text):
+            return "ssh"
+        try:
+            obj = _json.loads(text)
+            if isinstance(obj, dict) and (
+                "timestamp" in obj or "metadata" in obj or "events" in obj
+            ):
+                return "clients"
+        except ValueError:
+            pass
+        parts = text.split(";")
+        if len(parts) >= 8 and all(
+            p.lstrip("-").isdigit() for p in (parts[2], parts[4], parts[5], parts[6], parts[7])
+        ):
+            return "csv"
+        return None
+
+    inp["expected"] = inp["text"].map(expected_sink)
+    expected = inp[inp["expected"].notna()]
+
+    # routed set == independently predicted set, with matching sinks
+    merged = expected.merge(
+        routed[["conv_id", "turn_idx", "sink"]],
+        on=["conv_id", "turn_idx"],
+        how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["expected"] == merged["sink"]).all()
+
+    # per-turn text equality under the stable ordering: keys in routed map
+    # 1:1 onto input rows whose text is byte-identical
+    back = routed.merge(
+        inp[["conv_id", "turn_idx", "text"]], on=["conv_id", "turn_idx"]
+    )
+    assert len(back) == len(routed)
+    assert (back["text"] == expected.set_index(["conv_id", "turn_idx"]).loc[
+        list(zip(back["conv_id"], back["turn_idx"]))
+    ]["text"].values).all()
+
+
 def test_route_to_sinks_partitioned(ray_session, tiny_dir, tmp_path):
     out = str(tmp_path / "sinks")
     flagship(tiny_dir, out_dir=out)
