@@ -841,6 +841,54 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tumbling_hour(sf_dir: str) -> Result:
+    """Fixed 1-hour tumbling windows over the event stream (stages/window.py)
+    — window key computed vectorized, then the ordinary aggregate path."""
+    from sqlgrep_ray.stages.window import tumbling_window
+
+    return tumbling_window(
+        _t(sf_dir, "events"),
+        ts_col="ts",
+        width_s=3600,
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("max_value", "max", Col("value")),
+        ),
+    )
+
+
+SQL_TUMBLING_HOUR = """
+SELECT date_trunc('hour', ts) AS window_start, count(*) AS n,
+       max(value) AS max_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_sessionize_users(sf_dir: str) -> Result:
+    """Gap-based sessionization per user (30-min inactivity gap)."""
+    from sqlgrep_ray.stages.window import sessionize
+
+    return sessionize(_t(sf_dir, "events"), key="user_id", ts_col="ts", gap_s=1800)
+
+
+SQL_SESSIONIZE_USERS = """
+SELECT user_id, session_idx, count(*) AS n_events, min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_s
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events)
+)
+GROUP BY user_id, session_idx ORDER BY 1, 2
+"""
+
+
 def q_conv_stats(sf_dir: str) -> Result:
     """Per-conversation stats — HIGH-cardinality GROUP BY (one group per
     conv_id, hot conversations own ~20% of rows) through the DISTRIBUTED
@@ -942,6 +990,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "knn_ivf": q_knn_ivf,
     "lang_quality": q_lang_quality,
     "multimodal_features": q_multimodal,
+    "tumbling_hour": q_tumbling_hour,
+    "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
@@ -978,6 +1028,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_top5": SQL_KNN_TOP5,
+    "tumbling_hour": SQL_TUMBLING_HOUR,
+    "sessionize_users": SQL_SESSIONIZE_USERS,
     "conv_stats": SQL_CONV_STATS,
     "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,
     "hot_conv_roles": SQL_HOT_CONV_ROLES,

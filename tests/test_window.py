@@ -1,0 +1,105 @@
+"""Windowed / session aggregation (stages/window.py)."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+
+from sqlgrep_ray.functions.exprs import Col
+from sqlgrep_ray.pipelines.plan import AggItem
+from sqlgrep_ray.stages.window import sessionize, tumbling_window
+
+
+def _events():
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap > 10 min between idx 2 and 3)
+        (1, base + dt.timedelta(minutes=0), 1.0),
+        (1, base + dt.timedelta(minutes=2), 2.0),
+        (1, base + dt.timedelta(minutes=4), 3.0),
+        (1, base + dt.timedelta(minutes=30), 4.0),
+        (1, base + dt.timedelta(minutes=31), 5.0),
+        # user 2: one session
+        (2, base + dt.timedelta(minutes=90), 6.0),
+        (2, base + dt.timedelta(minutes=95), 7.0),
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_sessionize_gap_split(ray_session):
+    import ray.data
+
+    out = (
+        sessionize(ray.data.from_arrow(_events()).repartition(3),
+                   key="user_id", ts_col="ts", gap_s=600)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    u1 = out[out.user_id == 1]
+    assert list(u1["n_events"]) == [3, 2]
+    assert list(u1["duration_s"]) == [240.0, 60.0]
+    assert u1.iloc[1]["session_start"] == dt.datetime(2024, 1, 1, 0, 30)
+    u2 = out[out.user_id == 2]
+    assert list(u2["n_events"]) == [2]
+
+
+def test_sessionize_boundary_gap_not_split(ray_session):
+    """A gap of EXACTLY gap_s stays in the same session (strict >)."""
+    import ray.data
+
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array(
+                [base, base + dt.timedelta(seconds=600)], pa.timestamp("us")
+            ),
+        }
+    )
+    out = sessionize(
+        ray.data.from_arrow(t), key="user_id", ts_col="ts", gap_s=600
+    ).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n_events"] == 2
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+
+    out = (
+        tumbling_window(
+            ray.data.from_arrow(_events()).repartition(2),
+            ts_col="ts",
+            width_s=3600,
+            aggs=(AggItem("n", "count_star"), AggItem("mx", "max", Col("value"))),
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.iloc[0]["window_start"] == dt.datetime(2024, 1, 1, 0, 0)
+    assert out.iloc[0]["n"] == 5 and out.iloc[0]["mx"] == 5.0
+    assert out.iloc[1]["window_start"] == dt.datetime(2024, 1, 1, 1, 0)
+    assert out.iloc[1]["n"] == 2 and out.iloc[1]["mx"] == 7.0
+
+
+def test_tumbling_with_extra_key(ray_session):
+    import ray.data
+
+    out = tumbling_window(
+        ray.data.from_arrow(_events()),
+        ts_col="ts",
+        width_s=3600,
+        aggs=(AggItem("n", "count_star"),),
+        extra_keys=("user_id",),
+    ).to_pandas()
+    key = {(r["window_start"].hour, r["user_id"]): r["n"] for _, r in out.iterrows()}
+    assert key == {(0, 1): 5, (1, 2): 2}
