@@ -841,6 +841,34 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_asof_join_orders(sf_dir: str) -> Result:
+    """Backward as-of join: each event matched to the latest order of the
+    same user at or before the event time (stages/asof.py). Output keeps the
+    matched DATE only — the orderkey is ambiguous under same-date ties and
+    DuckDB's ASOF tie-break is arbitrary."""
+    from sqlgrep_ray.stages.asof import asof_join
+
+    orders = _pat(sf_dir, "orders").select(["o_custkey", "o_orderdate"])
+    out = asof_join(
+        _t(sf_dir, "events").select_columns(["event_id", "user_id", "ts"]),
+        orders,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+        how="inner",
+    )
+    return out.select_columns(["event_id", "o_orderdate"])
+
+
+SQL_ASOF_JOIN_ORDERS = """
+SELECT e.event_id, o.o_orderdate
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def q_tumbling_hour(sf_dir: str) -> Result:
     """Fixed 1-hour tumbling windows over the event stream (stages/window.py)
     — window key computed vectorized, then the ordinary aggregate path."""
@@ -990,6 +1018,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "knn_ivf": q_knn_ivf,
     "lang_quality": q_lang_quality,
     "multimodal_features": q_multimodal,
+    "asof_join_orders": q_asof_join_orders,
     "tumbling_hour": q_tumbling_hour,
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
@@ -1028,6 +1057,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_top5": SQL_KNN_TOP5,
+    "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
     "tumbling_hour": SQL_TUMBLING_HOUR,
     "sessionize_users": SQL_SESSIONIZE_USERS,
     "conv_stats": SQL_CONV_STATS,

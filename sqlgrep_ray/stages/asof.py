@@ -1,0 +1,135 @@
+"""As-of (backward) join — a custom operator Ray Data lacks natively.
+
+SURVEY §2 guidance case (b): the right side (dimension with effective
+timestamps) is broadcast ONCE as a per-key sorted index; every left batch
+probes it vectorized (one ``np.searchsorted`` per distinct key in the
+batch). Semantics: for each left row, the right row with the LARGEST
+``right_ts <= left_ts`` for the same key — DuckDB's ``ASOF JOIN … ON k = k
+AND l.ts >= r.ts`` (the oracle used by the driver contract).
+
+Partitioning assumption (documented): the right side fits in memory on every
+worker (it's a dimension table — same contract as the broadcast hash join,
+reference ``join.rs``: "loaded completely in memory"). For a right side too
+large to broadcast, shuffle BOTH sides on the key and run the same probe
+per partition (not needed at parity scale).
+
+Tie policy: among right rows sharing the max ``right_ts``, the LAST in the
+sorted order wins (stable sort by (key, ts) ⇒ deterministic); value columns
+whose tie rows differ should not be compared against engines with arbitrary
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _build_index(
+    right: pa.Table, right_key: str, right_ts: str, value_cols: Sequence[str]
+) -> dict:
+    order = pc.sort_indices(
+        right, [(right_key, "ascending"), (right_ts, "ascending")]
+    )
+    right = right.take(order)
+    keys = right[right_key].to_numpy(zero_copy_only=False)
+    ts = right[right_ts].combine_chunks().cast(pa.int64()).to_numpy()
+    cuts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    index: dict = {}
+    vals = {c: right[c] for c in value_cols}
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        index[keys[s]] = (ts[s:e], s)  # (sorted ts, base offset into right)
+    return {"index": index, "values": vals, "n": right.num_rows}
+
+
+class AsofProber:
+    """Stateless-task probe with a per-process cache of the built index."""
+
+    _CACHE: dict = {}
+
+    def __init__(
+        self,
+        right_ref,
+        left_key: str,
+        left_ts: str,
+        right_key: str,
+        right_ts: str,
+        value_cols: Sequence[str],
+        how: str = "inner",
+    ):
+        self.left_key = left_key
+        self.left_ts = left_ts
+        self.right_ref = right_ref
+        self.right_key = right_key
+        self.right_ts = right_ts
+        self.value_cols = list(value_cols)
+        self.how = how
+
+    def _index(self):
+        key = self.right_ref.hex() if hasattr(self.right_ref, "hex") else id(self.right_ref)
+        ck = (key, self.right_key, self.right_ts, tuple(self.value_cols))
+        idx = AsofProber._CACHE.get(ck)
+        if idx is None:
+            right = (
+                ray.get(self.right_ref)
+                if isinstance(self.right_ref, ray.ObjectRef)
+                else self.right_ref
+            )
+            idx = AsofProber._CACHE[ck] = _build_index(
+                right, self.right_key, self.right_ts, self.value_cols
+            )
+        return idx
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        built = self._index()
+        index, values = built["index"], built["values"]
+        n = batch.num_rows
+        lkeys = batch[self.left_key].to_numpy(zero_copy_only=False)
+        lts = batch[self.left_ts].combine_chunks().cast(pa.int64()).to_numpy()
+        match = np.full(n, -1, dtype=np.int64)
+        # vectorized probe: one searchsorted per distinct key in the batch
+        for k in np.unique(lkeys):
+            ent = index.get(k)
+            if ent is None:
+                continue
+            ts_arr, base = ent
+            rows = np.flatnonzero(lkeys == k)
+            pos = np.searchsorted(ts_arr, lts[rows], side="right") - 1
+            ok = pos >= 0
+            match[rows[ok]] = base + pos[ok]
+        found = match >= 0
+        out = batch
+        take = pa.array(np.where(found, match, 0))
+        null_mask = pa.array(~found)
+        for c in self.value_cols:
+            col = values[c].take(take)
+            col = pc.if_else(null_mask, pa.scalar(None, col.type), col)
+            out = out.append_column(c, col)
+        if self.how == "inner":
+            out = out.filter(pa.array(found))
+        return out
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: pa.Table,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Backward as-of join of ``left`` against the broadcast ``right``."""
+    ref = ray.put(right)
+    prober = AsofProber(
+        ref, left_key, left_ts, right_key, right_ts, value_cols, how
+    )
+    return left.map_batches(
+        prober, batch_format="pyarrow", zero_copy_batch=True
+    )
