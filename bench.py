@@ -35,9 +35,11 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     import ray.data
 
     from sqlgrep_ray.pipelines.contract import (
+        q_asof_join_orders,
         q_groupby_q1,
         q_minhash_pairs,
         q_regex_extract_docs,
+        q_sessionize_users,
         q_knn_top5,
     )
     from sqlgrep_ray.pipelines.flagship import flagship, sink_counts
@@ -67,6 +69,14 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     t0 = time.time()
     q_knn_top5(sf_dir).count()
     timings["knn_top5"] = time.time() - t0
+
+    t0 = time.time()
+    q_sessionize_users(sf_dir).count()
+    timings["sessionize_users"] = time.time() - t0
+
+    t0 = time.time()
+    q_asof_join_orders(sf_dir).count()
+    timings["asof_join_orders"] = time.time() - t0
 
     return timings, turns
 

@@ -194,11 +194,9 @@ def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]
 
 
 class MinHasher:
-    """Actor-pool stage: text → minhash signature (n_perm × uint64).
-
-    Permutation parameters are derived once per actor in ``__init__`` (the
-    stateful-stage pattern — cf. reference regex compile-once,
-    ``data_model.rs:44-50``)."""
+    """text → minhash signature (n_perm × uint64); built once per worker
+    process via ``_HASHER_CACHE`` (stateful-stage pattern — cf. reference
+    regex compile-once, ``data_model.rs:44-50``)."""
 
     def __init__(self, text_col: str = "text", n_perm: int = 64, shingle_k: int = 3):
         self.text_col = text_col
