@@ -225,6 +225,57 @@ class MinHasher:
         return batch.append_column("minhash", sig_list)
 
 
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs n-gram Jaccard ≥ threshold — O(n²), for SMALL
+    candidate sets only (e.g. the output of an LSH pre-filter or a single
+    partition). For corpora use ``minhash_lsh_dedup``, which bounds the
+    comparisons by banding."""
+
+    def all_pairs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        shingles = [_token_shingles(x or "", shingle_k) for x in texts]
+        a_out, b_out, j_out = [], [], []
+        order = np.argsort(ids)
+        m = len(ids)
+        for x in range(m):
+            for y in range(x + 1, m):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                sa, sb = shingles[i], shingles[j]
+                if not sa and not sb:
+                    jac = 1.0
+                elif not sa or not sb:
+                    jac = 0.0
+                else:
+                    inter = len(sa & sb)
+                    jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .repartition(1)
+        .map_batches(all_pairs, batch_format="pyarrow")
+    )
+
+
 def jaccard_tokens(a: str, b: str, k: int = 3) -> float:
     sa, sb = _token_shingles(a or "", k), _token_shingles(b or "", k)
     if not sa and not sb:
