@@ -15,7 +15,13 @@ from sqlgrep_ray.functions.exprs import (
     Lit,
     compile_expr,
 )
-from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey, SelectPlan
+from sqlgrep_ray.pipelines.plan import (
+    AggItem,
+    AggregatePlan,
+    GroupKey,
+    Projection,
+    SelectPlan,
+)
 from sqlgrep_ray.pipelines.runner import run_plan
 from sqlgrep_ray.schema import FLOAT, INT, INTERVAL, STRING
 
@@ -216,3 +222,27 @@ def test_small_vs_distributed_equivalence(ray_session):
         ),
     ).take_all()
     assert rows_small == rows_dist
+
+
+def test_select_preserves_input_order_with_option(ray_session):
+    """Reference select output follows input line order (executor.rs:79-104);
+    Ray matches it under the preserve_order execution option (SURVEY §7.5)."""
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        t = pa.table({"i": pa.array(range(1000), pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(8)
+        out = run_plan(
+            ds,
+            SelectPlan(
+                projections=(Projection("i", Col("i")),),
+                where=Bin("ge", Col("i"), Lit(0)),
+            ),
+        ).take_all()
+        assert [r["i"] for r in out] == list(range(1000))
+    finally:
+        ctx.execution_options.preserve_order = prev

@@ -31,7 +31,12 @@ def to_df(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.empty and len(df.columns) == 0:
+            # Ray to_pandas drops columns for empty datasets; rebuild from
+            # the (known) schema so empty results keep their shape
+            df = pd.DataFrame(columns=res.schema().names)
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
