@@ -331,6 +331,37 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_shuffle_join_orders(sf_dir: str) -> Result:
+    """Distributed hash join (both sides shuffle — the large-side fallback,
+    stages/enrich.shuffle_join) orders ⋈ customer, then aggregate."""
+    from sqlgrep_ray.stages.enrich import shuffle_join
+
+    joined = shuffle_join(
+        _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
+        _t(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        how="inner",
+    )
+    return run_plan(
+        joined,
+        AggregatePlan(
+            group_by=(GroupKey("c_mktsegment", Col("c_mktsegment")),),
+            aggs=(
+                AggItem("n", "count_star"),
+                AggItem("max_total", "max", Col("o_totalprice")),
+            ),
+        ),
+    )
+
+
+SQL_SHUFFLE_JOIN_ORDERS = """
+SELECT c_mktsegment, count(*) AS n, max(o_totalprice) AS max_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_count_distinct_users(sf_dir: str) -> Result:
     plan = AggregatePlan(
         group_by=(GroupKey("event_type", Col("event_type")),),
@@ -995,6 +1026,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "join_customer_nation": q_join_customer_nation,
     "join_left_part": q_join_left_part,
     "join_chain_region": q_join_chain_region,
+    "shuffle_join_orders": q_shuffle_join_orders,
     "count_distinct_users": q_count_distinct_users,
     "stddev_quantity": q_stddev_quantity,
     "percentile_price": q_percentile_price,
@@ -1040,6 +1072,7 @@ ORACLES: dict[str, str] = {
     "join_customer_nation": SQL_JOIN_CUSTOMER_NATION,
     "join_left_part": SQL_JOIN_LEFT_PART,
     "join_chain_region": SQL_JOIN_CHAIN_REGION,
+    "shuffle_join_orders": SQL_SHUFFLE_JOIN_ORDERS,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "stddev_quantity": SQL_STDDEV_QUANTITY,
     "percentile_price": SQL_PERCENTILE_PRICE,

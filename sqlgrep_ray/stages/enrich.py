@@ -109,3 +109,31 @@ class BroadcastJoiner:
 def broadcast(table: pa.Table) -> "ray.ObjectRef":
     """``ray.put`` the build side once; pass the ref to every joiner task/actor."""
     return ray.put(table)
+
+
+def shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Distributed hash join — the LARGE-side fallback (SURVEY §2.5).
+
+    When the joined side does not fit in memory, broadcast is impossible and
+    both sides must shuffle on the key: this wraps Ray Data's native
+    ``Dataset.join`` (hash-partition both inputs, join per partition). Use
+    :class:`BroadcastJoiner` whenever the right side fits one worker — it
+    moves no left-side data at all.
+    """
+    import ray.data  # noqa: F401  (type only)
+
+    how_map = {"inner": "inner", "left": "left_outer"}
+    return left.join(
+        right,
+        join_type=how_map.get(how, how),
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on is not None else None,
+        num_partitions=num_partitions or 16,
+    )
