@@ -678,6 +678,43 @@ SQL_SQL_JSON_GROUPBY = SQL_JSON_EXTRACT_EVENTS
 # ---------------------------------------------------------------------------
 
 
+def q_hash_sample_docs(sf_dir: str) -> Result:
+    """Deterministic ~20% sample of documents (stages/sample.py) — integer
+    Knuth-hash rule, exactly reproducible in SQL."""
+    from sqlgrep_ray.stages.sample import hash_sample
+
+    out = hash_sample(_t(sf_dir, "documents"), id_col="doc_id", fraction=0.2)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+SQL_HASH_SAMPLE_DOCS = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT)
+"""
+
+
+def q_stratified_sample_docs(sf_dir: str) -> Result:
+    """Per-language deterministic downsampling."""
+    from sqlgrep_ray.stages.sample import stratified_sample
+
+    out = stratified_sample(
+        _t(sf_dir, "documents"),
+        id_col="doc_id",
+        stratum_col="lang",
+        fractions={"en": 0.5, "de": 0.1},
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND (doc_id * 2654435761) % 4294967296
+         < CAST(0.5 * 4294967296 AS BIGINT))
+   OR (lang = 'de' AND (doc_id * 2654435761) % 4294967296
+         < CAST(0.1 * 4294967296 AS BIGINT))
+"""
+
+
 def q_dedup_exact(sf_dir: str) -> Result:
     """Exact dedup on a collision-rich key: keep min doc_id per n_chars."""
     return exact_dedup(_t(sf_dir, "documents"), key="n_chars", id_col="doc_id")
@@ -1041,6 +1078,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_regex_groupby": q_sql_regex_groupby,
     "sql_json_groupby": q_sql_json_groupby,
     "split_extract_docs": q_split_extract_docs,
+    "hash_sample_docs": q_hash_sample_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "knn_top5": q_knn_top5,
@@ -1087,6 +1126,8 @@ ORACLES: dict[str, str] = {
     "sql_regex_groupby": SQL_SQL_REGEX_GROUPBY,
     "sql_json_groupby": SQL_SQL_JSON_GROUPBY,
     "split_extract_docs": SQL_SPLIT_EXTRACT_DOCS,
+    "hash_sample_docs": SQL_HASH_SAMPLE_DOCS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_top5": SQL_KNN_TOP5,

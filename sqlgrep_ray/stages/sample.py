@@ -1,0 +1,67 @@
+"""Deterministic sampling — reproducible subsets for training-data curation.
+
+``Dataset.random_shuffle`` / ``random_sample`` are non-deterministic across
+runs; curation pipelines need samples that are stable under re-execution and
+resumable runs. These use a Knuth multiplicative hash over an integer id
+column — pure integer arithmetic, so the same rule is expressible exactly in
+SQL (the DuckDB oracle) and any other engine:
+
+    keep row  iff  (id * 2654435761) mod 2^32  <  fraction * 2^32
+
+* ``hash_sample``       — global fraction.
+* ``stratified_sample`` — per-stratum fraction dict (e.g. downsample one
+  language harder than another); rows whose stratum is absent are dropped.
+
+Both are single vectorized ``map_batches`` filters — no shuffle, no driver
+state, trivially resumable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_KNUTH = np.uint64(2654435761)
+_MOD = np.uint64(1 << 32)
+
+
+def _keep_mask(ids: np.ndarray, fraction: float) -> np.ndarray:
+    h = (ids.astype(np.uint64) * _KNUTH) % _MOD
+    return h < np.uint64(int(fraction * float(1 << 32)))
+
+
+def hash_sample(
+    ds: "ray.data.Dataset", id_col: str, fraction: float
+) -> "ray.data.Dataset":
+    """Deterministic ~``fraction`` sample keyed on ``id_col``."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_keep_mask(ids, fraction)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic sampling (strata not listed are dropped)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        strata = t[stratum_col].to_pylist()
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for s, frac in fractions.items():
+            rows = np.array([x == s for x in strata])
+            if rows.any():
+                keep[rows] = _keep_mask(ids[rows], frac)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
