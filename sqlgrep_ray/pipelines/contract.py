@@ -67,8 +67,20 @@ from sqlgrep_ray.stages.textstats import text_stats
 Result = Any  # Dataset | pandas.DataFrame | pyarrow.Table
 
 
-def _t(sf_dir: str, name: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    """Table read; pass ``columns`` (or derive via
+    ``runner.referenced_columns(plan)``) so only needed columns leave
+    storage — ``select_columns`` after the read does NOT prune it."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _tp(sf_dir: str, name: str, plan) -> "ray.data.Dataset":
+    """Read pruned to exactly the columns ``plan`` references."""
+    from sqlgrep_ray.pipelines.runner import referenced_columns
+
+    return _t(sf_dir, name, columns=referenced_columns(plan))
 
 
 def _pat(sf_dir: str, name: str) -> pa.Table:
@@ -101,7 +113,7 @@ def q_select_where_project(sf_dir: str) -> Result:
             Bin("le", Col("l_discount"), Lit(0.05)),
         ),
     )
-    return run_plan(_t(sf_dir, "lineitem"), plan)
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
 
 
 SQL_SELECT_WHERE_PROJECT = """
@@ -122,7 +134,7 @@ def q_agg_global(sf_dir: str) -> Result:
             AggItem("max_price", "max", Col("l_extendedprice")),
         ),
     )
-    return run_plan(_t(sf_dir, "lineitem"), plan)
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
 
 
 SQL_AGG_GLOBAL = """
@@ -162,7 +174,7 @@ def q_groupby_q1(sf_dir: str) -> Result:
         ),
         where=Bin("le", Col("l_shipdate"), Lit("1998-09-02 00:00:00")),
     )
-    return run_plan(_t(sf_dir, "lineitem"), plan)
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
 
 
 SQL_GROUPBY_Q1 = """
@@ -185,7 +197,7 @@ def q_groupby_expr_hour(sf_dir: str) -> Result:
             AggItem("min_value", "min", Col("value")),
         ),
     )
-    return run_plan(_t(sf_dir, "events"), plan)
+    return run_plan(_tp(sf_dir, "events", plan), plan)
 
 
 SQL_GROUPBY_EXPR_HOUR = """
@@ -204,7 +216,7 @@ def q_having_priority(sf_dir: str) -> Result:
         ),
         having=Bin("gt", Col("n"), Lit(2900)),
     )
-    return run_plan(_t(sf_dir, "orders"), plan)
+    return run_plan(_tp(sf_dir, "orders", plan), plan)
 
 
 SQL_HAVING_PRIORITY = """
@@ -221,7 +233,7 @@ def q_distinct_status(sf_dir: str) -> Result:
         ),
         distinct=True,
     )
-    return run_plan(_t(sf_dir, "orders"), plan)
+    return run_plan(_tp(sf_dir, "orders", plan), plan)
 
 
 SQL_DISTINCT_STATUS = """
@@ -243,7 +255,7 @@ def q_join_customer_nation(sf_dir: str) -> Result:
             right=nation, left_key="c_nationkey", right_key="n_nationkey", how="inner"
         ),
     )
-    return run_plan(_t(sf_dir, "customer"), plan)
+    return run_plan(_tp(sf_dir, "customer", plan), plan)
 
 
 SQL_JOIN_CUSTOMER_NATION = """
@@ -370,7 +382,7 @@ def q_count_distinct_users(sf_dir: str) -> Result:
             AggItem("n", "count_star"),
         ),
     )
-    return run_plan(_t(sf_dir, "events"), plan)
+    return run_plan(_tp(sf_dir, "events", plan), plan)
 
 
 SQL_COUNT_DISTINCT_USERS = """
@@ -399,7 +411,7 @@ def q_stddev_quantity(sf_dir: str) -> Result:
             ),
         ),
     )
-    return run_plan(_t(sf_dir, "lineitem"), plan)
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
 
 
 SQL_STDDEV_QUANTITY = """
@@ -415,7 +427,7 @@ def q_percentile_price(sf_dir: str) -> Result:
         group_by=(GroupKey("l_linestatus", Col("l_linestatus")),),
         aggs=(AggItem("p50", "percentile", Col("l_extendedprice"), extra=0.5),),
     )
-    return run_plan(_t(sf_dir, "lineitem"), plan)
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
 
 
 SQL_PERCENTILE_PRICE = """
@@ -437,7 +449,7 @@ def q_array_string_agg(sf_dir: str) -> Result:
             AggItem("joined", "string_agg", Col("n_name"), extra=","),
         ),
     )
-    return run_plan(_t(sf_dir, "nation"), plan)
+    return run_plan(_tp(sf_dir, "nation", plan), plan)
 
 
 SQL_ARRAY_STRING_AGG = """
@@ -462,7 +474,7 @@ def q_case_priority(sf_dir: str) -> Result:
         group_by=(GroupKey("band", band),),
         aggs=(AggItem("n", "count_star"),),
     )
-    return run_plan(_t(sf_dir, "orders"), plan)
+    return run_plan(_tp(sf_dir, "orders", plan), plan)
 
 
 SQL_CASE_PRIORITY = """
@@ -491,7 +503,7 @@ def q_scalar_funcs_part(sf_dir: str) -> Result:
         ),
         where=Bin("lt", Col("p_partkey"), Lit(500)),
     )
-    return run_plan(_t(sf_dir, "part"), plan)
+    return run_plan(_tp(sf_dir, "part", plan), plan)
 
 
 SQL_SCALAR_FUNCS_PART = """
@@ -508,7 +520,7 @@ def q_in_list_flags(sf_dir: str) -> Result:
         aggs=(AggItem("n", "count_star"),),
         where=InList(Col("l_returnflag"), (Lit("A"), Lit("R"))),
     )
-    return run_plan(_t(sf_dir, "lineitem"), plan)
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
 
 
 SQL_IN_LIST_FLAGS = """
@@ -524,7 +536,7 @@ def q_groupby_limit(sf_dir: str) -> Result:
         aggs=(AggItem("n", "count_star"),),
         limit=3,
     )
-    return run_plan(_t(sf_dir, "orders"), plan)
+    return run_plan(_tp(sf_dir, "orders", plan), plan)
 
 
 SQL_GROUPBY_LIMIT = """
@@ -540,7 +552,7 @@ def q_date_trunc_day(sf_dir: str) -> Result:
         ),
         aggs=(AggItem("n", "count_star"),),
     )
-    return run_plan(_t(sf_dir, "events"), plan)
+    return run_plan(_tp(sf_dir, "events", plan), plan)
 
 
 SQL_DATE_TRUNC_DAY = """

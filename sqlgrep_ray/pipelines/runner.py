@@ -49,6 +49,52 @@ from sqlgrep_ray.stages.aggregate import (
 from sqlgrep_ray.stages.enrich import BroadcastJoiner
 
 
+def referenced_columns(plan: Plan) -> Optional[list[str]]:
+    """Input columns a plan reads — pass to ``read_parquet(columns=…)`` so
+    only needed columns leave storage ("prune at the read"). Returns None
+    for wildcard selects (all columns needed)."""
+    from sqlgrep_ray.functions.exprs import Col as _Col
+
+    cols: set[str] = set()
+
+    def walk(e) -> None:
+        if e is None:
+            return
+        if isinstance(e, _Col):
+            if e.name != "$value":
+                cols.add(e.name)
+            return
+        from sqlgrep_ray.sqlfront import _children
+
+        for c in _children(e):
+            walk(c)
+
+    if isinstance(plan, SelectPlan):
+        if plan.projections is None:
+            return None  # wildcard
+        for p in plan.projections:
+            walk(p.expr)
+        walk(plan.where)
+    else:
+        for k in plan.group_by:
+            walk(k.expr)
+        for a in plan.aggs:
+            walk(a.arg)
+        walk(plan.where)
+        # having is NOT walked: it references OUTPUT names (agg aliases),
+        # not input columns; its input needs arrive via the agg args
+    if plan.join is not None:
+        cols.add(plan.join.left_key)
+        # right-side columns come from the broadcast table, not the read
+        right = plan.join.right
+        if isinstance(right, pa.Table):
+            prefix = plan.join.right_prefix
+            for n in right.column_names:
+                cols.discard(prefix + n if prefix else n)
+        cols.discard(plan.join.right_key)
+    return sorted(cols)
+
+
 def run_plan(
     ds: "ray.data.Dataset",
     plan: Plan,
