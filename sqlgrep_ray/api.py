@@ -104,7 +104,9 @@ class Tables:
             return source
         if isinstance(source, str):
             if source.endswith(".parquet") or os.path.isdir(source):
-                return ray.data.read_parquet(source)
+                # prune at the read: the parse stage only consumes the raw
+                # text column (select_columns later would NOT prune the scan)
+                return ray.data.read_parquet(source, columns=[text_col])
             return ray.data.read_text(source)
         # iterable of raw lines
         return ray.data.from_arrow(

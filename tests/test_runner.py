@@ -329,3 +329,33 @@ def test_case_projection(ray_session, sf_dir):
         "when o_totalprice > 50000 then 'mid' else 'small' end bucket from orders",
         sf_dir,
     )
+
+
+def test_referenced_columns_pruning():
+    from sqlgrep_ray.functions.exprs import Bin, Col, Func, Lit
+    from sqlgrep_ray.pipelines.plan import (
+        AggItem,
+        AggregatePlan,
+        GroupKey,
+        JoinSpec,
+        Projection,
+        SelectPlan,
+    )
+    from sqlgrep_ray.pipelines.runner import referenced_columns
+    import pyarrow as pa
+
+    p1 = SelectPlan(
+        projections=(Projection("a", Col("a")), Projection("c2", Bin("mul", Col("c"), Lit(2)))),
+        where=Bin("gt", Col("b"), Lit(1)),
+    )
+    assert referenced_columns(p1) == ["a", "b", "c"]
+    assert referenced_columns(SelectPlan(projections=None)) is None  # wildcard
+
+    right = pa.table({"rk": [1], "rv": ["x"]})
+    p2 = AggregatePlan(
+        group_by=(GroupKey("rv", Col("rv")),),  # right-side key → not read
+        aggs=(AggItem("n", "count_star"), AggItem("s", "sum", Col("v"))),
+        having=Bin("gt", Col("n"), Lit(0)),  # output name → not read
+        join=JoinSpec(right=right, left_key="lk", right_key="rk"),
+    )
+    assert referenced_columns(p2) == ["lk", "v"]
