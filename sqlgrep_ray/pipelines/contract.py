@@ -349,8 +349,8 @@ def q_shuffle_join_orders(sf_dir: str) -> Result:
     from sqlgrep_ray.stages.enrich import shuffle_join
 
     joined = shuffle_join(
-        _t(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
-        _t(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]),
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
         on=("o_custkey",),
         right_on=("c_custkey",),
         how="inner",
@@ -695,7 +695,11 @@ def q_hash_sample_docs(sf_dir: str) -> Result:
     Knuth-hash rule, exactly reproducible in SQL."""
     from sqlgrep_ray.stages.sample import hash_sample
 
-    out = hash_sample(_t(sf_dir, "documents"), id_col="doc_id", fraction=0.2)
+    out = hash_sample(
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        id_col="doc_id",
+        fraction=0.2,
+    )
     return out.select_columns(["doc_id", "lang", "n_chars"])
 
 
@@ -710,7 +714,7 @@ def q_stratified_sample_docs(sf_dir: str) -> Result:
     from sqlgrep_ray.stages.sample import stratified_sample
 
     out = stratified_sample(
-        _t(sf_dir, "documents"),
+        _t(sf_dir, "documents", ["doc_id", "lang"]),
         id_col="doc_id",
         stratum_col="lang",
         fractions={"en": 0.5, "de": 0.1},
@@ -729,7 +733,9 @@ WHERE (lang = 'en' AND (doc_id * 2654435761) % 4294967296
 
 def q_dedup_exact(sf_dir: str) -> Result:
     """Exact dedup on a collision-rich key: keep min doc_id per n_chars."""
-    return exact_dedup(_t(sf_dir, "documents"), key="n_chars", id_col="doc_id")
+    return exact_dedup(
+        _t(sf_dir, "documents", ["n_chars", "doc_id"]), key="n_chars", id_col="doc_id"
+    )
 
 
 SQL_DEDUP_EXACT = """
@@ -739,7 +745,7 @@ SELECT n_chars, min(doc_id) AS doc_id FROM documents GROUP BY 1 ORDER BY 1
 
 def q_token_counts(sf_dir: str) -> Result:
     ds = text_stats(
-        _t(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        _t(sf_dir, "documents", ["doc_id", "text"]),
         tokens=True,
         quality=False,
         language=False,
@@ -772,7 +778,7 @@ def q_knn_top5(sf_dir: str) -> Result:
 
     q = emb.filter(pc.less(emb["vec_id"], 3)).select(["vec_id", "embedding"])
     q = q.rename_columns(["query_id", "embedding"])
-    out = knn_brute_force(_t(sf_dir, "embeddings"), q, k=5)
+    out = knn_brute_force(_t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -789,15 +795,21 @@ SELECT query_id, vec_id FROM (
 
 
 def q_minhash_pairs(sf_dir: str) -> Result:
-    return minhash_lsh_dedup(_t(sf_dir, "documents"), id_col="doc_id", threshold=0.8)
+    return minhash_lsh_dedup(
+        _t(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", threshold=0.8
+    )
 
 
 def q_simhash_pairs(sf_dir: str) -> Result:
-    return simhash_dedup(_t(sf_dir, "documents"), id_col="doc_id", max_hamming=3)
+    return simhash_dedup(
+        _t(sf_dir, "documents", ["doc_id", "text"]), id_col="doc_id", max_hamming=3
+    )
 
 
 def q_embedding_dups(sf_dir: str) -> Result:
-    return embedding_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.95)
+    return embedding_dup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95
+    )
 
 
 def q_knn_ivf(sf_dir: str) -> Result:
@@ -806,13 +818,15 @@ def q_knn_ivf(sf_dir: str) -> Result:
 
     q = emb.filter(pc.less(emb["vec_id"], 3)).select(["vec_id", "embedding"])
     q = q.rename_columns(["query_id", "embedding"])
-    out = knn_ivf(_t(sf_dir, "embeddings"), q, k=5, n_centroids=8, n_probe=4)
+    out = knn_ivf(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5, n_centroids=8, n_probe=4
+    )
     return out.select_columns(["query_id", "vec_id"])
 
 
 def q_lang_quality(sf_dir: str) -> Result:
     ds = text_stats(
-        _t(sf_dir, "documents").select_columns(["doc_id", "text"]), tokens=False
+        _t(sf_dir, "documents", ["doc_id", "text"]), tokens=False
     )
     return ds.select_columns(["doc_id", "lang_pred", "quality_score", "fingerprint"])
 
@@ -930,7 +944,7 @@ def q_asof_join_orders(sf_dir: str) -> Result:
 
     orders = _pat(sf_dir, "orders").select(["o_custkey", "o_orderdate"])
     out = asof_join(
-        _t(sf_dir, "events").select_columns(["event_id", "user_id", "ts"]),
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
         orders,
         left_key="user_id",
         left_ts="ts",
@@ -976,7 +990,9 @@ def q_sessionize_users(sf_dir: str) -> Result:
     """Gap-based sessionization per user (30-min inactivity gap)."""
     from sqlgrep_ray.stages.window import sessionize
 
-    return sessionize(_t(sf_dir, "events"), key="user_id", ts_col="ts", gap_s=1800)
+    return sessionize(
+        _t(sf_dir, "events", ["user_id", "ts"]), key="user_id", ts_col="ts", gap_s=1800
+    )
 
 
 SQL_SESSIONIZE_USERS = """
