@@ -690,6 +690,31 @@ SQL_SQL_JSON_GROUPBY = SQL_JSON_EXTRACT_EVENTS
 # ---------------------------------------------------------------------------
 
 
+def q_topk_docs_per_lang(sf_dir: str) -> Result:
+    """Top-3 longest documents per language (stages/topk.py — combiner-first
+    per-block top-k, then one-block merge)."""
+    from sqlgrep_ray.stages.topk import grouped_topk
+
+    out = grouped_topk(
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        keys=["lang"],
+        score_col="n_chars",
+        tie_col="doc_id",
+        k=3,
+    )
+    return out.select_columns(["lang", "doc_id", "n_chars"])
+
+
+SQL_TOPK_DOCS_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
 def q_hash_sample_docs(sf_dir: str) -> Result:
     """Deterministic ~20% sample of documents (stages/sample.py) — integer
     Knuth-hash rule, exactly reproducible in SQL."""
@@ -1106,6 +1131,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_regex_groupby": q_sql_regex_groupby,
     "sql_json_groupby": q_sql_json_groupby,
     "split_extract_docs": q_split_extract_docs,
+    "topk_docs_per_lang": q_topk_docs_per_lang,
     "hash_sample_docs": q_hash_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "dedup_exact": q_dedup_exact,
@@ -1154,6 +1180,7 @@ ORACLES: dict[str, str] = {
     "sql_regex_groupby": SQL_SQL_REGEX_GROUPBY,
     "sql_json_groupby": SQL_SQL_JSON_GROUPBY,
     "split_extract_docs": SQL_SPLIT_EXTRACT_DOCS,
+    "topk_docs_per_lang": SQL_TOPK_DOCS_PER_LANG,
     "hash_sample_docs": SQL_HASH_SAMPLE_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "dedup_exact": SQL_DEDUP_EXACT,
