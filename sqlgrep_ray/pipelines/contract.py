@@ -690,6 +690,21 @@ SQL_SQL_JSON_GROUPBY = SQL_JSON_EXTRACT_EVENTS
 # ---------------------------------------------------------------------------
 
 
+def q_curate_corpus(sf_dir: str) -> Result:
+    """Composed curation pipeline (pipelines/curate.py): quality/lang filter
+    → fingerprint dedup → near-dup removal. Heuristic filters → rows-only."""
+    from sqlgrep_ray.pipelines.curate import curate
+
+    out = curate(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        min_quality=0.2,
+        min_tokens=5,
+        drop_near_dups=True,
+        near_dup_threshold=0.9,
+    )
+    return out.select_columns(["doc_id", "lang_pred", "quality_score"])
+
+
 def q_topk_docs_per_lang(sf_dir: str) -> Result:
     """Top-3 longest documents per language (stages/topk.py — combiner-first
     per-block top-k, then one-block merge)."""
@@ -1131,6 +1146,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_regex_groupby": q_sql_regex_groupby,
     "sql_json_groupby": q_sql_json_groupby,
     "split_extract_docs": q_split_extract_docs,
+    "curate_corpus": q_curate_corpus,
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "hash_sample_docs": q_hash_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
