@@ -307,3 +307,34 @@ def test_distinct_e2e(ray_session, tables):
         "SELECT DISTINCT ip FROM connections", source=FTPD_LINES
     )
     assert sorted(r["ip"] for r in rows) == ["211.72.151.162", "82.68.222.194"]
+
+
+def test_sql_transform_and_having_e2e(ray_session, tables):
+    """Aggregate transform (SUM(x)*2 on $value) and HAVING with an
+    unprojected aggregate, through the full SQL path."""
+    rows = tables.execute_query_rows(
+        "SELECT day, COUNT(*) * 2 AS n2, MAX(minute) AS mm FROM connections "
+        "GROUP BY day HAVING MIN(hour) < 8",
+        source=FTPD_LINES,
+    )
+    # day 17 has hours {7,7} → min 7 < 8 kept; day 18 hour 10 → dropped
+    assert rows == [{"day": 17, "n2": 4, "mm": 7}]
+
+
+def test_sql_case_and_cast_e2e(ray_session, tables):
+    rows = tables.execute_query_rows(
+        "SELECT ip, CASE WHEN day >= 18 THEN 'late' ELSE 'early' END AS band, "
+        "day::text AS day_s FROM connections",
+        source=FTPD_LINES,
+    )
+    bands = {r["ip"]: (r["band"], r["day_s"]) for r in rows}
+    assert bands["211.72.151.162"] == ("late", "18")
+    assert bands["82.68.222.194"] == ("early", "17")
+
+
+def test_sql_limit_on_aggregate_e2e(ray_session, tables):
+    rows = tables.execute_query_rows(
+        "SELECT day, COUNT(*) AS n FROM connections GROUP BY day LIMIT 1",
+        source=FTPD_LINES,
+    )
+    assert rows == [{"day": 17, "n": 2}]  # sorted by key, first group
