@@ -579,7 +579,7 @@ def q_regex_extract_docs(sf_dir: str) -> Result:
     )
     from sqlgrep_ray.stages.parse import ParseTable
 
-    parsed = _t(sf_dir, "documents").map_batches(
+    parsed = _t(sf_dir, "documents", ["text"]).map_batches(
         ParseTable(tdef, "text"), batch_format="pyarrow", zero_copy_batch=True
     )
     return run_plan(
@@ -606,7 +606,7 @@ def q_json_extract_events(sf_dir: str) -> Result:
     )
     from sqlgrep_ray.stages.parse import ParseTable
 
-    parsed = _t(sf_dir, "events").map_batches(
+    parsed = _t(sf_dir, "events", ["props"]).map_batches(
         ParseTable(tdef, "props"), batch_format="pyarrow", zero_copy_batch=True
     )
     return run_plan(
@@ -634,7 +634,7 @@ def q_split_extract_docs(sf_dir: str) -> Result:
     )
     from sqlgrep_ray.stages.parse import ParseTable
 
-    parsed = _t(sf_dir, "documents").map_batches(
+    parsed = _t(sf_dir, "documents", ["text"]).map_batches(
         ParseTable(tdef, "text"), batch_format="pyarrow", zero_copy_batch=True
     )
     return run_plan(
@@ -663,7 +663,7 @@ def q_sql_regex_groupby(sf_dir: str) -> Result:
     )
     return t.execute_query(
         "SELECT kw, COUNT(*) AS n FROM kwt GROUP BY kw",
-        source=_t(sf_dir, "documents"),
+        source=_t(sf_dir, "documents", ["text"]),
     )
 
 
@@ -677,7 +677,7 @@ def q_sql_json_groupby(sf_dir: str) -> Result:
     t.add_tables("CREATE TABLE props_t({ .k } => k INT);")
     return t.execute_query(
         "SELECT k, COUNT(*) AS n FROM props_t GROUP BY k",
-        source=_t(sf_dir, "events"),
+        source=_t(sf_dir, "events", ["props"]),
         text_col="props",
     )
 
