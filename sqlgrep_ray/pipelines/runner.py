@@ -114,17 +114,21 @@ def _apply_join(
     if join is None:
         return ds
     how = "inner" if force_inner else join.how
+    # build the hash index ONCE at plan time; the instance (index + small
+    # right table) ships with the task definition and is deserialized once
+    # per worker process — no actor-pool spin-up (broadcast contract: the
+    # right side is small, reference join.rs "loaded completely in memory")
+    joiner = BroadcastJoiner(
+        right=join.right,
+        left_key=join.left_key,
+        right_key=join.right_key,
+        how=how,
+        right_prefix=join.right_prefix,
+    )
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs=dict(
-            right=join.right,
-            left_key=join.left_key,
-            right_key=join.right_key,
-            how=how,
-            right_prefix=join.right_prefix,
-        ),
+        joiner,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        zero_copy_batch=True,
     )
 
 
