@@ -10,6 +10,11 @@ pipeline runs, every stage streaming:
          → write partitioned parquet (resumable layout)
 
 Everything composes from existing stages; this module only wires them.
+
+No driver-side materialization: the exact-dedup survivor set is applied as
+a distributed semi-join on ``id_col`` and near-dup losers as a distributed
+anti-join — the keep-set never exists as one in-memory list (at 10^9 docs
+the round-1 ``to_pandas()`` keep-set was a driver OOM).
 """
 
 from __future__ import annotations
@@ -21,18 +26,58 @@ import pyarrow.compute as pc
 import ray.data
 
 from sqlgrep_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+from sqlgrep_ray.stages.enrich import join_partitions
 from sqlgrep_ray.stages.textstats import text_stats
+
+
+def _anti_join(
+    left: "ray.data.Dataset",
+    right_ids: "ray.data.Dataset",
+    id_col: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """left rows whose ``id_col`` does NOT appear in ``right_ids`` —
+    left-outer join against the deduped id set + null-marker filter (both
+    sides hash-partition on the id; no driver state)."""
+    from ray.data.aggregate import Max
+
+    marked = right_ids.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "__nd": pa.array([1] * t.num_rows, pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # dedup the right side: duplicate keys in a join's build side would
+    # fan out left rows
+    marked = marked.groupby(id_col).aggregate(
+        Max("__nd", alias_name="__nd", ignore_nulls=True)
+    )
+    joined = left.join(
+        marked, join_type="left_outer", on=(id_col,), num_partitions=num_partitions
+    )
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["__nd"])).drop_columns(["__nd"])
+
+    return joined.map_batches(
+        keep_unmatched, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def curate(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
     text_col: str = "text",
-    languages: Sequence[str] = ("en",),
+    languages: Optional[Sequence[str]] = ("en",),
     min_quality: float = 0.3,
     min_tokens: int = 5,
     drop_near_dups: bool = False,
     near_dup_threshold: float = 0.9,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Filter + dedup a document corpus; returns surviving (id, text, stats).
 
@@ -41,49 +86,50 @@ def curate(
     MinHash-LSH pairs above ``near_dup_threshold`` additionally remove the
     larger id of each pair (union-find-free policy: deterministic, may keep
     one member of a larger near-dup cluster per pair edge).
+
+    ``languages=None`` skips the language filter (stats are still computed);
+    with ``min_quality=0.0`` the surviving set is then SQL-expressible
+    (token floor + normalized-content dedup), which the contract oracle
+    exploits.
     """
-    langs = pa.array(list(languages))
+    num_partitions = join_partitions(num_partitions)
     stats = text_stats(ds, text_col=text_col)
+    langs = pa.array(list(languages)) if languages is not None else None
 
     def keep(t: pa.Table) -> pa.Table:
         mask = pc.and_(
-            pc.is_in(t["lang_pred"], value_set=langs),
-            pc.and_(
-                pc.greater_equal(t["quality_score"], min_quality),
-                pc.greater_equal(t["n_tokens_ws"], min_tokens),
-            ),
+            pc.greater_equal(t["quality_score"], min_quality),
+            pc.greater_equal(t["n_tokens_ws"], min_tokens),
         )
+        if langs is not None:
+            mask = pc.and_(pc.is_in(t["lang_pred"], value_set=langs), mask)
         return t.filter(mask)
 
     filtered = stats.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    filtered = filtered.materialize()  # two consumers below
+    # consumed 2-3×(winners, optional pairs, final joins) — pin once; blocks
+    # spill to the object store rather than re-running text_stats per consumer
+    filtered = filtered.materialize()
 
-    # exact dedup on content fingerprint → surviving ids
+    # exact dedup on content fingerprint → surviving ids; applied as a
+    # distributed semi-join (inner join on the id — the winner table carries
+    # one row per survivor, so no fan-out)
     winners = exact_dedup(filtered, key="fingerprint", id_col=id_col)
+    kept = filtered.join(
+        winners.select_columns([id_col]),
+        join_type="inner",
+        on=(id_col,),
+        num_partitions=num_partitions,
+    )
 
-    losers: Optional[set] = None
     if drop_near_dups:
         pairs = minhash_lsh_dedup(
             filtered, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
-        ).to_pandas()
-        losers = set(pairs["id_b"])  # drop the larger id of each pair
+        )
+        losers = pairs.map_batches(
+            lambda t: pa.table({id_col: t["id_b"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        kept = _anti_join(kept, losers, id_col, num_partitions)
 
-    keep_ids = winners.to_pandas()[id_col]
-    if losers:
-        keep_ids = keep_ids[~keep_ids.isin(list(losers))]
-    import numpy as np
-
-    import ray
-
-    ids_ref = ray.put(pa.array(np.sort(keep_ids.to_numpy())))
-
-    def final_filter(t: pa.Table, ids_ref=None) -> pa.Table:
-        ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
-        return t.filter(pc.is_in(t[id_col], value_set=ids))
-
-    return filtered.map_batches(
-        final_filter,
-        fn_kwargs=dict(ids_ref=ids_ref),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return kept

@@ -91,13 +91,19 @@ class AggregatePlan:
     having: Optional[Expr] = None
     distinct: bool = False
     limit: Optional[int] = None
-    # True (default): group-key cardinality is small (sqlgrep's norm) — after
-    # the per-block combiner the partials are coalesced to ONE block and
-    # merged/finalized/sorted locally, skipping two Ray all-to-all stages
-    # (each costs ~75 ms/input-block of fixed overhead).  Set False for
-    # high-cardinality keys (e.g. dedup-grade GROUP BYs): then the merge runs
-    # as a distributed ``groupby().aggregate()`` shuffle.
-    small_result: bool = True
+    # Merge-path selection for the per-block partials:
+    #   True  — group-key cardinality is small (sqlgrep's norm): partials are
+    #           coalesced to ONE block and merged/finalized/sorted locally,
+    #           skipping two Ray all-to-all stages (each costs ~75 ms/
+    #           input-block of fixed overhead);
+    #   False — high-cardinality keys: the merge runs as a distributed
+    #           ``groupby().aggregate()`` shuffle;
+    #   None (default) — AUTO: the runner materializes the (narrow) partials,
+    #           counts their rows, and picks the single-block merge only when
+    #           the count is under ``runner.SMALL_MERGE_MAX_PARTIAL_ROWS`` —
+    #           the count IS the merge input size, so the single task can
+    #           never be fed an unbounded block.
+    small_result: Optional[bool] = None
 
 
 Plan = Union[SelectPlan, AggregatePlan]

@@ -37,6 +37,7 @@ from sqlgrep_ray.pipelines.plan import (
 )
 from sqlgrep_ray.stages.aggregate import (
     _CONST_KEY,
+    HOLISTIC,
     FinalizeAggregates,
     GroupEvaluator,
     HolisticGroupAgg,
@@ -47,6 +48,11 @@ from sqlgrep_ray.stages.aggregate import (
     is_holistic,
 )
 from sqlgrep_ray.stages.enrich import BroadcastJoiner
+
+# AUTO merge-path bound (plan.small_result=None): single-block merge only
+# when the combined partial rows fit one task comfortably — 2M narrow rows
+# is tens of MB; beyond that the merge shuffles (groupby) instead.
+SMALL_MERGE_MAX_PARTIAL_ROWS = 2_000_000
 
 
 def referenced_columns(plan: Plan) -> Optional[list[str]]:
@@ -275,12 +281,23 @@ def run_aggregate(
     gb_keys = _interleaved(key_names) if key_names else [_CONST_KEY]
     markers = [_marker(i) for i in range(len(key_names))]
 
-    if plan.small_result and not is_holistic(plan):
-        # combiner-first tree-reduce: per-block partials → one block → local
-        # merge+finalize+having+sort (no Ray all-to-all; see plan.small_result)
-        ds = ds.map_batches(
+    small = plan.small_result
+    if not is_holistic(plan):
+        partials = ds.map_batches(
             PartialAggregator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
         )
+        if small is None:
+            # AUTO: the partials (one row per block×key, narrow) are the
+            # merge input either way — materialize them once and decide from
+            # their actual row count whether one merge task is safe. count()
+            # on a materialized dataset is metadata-only.
+            partials = partials.materialize()
+            small = partials.count() <= SMALL_MERGE_MAX_PARTIAL_ROWS
+        ds = partials
+
+    if small and not is_holistic(plan):
+        # combiner-first tree-reduce: per-block partials → one block → local
+        # merge+finalize+having+sort (no Ray all-to-all; see plan.small_result)
         agged = ds.repartition(1).map_batches(
             LocalMergeFinalize(plan, ctx), batch_format="pyarrow"
         )
@@ -316,9 +333,7 @@ def run_aggregate(
 
         agged = ds.groupby(gb_keys).map_groups(holistic_group, batch_format="pyarrow")
     else:
-        ds = ds.map_batches(
-            PartialAggregator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
-        )
+        # ds already holds the per-block partials (computed above)
         if enc is not None:
             ds = ds.map_batches(enc, batch_format="pyarrow", zero_copy_batch=True)
         merged = ds.groupby(gb_keys).aggregate(*_merge_aggs(plan))

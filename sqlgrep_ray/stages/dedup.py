@@ -32,38 +32,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-def _hot_bucket_verify(
-    bucketed: "ray.data.Dataset",
-    verify: "Callable[[pa.Table], pa.Table]",
-    empty: pa.Table,
-    distributed: bool = False,
-) -> "ray.data.Dataset":
-    """Run ``verify`` over every bucket that has ≥2 members.
+# Above this many candidate rows the single-task verify path is replaced by
+# the distributed shuffle path automatically (see ``_hot_bucket_verify``).
+AUTO_DISTRIBUTED_THRESHOLD = 200_000
 
-    Local path (default): bucket counts via per-block combiner + one-block
-    merge (all vectorized), broadcast the HOT bucket set, filter candidates
-    (only rows whose bucket collides — small by construction), coalesce, and
-    loop over hot buckets in one task. Avoids ``groupby().map_groups``,
-    whose per-group Python call over mostly-singleton buckets dominated the
-    stage (~0.1 ms × |buckets|).
 
-    ``distributed=True`` falls back to the shuffle path for corpora whose
-    collision set cannot fit one worker (pathological near-dup-heavy data).
-    """
-    import ray
+def _bucket_stats(bucketed: "ray.data.Dataset") -> tuple[pa.Array, int]:
+    """(hot bucket keys, total candidate rows) — buckets with ≥2 members.
 
-    if distributed:
-        def per_group(g: pa.Table) -> pa.Table:
-            return verify(g) if g.num_rows >= 2 else empty
-
-        pairs = bucketed.groupby("bucket").map_groups(
-            per_group, batch_format="pyarrow"
-        )
-        return _dedup_rows_small(pairs)
-
-    # two consumers (count pass + candidate filter) — pin the exploded set in
-    # the object store once instead of recomputing the signature pipeline
-    bucketed = bucketed.materialize()
+    Per-block combiner counts (vectorized ``pa.TableGroupBy``) → one small
+    merge block; only (bucket, count) partials move, never payloads."""
 
     def partial_counts(t: pa.Table) -> pa.Table:
         return pa.TableGroupBy(t.select(["bucket"]), ["bucket"]).aggregate(
@@ -77,7 +55,7 @@ def _hot_bucket_verify(
     def hot_of(t: pa.Table) -> pa.Table:
         merged = pa.TableGroupBy(t, ["bucket"]).aggregate([("count_all", "sum")])
         mask = pc.greater_equal(merged["count_all_sum"], 2)
-        return merged.filter(mask).select(["bucket"])
+        return merged.filter(mask)
 
     hot_tbl = pa.concat_tables(
         list(
@@ -85,20 +63,57 @@ def _hot_bucket_verify(
                 batch_format="pyarrow"
             )
         )
-        or [pa.table({"bucket": pa.array([], pa.int64())})]
+        or [
+            pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "count_all_sum": pa.array([], pa.int64()),
+                }
+            )
+        ]
     )
-    hot_ref = ray.put(hot_tbl["bucket"].combine_chunks())
+    n_cand = int(pc.sum(hot_tbl["count_all_sum"]).as_py() or 0)
+    return hot_tbl["bucket"].combine_chunks(), n_cand
 
-    def filter_hot(t: pa.Table, hot_ref=None) -> pa.Table:
-        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
-        return t.filter(pc.is_in(t["bucket"], value_set=hot))
 
-    cands = bucketed.map_batches(
-        filter_hot,
-        fn_kwargs=dict(hot_ref=hot_ref),
-        batch_format="pyarrow",
+def _filter_hot(ds: "ray.data.Dataset", hot: pa.Array) -> "ray.data.Dataset":
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    def f(t: pa.Table, hot_ref=None) -> pa.Table:
+        h = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        return t.filter(pc.is_in(t["bucket"], value_set=h))
+
+    return ds.map_batches(
+        f, fn_kwargs=dict(hot_ref=hot_ref), batch_format="pyarrow",
         zero_copy_batch=True,
-    ).repartition(1)
+    )
+
+
+def _distinct_pairs(pairs: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dataset":
+    """Distributed pair dedup: the same (id_a, id_b) surfaces once per
+    colliding band/table — ONE vectorized hash-aggregate shuffle keyed on the
+    pair (extra columns — jaccard/hamming/cosine — are identical across
+    duplicates; Max is a no-op merge). No per-group Python calls."""
+    from ray.data.aggregate import Max
+
+    extra = [c for c in empty.column_names if c not in ("id_a", "id_b")]
+    merged = pairs.groupby(["id_a", "id_b"]).aggregate(
+        *[Max(c, alias_name=c, ignore_nulls=True) for c in extra]
+    )
+    return merged
+
+
+def _verify_one_block(
+    cands: "ray.data.Dataset",
+    verify: "Callable[[pa.Table], pa.Table]",
+    empty: pa.Table,
+) -> "ray.data.Dataset":
+    """Single-task verify for SMALL candidate sets: coalesce, sort by bucket,
+    vectorized slice per bucket, in-task pair dedup. Avoids
+    ``groupby().map_groups`` whose per-group Python call over mostly-singleton
+    buckets dominated the stage (~0.1 ms × |buckets|)."""
 
     def verify_all(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -114,26 +129,51 @@ def _hot_bucket_verify(
                     pieces.append(out)
         if not pieces:
             return empty
-        # same pair surfaces from several bands — dedup in-task (the
-        # candidates are already coalesced to this one block)
         all_pairs = pa.concat_tables(pieces)
         return all_pairs.group_by(all_pairs.column_names).aggregate([])
 
-    return cands.map_batches(verify_all, batch_format="pyarrow")
+    return cands.repartition(1).map_batches(verify_all, batch_format="pyarrow")
 
 
-def _dedup_rows_small(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Exact row dedup for SMALL results (candidate pairs): per-block distinct
-    → one block → distinct. No all-to-all; a per-group ``map_groups`` over
-    thousands of 1-row groups costs a Python call per group, which dominated
-    the pair-dedup stage."""
+def _hot_bucket_verify(
+    bucketed: "ray.data.Dataset",
+    verify: "Callable[[pa.Table], pa.Table]",
+    empty: pa.Table,
+    distributed: Optional[bool] = None,
+    auto_threshold: int = AUTO_DISTRIBUTED_THRESHOLD,
+) -> "ray.data.Dataset":
+    """Run ``verify`` over every bucket that has ≥2 members.
 
-    def distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(t.column_names).aggregate([])
+    ``bucketed`` must carry every column ``verify`` needs plus ``bucket``.
+    Candidate counts are computed first (combiner + one merge block); the
+    path is then chosen from them:
 
-    return ds.map_batches(
-        distinct, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(1).map_batches(distinct, batch_format="pyarrow")
+    * local (small candidate set): broadcast the hot-bucket set, filter,
+      coalesce to ONE task, loop buckets vectorized — no shuffle at all;
+    * distributed (``distributed=True`` or candidate rows > auto_threshold):
+      hash-shuffle candidates on ``bucket``, verify per group, then ONE
+      vectorized pair-dedup aggregate — bounded per-worker memory on
+      near-dup-heavy corpora where the collision set would OOM one task.
+    """
+    # two consumers (count pass + candidate filter) — pin the bucketed set
+    # (narrow: ids + fixed-width signatures, never document text) once
+    bucketed = bucketed.materialize()
+    hot, n_cand = _bucket_stats(bucketed)
+    if len(hot) == 0:
+        return ray.data.from_arrow(empty)
+    if distributed is None:
+        distributed = n_cand > auto_threshold
+
+    cands = _filter_hot(bucketed, hot)
+    if distributed:
+        def per_group(g: pa.Table) -> pa.Table:
+            return verify(g) if g.num_rows >= 2 else empty
+
+        pairs = cands.groupby("bucket").map_groups(
+            per_group, batch_format="pyarrow"
+        )
+        return _distinct_pairs(pairs, empty)
+    return _verify_one_block(cands, verify, empty)
 
 
 # ---------------------------------------------------------------------------
@@ -293,14 +333,26 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     shingle_k: int = 3,
     max_bucket: int = 512,
+    distributed: Optional[bool] = None,
+    auto_threshold: int = AUTO_DISTRIBUTED_THRESHOLD,
 ) -> "ray.data.Dataset":
     """Near-duplicate PAIRS (id_a < id_b, jaccard ≥ threshold).
 
-    shingle → minhash (actor pool) → explode to (band, band_hash) keys →
-    groupby bucket → exact verify within bucket. The groupby shuffle moves
-    only (id, text, band key); at 100 TB swap ``text`` for a doc-store
-    pointer and verify in a second pass.
+    shingle → minhash → explode to (id, band-bucket) keys ONLY — document
+    text never rides the band explosion (×bands) or the shuffle; it is
+    re-attached just for the colliding candidate ids in the verify pass:
+
+    * local path (small collision set): broadcast the candidate id set,
+      filter the corpus to candidate (id, text) rows, verify in one task;
+    * distributed path (``distributed=True`` or candidates > auto_threshold):
+      hash-join candidates back to (id, text) on ``id_col`` then
+      ``groupby(bucket)`` verify per group — bounded per-worker memory.
+
+    The pinned intermediate is (id:int64, bucket:int64) — 16 bytes × rows ×
+    bands, not the corpus.
     """
+    import ray
+
     rows_per_band = n_perm // bands
 
     # stateless task + per-worker-process cache (no actor-pool spin-up; cf.
@@ -312,7 +364,8 @@ def minhash_lsh_dedup(
             mh = _HASHER_CACHE[key] = MinHasher(text_col, n_perm, k)
         return mh(t)
 
-    sigged = ds.select_columns([id_col, text_col]).map_batches(
+    docs = ds.select_columns([id_col, text_col])
+    sigged = docs.map_batches(
         minhash_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -322,8 +375,7 @@ def minhash_lsh_dedup(
         n = t.num_rows
         sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(n, n_perm)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        texts = t[text_col].to_pylist()
-        out_ids, out_txt, out_key = [], [], []
+        out_ids, out_key = [], []
         for b in range(bands):
             band = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
             bh = np.array(
@@ -334,17 +386,15 @@ def minhash_lsh_dedup(
                 dtype=np.int64,
             )
             out_ids.append(ids)
-            out_txt.extend(texts)
             out_key.append(bh)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(out_ids)),
-                text_col: pa.array(out_txt, pa.string()),
                 "bucket": pa.array(np.concatenate(out_key).astype(np.int64)),
             }
         )
 
-    buckets = sigged.map_batches(
+    exploded = sigged.map_batches(
         explode_bands, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -380,7 +430,83 @@ def minhash_lsh_dedup(
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    return _hot_bucket_verify(buckets, verify, empty)
+
+    # two consumers (count pass + hot filter) — pin the NARROW (id, bucket)
+    # set; at 10^9 docs × 16 bands this is ~256 GB spread over the cluster's
+    # object store, vs terabytes if text rode along (the round-1 bug)
+    exploded = exploded.materialize()
+    hot, n_cand = _bucket_stats(exploded)
+    if len(hot) == 0:
+        return ray.data.from_arrow(empty)
+    if distributed is None:
+        distributed = n_cand > auto_threshold
+
+    cands = _filter_hot(exploded, hot)  # (id, bucket) pairs, hot only
+
+    if distributed:
+        # attach text by a hash join on id (narrow left side), then shuffle
+        # candidates to their buckets and verify per group
+        from sqlgrep_ray.stages.enrich import join_partitions
+
+        joined = cands.join(
+            docs, join_type="inner", on=(id_col,),
+            num_partitions=join_partitions(),
+        )
+
+        def per_group(g: pa.Table) -> pa.Table:
+            return verify(g) if g.num_rows >= 2 else empty
+
+        pairs = joined.groupby("bucket").map_groups(
+            per_group, batch_format="pyarrow"
+        )
+        return _distinct_pairs(pairs, empty)
+
+    # local path: the candidate (id, bucket) pair set is small by
+    # construction (auto_threshold bounds it) — bring it to the driver,
+    # broadcast the id set, pull just those docs' text into ONE verify task
+    cand_tbl = pa.concat_tables(
+        list(cands.iter_batches(batch_format="pyarrow")) or [
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+        ]
+    )
+    if cand_tbl.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    cand_ids = pc.unique(cand_tbl[id_col].combine_chunks())
+    ids_ref = ray.put(cand_ids)
+    pairs_ref = ray.put(cand_tbl)
+
+    def keep_cand(t: pa.Table, ids_ref=None) -> pa.Table:
+        ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        return t.filter(pc.is_in(t[id_col], value_set=ids))
+
+    cand_docs = docs.map_batches(
+        keep_cand, fn_kwargs=dict(ids_ref=ids_ref),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def verify_all(texts: pa.Table, pairs_ref=None) -> pa.Table:
+        cand = ray.get(pairs_ref) if isinstance(pairs_ref, ray.ObjectRef) else pairs_ref
+        t = cand.join(texts, keys=id_col)  # (id, bucket, text), in-task
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, [("bucket", "ascending")]))
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
+        pieces = []
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            if e - s >= 2:
+                out = verify(t.slice(s, e - s))
+                if out.num_rows:
+                    pieces.append(out)
+        if not pieces:
+            return empty
+        all_pairs = pa.concat_tables(pieces)
+        return all_pairs.group_by(all_pairs.column_names).aggregate([])
+
+    return cand_docs.repartition(1).map_batches(
+        verify_all, fn_kwargs=dict(pairs_ref=pairs_ref), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -389,10 +515,20 @@ def minhash_lsh_dedup(
 
 
 class SimHasher:
-    """text → 64-bit simhash over whitespace tokens (deterministic)."""
+    """text → 64-bit simhash over whitespace tokens (deterministic).
 
-    def __init__(self, text_col: str = "text"):
+    ``with_msfp=True`` additionally emits ``msfp``, a 64-bit fingerprint of
+    the SORTED token list — equal iff the token multisets are equal. Used by
+    the ``exact_confirm`` mode of :func:`simhash_dedup`."""
+
+    def __init__(self, text_col: str = "text", with_msfp: bool = False):
         self.text_col = text_col
+        self.with_msfp = with_msfp
+
+    @staticmethod
+    def multiset_fp(text: Optional[str]) -> int:
+        toks = sorted((text or "").split())
+        return _hash64("\x00".join(toks).encode())
 
     @staticmethod
     def simhash64(text: Optional[str]) -> int:
@@ -412,10 +548,17 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column(
+        texts = batch[self.text_col].to_pylist()
+        hs = [self.simhash64(t) for t in texts]
+        batch = batch.append_column(
             "simhash", pa.array(np.array(hs, dtype=np.uint64), pa.uint64())
         )
+        if self.with_msfp:
+            fps = np.fromiter(
+                (self.multiset_fp(t) for t in texts), dtype=np.uint64, count=len(texts)
+            )
+            batch = batch.append_column("msfp", pa.array(fps, pa.uint64()))
+        return batch
 
 
 def simhash_dedup(
@@ -424,15 +567,25 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     n_tables: int = 4,
+    distributed: Optional[bool] = None,
+    exact_confirm: bool = False,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: bucket on each of ``n_tables`` 16-bit
     chunks (any pair within Hamming ≤3 of a 64-bit hash shares at least one
-    of 4 chunks — pigeonhole), verify Hamming within bucket."""
-    def simhash_batch(t: pa.Table, text_col=text_col):
-        key = ("simhash", text_col)
+    of 4 chunks — pigeonhole), verify Hamming within bucket. Only
+    (id, simhash, bucket) ever shuffles; ``distributed`` as in
+    :func:`_hot_bucket_verify` (None = auto from candidate count).
+
+    ``exact_confirm=True`` runs simhash as the CANDIDATE generator and
+    confirms each surviving pair by token-multiset equality (a 64-bit
+    fingerprint of the sorted token list rides beside the simhash) — the
+    result is then exactly the set of equal-token-multiset pairs, which an
+    ANSI-SQL oracle can reproduce (sorted-token-array equality join)."""
+    def simhash_batch(t: pa.Table, text_col=text_col, msfp=exact_confirm):
+        key = ("simhash", text_col, msfp)
         sh = _HASHER_CACHE.get(key)
         if sh is None:
-            sh = _HASHER_CACHE[key] = SimHasher(text_col)
+            sh = _HASHER_CACHE[key] = SimHasher(text_col, with_msfp=msfp)
         return sh(t)
 
     sigged = ds.select_columns([id_col, text_col]).map_batches(
@@ -446,15 +599,14 @@ def simhash_dedup(
         for i in range(n_tables):
             chunk = (h >> np.uint64(16 * i)) & np.uint64(0xFFFF)
             key = (chunk.astype(np.int64) << 3) | i
-            parts.append(
-                pa.table(
-                    {
-                        id_col: pa.array(ids),
-                        "simhash": pa.array(h, pa.uint64()),
-                        "bucket": pa.array(key),
-                    }
-                )
-            )
+            cols = {
+                id_col: pa.array(ids),
+                "simhash": pa.array(h, pa.uint64()),
+                "bucket": pa.array(key),
+            }
+            if exact_confirm:
+                cols["msfp"] = t["msfp"]
+            parts.append(pa.table(cols))
         return pa.concat_tables(parts)
 
     buckets = sigged.map_batches(explode, batch_format="pyarrow")
@@ -465,11 +617,18 @@ def simhash_dedup(
         if 2 <= m <= 1024:
             ids = group[id_col].to_pylist()
             hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            fps = (
+                group["msfp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                if exact_confirm
+                else None
+            )
             order = np.argsort(ids)
             for x in range(m):
                 for y in range(x + 1, m):
                     i, j = order[x], order[y]
                     if ids[i] == ids[j]:
+                        continue
+                    if fps is not None and fps[i] != fps[j]:
                         continue
                     d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
                     if d <= max_hamming:
@@ -491,7 +650,7 @@ def simhash_dedup(
             "hamming": pa.array([], pa.int64()),
         }
     )
-    return _hot_bucket_verify(buckets, verify, empty)
+    return _hot_bucket_verify(buckets, verify, empty, distributed=distributed)
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +665,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_buckets: int = 32,
     seed: int = 11,
+    distributed: Optional[bool] = None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by embedding cosine ≥ threshold.
 
@@ -572,4 +732,4 @@ def embedding_dup_pairs(
             "cosine": pa.array([], pa.float64()),
         }
     )
-    return _hot_bucket_verify(bucketed, verify, empty)
+    return _hot_bucket_verify(bucketed, verify, empty, distributed=distributed)

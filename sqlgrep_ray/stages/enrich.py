@@ -111,6 +111,23 @@ def broadcast(table: pa.Table) -> "ray.ObjectRef":
     return ray.put(table)
 
 
+def join_partitions(requested: Optional[int] = None, cap: int = 64) -> int:
+    """Safe ``num_partitions`` for ``Dataset.join``: Ray's hash-shuffle join
+    schedules one aggregator actor per partition (fractional CPU each) and
+    DEADLOCKS when the cluster cannot host them all — observed at 32
+    partitions on a 4-CPU local cluster; chained joins (e.g. semi-join then
+    anti-join) run BOTH aggregator pools concurrently, so each pool must fit
+    in a fraction of the cluster. One partition per CPU (0.25 CPU per
+    aggregator actor ⇒ a pool occupies a quarter of the cluster), capped."""
+    if requested is not None:
+        return requested
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cap, cpus))
+
+
 def shuffle_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -135,5 +152,5 @@ def shuffle_join(
         join_type=how_map.get(how, how),
         on=tuple(on),
         right_on=tuple(right_on) if right_on is not None else None,
-        num_partitions=num_partitions or 16,
+        num_partitions=join_partitions(num_partitions),
     )

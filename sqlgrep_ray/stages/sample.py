@@ -56,10 +56,11 @@ def stratified_sample(
 
     def f(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        strata = t[stratum_col].to_pylist()
+        col = t[stratum_col]
         keep = np.zeros(t.num_rows, dtype=bool)
         for s, frac in fractions.items():
-            rows = np.array([x == s for x in strata])
+            rows = pc.equal(col, s).to_numpy(zero_copy_only=False)
+            rows = np.asarray(rows, dtype=bool)  # null ⇒ False
             if rows.any():
                 keep[rows] = _keep_mask(ids[rows], frac)
         return t.filter(pa.array(keep))

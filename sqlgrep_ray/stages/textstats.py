@@ -29,11 +29,15 @@ import ray.data
 
 # BPE-ish piece splitter: word-with-leading-space pieces, numbers, punct runs
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+# re2 variant for Arrow kernels: re2's \s is ASCII-only, python's is unicode —
+# add \pZ (unicode separators) to the negated class for parity
+_BPE_RE2 = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9\pZ]+"
 
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been for on with as at by it "
     "this that from not have has had but they you we he she i".split()
 )
+_STOPWORD_ARR = pa.array(sorted(_STOPWORDS))
 
 # character-trigram profiles per language (top distinctive trigrams; a tiny
 # embedded stand-in for a real fastText-style model, which isn't in this
@@ -81,6 +85,103 @@ def detect_language(text: Optional[str]) -> str:
     return best_lang if best >= 0.04 else "und"
 
 
+# language-profile lookup tables for the byte-level vectorized matcher:
+# unique ASCII trigrams sorted by their 3-byte code, plus a per-lang
+# membership matrix; non-ASCII profile trigrams (only "ión") are handled by
+# an utf8-encoded byte-window of their encoded length.
+def _build_lang_tables():
+    uniq3: dict[int, int] = {}
+    wide: list[tuple[bytes, int]] = []  # (utf8 bytes, lang bitmask)
+    masks3: dict[int, int] = {}
+    for li, lang in enumerate(_LANGS):
+        for tri in _LANG_PROFILES[lang]:
+            b = tri.encode()
+            if len(b) == 3:
+                code = (b[0] << 16) | (b[1] << 8) | b[2]
+                masks3[code] = masks3.get(code, 0) | (1 << li)
+            else:
+                wide.append((b, 1 << li))
+    codes = np.array(sorted(masks3), dtype=np.int64)
+    memb = np.array(
+        [[(masks3[c] >> li) & 1 for li in range(len(_LANGS))] for c in sorted(masks3)],
+        dtype=np.int64,
+    )
+    return codes, memb, wide
+
+
+_TRI_CODES, _TRI_MEMB, _TRI_WIDE = None, None, None
+
+
+def detect_language_batch(filled: pa.Array) -> pa.Array:
+    """Vectorized :func:`detect_language` over a (null-free) string array.
+
+    Exact-equivalent byte-level matcher: every char-trigram match of an
+    ASCII profile trigram corresponds 1:1 to a 3-byte window match in the
+    UTF-8 buffer (windows starting inside a multi-byte char contain a byte
+    ≥ 0x80 and can never equal an all-ASCII code), so sliding 3-byte codes +
+    a sorted-table lookup reproduce the per-position python counts.
+    """
+    global _TRI_CODES, _TRI_MEMB, _TRI_WIDE
+    if _TRI_CODES is None:
+        _TRI_CODES, _TRI_MEMB, _TRI_WIDE = _build_lang_tables()
+    lowered = pc.utf8_lower(pc.utf8_slice_codeunits(filled, 0, 2000))
+    padded = pc.binary_join_element_wise(
+        pa.scalar(" "), lowered, pa.scalar(" "), pa.scalar("")
+    )
+    if isinstance(padded, pa.ChunkedArray):
+        padded = padded.combine_chunks()
+    n_tris = pc.utf8_length(lowered).cast(pa.float64()).to_numpy(
+        zero_copy_only=False
+    )  # len(padded) - 2 (chars)
+    n = len(filled)
+    # contiguous byte buffer + per-string byte offsets (StringArray layout:
+    # buffers = [validity, int32 offsets, utf8 data]; honor the array offset)
+    raw_off = np.frombuffer(padded.buffers()[1], dtype=np.int32)
+    buf_off = raw_off[padded.offset : padded.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(padded.buffers()[2], dtype=np.uint8)[
+        buf_off[0] : buf_off[-1]
+    ]
+    buf_off = buf_off - buf_off[0]
+    m = len(data)
+    scores = np.zeros((len(_LANGS), n), dtype=np.float64)
+    denom = np.maximum(n_tris, 1.0)
+    if m >= 3:
+        d = data.astype(np.int64)
+        codes = (d[: m - 2] << 16) | (d[1 : m - 1] << 8) | d[2:]
+        idx = np.searchsorted(_TRI_CODES, codes)
+        idx_c = np.minimum(idx, len(_TRI_CODES) - 1)
+        found = _TRI_CODES[idx_c] == codes
+        # per-lang hit mask over byte positions → segment sums per string;
+        # windows crossing a string boundary sit past each string's last
+        # valid start (start + bytelen − 2) and are excluded by the offsets
+        starts = buf_off[:-1]
+        stops = np.maximum(buf_off[1:] - 2, starts)  # valid window starts
+        for li in range(len(_LANGS)):
+            lang_hit = np.zeros(m - 2, dtype=np.int64)
+            lang_hit[found] = _TRI_MEMB[idx_c[found], li]
+            cum = np.concatenate([[0], np.cumsum(lang_hit, dtype=np.int64)])
+            hits = cum[np.minimum(stops, m - 2)] - cum[np.minimum(starts, m - 2)]
+            scores[li] = hits / denom
+        for b, mask in _TRI_WIDE:
+            # rare non-ASCII trigram: substring count of its utf8 bytes
+            cnt = pc.count_substring(padded, b.decode()).to_numpy(
+                zero_copy_only=False
+            )
+            for li in range(len(_LANGS)):
+                if (mask >> li) & 1:
+                    scores[li] += cnt / denom
+    best_idx = np.argmax(scores, axis=0)  # first-win ties == _LANGS order
+    best = scores[best_idx, np.arange(n)]
+    lang_codes = np.array(_LANGS, dtype=object)
+    out = np.where(
+        (best >= 0.04) & (n_tris > 0), lang_codes[best_idx], "und"
+    )
+    # python path returns 'und' for empty/None text regardless of scores
+    empty = pc.equal(filled, "").to_numpy(zero_copy_only=False)
+    out = np.where(empty, "und", out)
+    return pa.array(out.tolist(), pa.string())
+
+
 def fingerprint64(text: Optional[str]) -> int:
     """Deterministic 64-bit fingerprint of whitespace-normalized text."""
     norm = " ".join((text or "").split()).lower().encode()
@@ -111,44 +212,70 @@ class TextStats:
         col = batch[self.text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        texts = col.to_pylist()
-        n = len(texts)
+        n = len(col)
+        filled = pc.fill_null(col, "")
+
+        splits = toks_per_row = None
+        if self.tokens or self.quality:
+            # ONE vectorized whitespace split serves token counting and the
+            # stopword ratio (no per-row Python). Empty pieces from
+            # leading/trailing/multiple whitespace are masked out, matching
+            # python's str.split().
+            # utf8_split_whitespace splits on unicode whitespace (python
+            # str.split semantics modulo empty pieces, masked below) and is
+            # ~4× faster than split_pattern_regex(r"\s+")
+            splits = pc.utf8_split_whitespace(filled)
+            if isinstance(splits, pa.ChunkedArray):
+                splits = splits.combine_chunks()
+            flat = splits.flatten()
+            offsets = splits.offsets.to_numpy(zero_copy_only=False)
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            cum = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+            toks_per_row = cum[offsets[1:]] - cum[offsets[:-1]]
 
         if self.tokens:
-            ws = np.empty(n, dtype=np.int64)
-            bpe = np.empty(n, dtype=np.int64)
-            for i, t in enumerate(texts):
-                s = t or ""
-                ws[i] = len(s.split())
-                bpe[i] = len(_BPE_RE.findall(s))
-            batch = batch.append_column("n_tokens_ws", pa.array(ws))
-            batch = batch.append_column("n_tokens_bpe", pa.array(bpe))
+            bpe = pc.count_substring_regex(filled, _BPE_RE2).cast(pa.int64())
+            batch = batch.append_column("n_tokens_ws", pa.array(toks_per_row))
+            batch = batch.append_column("n_tokens_bpe", bpe)
 
         if self.quality:
-            # vectorized char-class ratios via Arrow kernels
-            n_chars = pc.utf8_length(col).cast(pa.float64())
-            safe_len = pc.max_element_wise(n_chars, 1.0)
-            alpha = np.empty(n, dtype=np.float64)
-            punct = np.empty(n, dtype=np.float64)
-            stop = np.empty(n, dtype=np.float64)
-            for i, t in enumerate(texts):
-                s = t or ""
-                if not s:
-                    alpha[i] = punct[i] = stop[i] = 0.0
-                    continue
-                alpha[i] = sum(c.isalpha() or c.isspace() for c in s) / len(s)
-                punct[i] = sum(not c.isalnum() and not c.isspace() for c in s) / len(s)
-                toks = s.lower().split()
-                stop[i] = (
-                    sum(tk.strip(".,!?;:'\"") in _STOPWORDS for tk in toks) / len(toks)
-                    if toks
-                    else 0.0
-                )
+            # char-class ratios via Arrow's re2 unicode classes: \pL matches
+            # python's isalpha, \pN isalnum's numeric half, \s isspace
+            n_chars = pc.utf8_length(filled).cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            safe_len = np.maximum(n_chars, 1.0)
+            # count_substring_regex cost is proportional to the MATCH count,
+            # so count the rare complement class and subtract: alpha+space
+            # chars = len − non-alpha-non-space chars
+            non_alpha = pc.count_substring_regex(filled, r"[^\pL\pZ\s]").to_numpy(
+                zero_copy_only=False
+            )
+            alpha_n = n_chars - non_alpha
+            punct_n = pc.count_substring_regex(filled, r"[^\pL\pN\pZ\s]").to_numpy(
+                zero_copy_only=False
+            )
+            alpha = alpha_n / safe_len
+            punct = punct_n / safe_len
+            # stopword hits: strip edge punctuation from each token, lower,
+            # set-membership — all Arrow kernels over the flattened tokens
+            flat = splits.flatten()
+            stripped = pc.replace_substring_regex(
+                flat, pattern="^[.,!?;:'\"]+|[.,!?;:'\"]+$", replacement=""
+            )
+            hits = pc.is_in(
+                pc.utf8_lower(stripped), value_set=_STOPWORD_ARR
+            ).to_numpy(zero_copy_only=False)
+            cumh = np.concatenate([[0], np.cumsum(hits, dtype=np.int64)])
+            offsets = splits.offsets.to_numpy(zero_copy_only=False)
+            stop_n = cumh[offsets[1:]] - cumh[offsets[:-1]]
+            stop = np.divide(
+                stop_n, toks_per_row, out=np.zeros(n, dtype=np.float64),
+                where=toks_per_row > 0,
+            )
             # composite score in [0,1]: long enough, alphabetic, some stopwords,
             # not punctuation soup — the C4/Gopher-style cheap filters
-            length_ok = np.minimum(
-                np.asarray(safe_len) / 200.0, 1.0
-            )
+            length_ok = np.minimum(n_chars / 200.0, 1.0)
             score = (
                 0.35 * length_ok + 0.30 * alpha + 0.25 * np.minimum(stop * 3, 1.0)
                 + 0.10 * (1.0 - np.minimum(punct * 4, 1.0))
@@ -159,10 +286,10 @@ class TextStats:
             batch = batch.append_column("quality_score", pa.array(score))
 
         if self.language:
-            langs = pa.array([detect_language(t) for t in texts], pa.string())
-            batch = batch.append_column("lang_pred", langs)
+            batch = batch.append_column("lang_pred", detect_language_batch(filled))
 
         if self.fingerprint:
+            texts = filled.to_pylist()
             fps = np.fromiter(
                 (fingerprint64(t) for t in texts), dtype=np.uint64, count=n
             )

@@ -52,23 +52,60 @@ def _local_topk(
     return t.filter(pa.array(rank < k))
 
 
+# AUTO merge-path bound: single-block final merge only while the surviving
+# candidates (≤ k × groups_per_block per block) fit one task comfortably.
+SMALL_MERGE_MAX_CAND_ROWS = 2_000_000
+
+
 def grouped_topk(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
     score_col: str,
     tie_col: str,
     k: int,
+    distributed: "bool | None" = None,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Top-``k`` rows per ``keys`` group by ``score_col`` desc (ties:
-    ``tie_col`` asc). Combiner-first; assumes k × |groups| fits one worker
-    for the final merge (the sqlgrep-style low-cardinality contract — use a
-    distributed groupby().map_groups for huge group counts)."""
+    ``tie_col`` asc). Combiner-first: each block keeps its own top-k per
+    group, then the survivors merge.
+
+    Merge path: ``distributed=None`` (default) counts the surviving
+    candidates and picks automatically — one-block merge while they fit one
+    task, else a key-hash bucket shuffle (``groupby`` on a deterministic
+    64-bit hash of the key tuple mod ``num_buckets``) so each of the
+    ``num_buckets`` merge tasks runs the same vectorized rank-mask over its
+    co-located groups; per-worker memory is candidates/num_buckets, never
+    k × |groups| (the round-1 single-block scale-killer)."""
     keys = list(keys)
 
     def block(t: pa.Table) -> pa.Table:
         return _local_topk(t, keys, score_col, tie_col, k)
 
     cands = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
-    return cands.repartition(1).map_batches(
-        block, batch_format="pyarrow"
+    if distributed is None:
+        cands = cands.materialize()  # narrow: combiner already ran
+        distributed = cands.count() > SMALL_MERGE_MAX_CAND_ROWS
+    if not distributed:
+        return cands.repartition(1).map_batches(block, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # deterministic vectorized multi-column hash (fixed siphash key),
+        # stable across worker processes — python's salted hash() is not
+        h = pd.util.hash_pandas_object(
+            t.select(keys).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__tb", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        return _local_topk(g.drop_columns(["__tb"]), keys, score_col, tie_col, k)
+
+    return (
+        cands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__tb")
+        .map_groups(bucket_topk, batch_format="pyarrow")
     )

@@ -246,3 +246,35 @@ def test_select_preserves_input_order_with_option(ray_session):
         assert [r["i"] for r in out] == list(range(1000))
     finally:
         ctx.execution_options.preserve_order = prev
+
+
+def test_auto_merge_path_selection(ray_session, monkeypatch):
+    """plan.small_result=None picks the merge path from the partial-row
+    count: with the bound forced to 1 the distributed groupby engages and
+    produces the same result as the single-block merge."""
+    import ray.data
+    import pyarrow as pa
+
+    from sqlgrep_ray.functions.exprs import Col
+    from sqlgrep_ray.pipelines import runner
+    from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": pa.array([i % 50 for i in range(2000)], pa.int64()),
+            "v": pa.array(list(range(2000)), pa.int64()),
+        }
+    )
+    plan = AggregatePlan(
+        group_by=(GroupKey("k", Col("k")),),
+        aggs=(AggItem("n", "count_star"), AggItem("s", "sum", Col("v"))),
+    )
+    assert plan.small_result is None  # auto is the default
+    ds = ray.data.from_arrow(t).repartition(8)
+    small = run_plan(ds, plan).to_pandas()
+
+    monkeypatch.setattr(runner, "SMALL_MERGE_MAX_PARTIAL_ROWS", 1)
+    dist = run_plan(ray.data.from_arrow(t).repartition(8), plan).to_pandas()
+    assert small.equals(dist)
+    assert len(small) == 50

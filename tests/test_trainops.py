@@ -208,3 +208,70 @@ def test_multimodal_plumbing(ray_session):
     m1 = out.sort_values("media_id")["img_mean"].fillna(-1).to_numpy()
     m2 = out2.sort_values("media_id")["img_mean"].fillna(-1).to_numpy()
     assert np.allclose(m1, m2)
+
+
+def test_dedup_distributed_path_equivalence(ray_session):
+    """distributed=True (shuffle verify) must produce the same pair SET as
+    the local single-task verify, for all three near-dup families."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_doc_table())
+    local = minhash_lsh_dedup(ds, threshold=0.7, distributed=False).to_pandas()
+    dist = minhash_lsh_dedup(ds, threshold=0.7, distributed=True).to_pandas()
+    assert set(zip(local["id_a"], local["id_b"])) == set(
+        zip(dist["id_a"], dist["id_b"])
+    ) != set()
+
+    local = simhash_dedup(ds, max_hamming=3, distributed=False).to_pandas()
+    dist = simhash_dedup(ds, max_hamming=3, distributed=True).to_pandas()
+    assert set(zip(local["id_a"], local["id_b"])) == set(
+        zip(dist["id_a"], dist["id_b"])
+    ) != set()
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 16).astype(np.float32)
+    vecs = np.vstack([base, base[0] + rng.randn(16) * 0.01])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(9, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    eds = ray.data.from_arrow(t)
+    local = embedding_dup_pairs(eds, threshold=0.99, n_buckets=4, distributed=False).to_pandas()
+    dist = embedding_dup_pairs(eds, threshold=0.99, n_buckets=4, distributed=True).to_pandas()
+    assert set(zip(local["id_a"], local["id_b"])) == set(
+        zip(dist["id_a"], dist["id_b"])
+    ) != set()
+
+
+def test_minhash_auto_distributed_switch(ray_session):
+    """auto_threshold=0 forces the distributed path through the public API
+    (candidate count > 0 ⇒ auto-select shuffle verify) — same result."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_doc_table())
+    auto = minhash_lsh_dedup(ds, threshold=0.7, auto_threshold=0).to_pandas()
+    assert (0, 3) in set(zip(auto["id_a"], auto["id_b"]))
+
+
+def test_grouped_topk_distributed_equivalence(ray_session):
+    """Key-hash bucketed merge (distributed=True) returns the same row SET
+    as the single-block merge for grouped top-k."""
+    import ray.data
+    from sqlgrep_ray.stages.topk import grouped_topk
+
+    rng = np.random.RandomState(3)
+    t = pa.table(
+        {
+            "g": pa.array([f"g{i % 37}" for i in range(4000)]),
+            "score": pa.array(rng.randint(0, 1000, 4000), pa.int64()),
+            "id": pa.array(range(4000), pa.int64()),
+        }
+    )
+    kw = dict(keys=["g"], score_col="score", tie_col="id", k=3)
+    local = grouped_topk(ray.data.from_arrow(t).repartition(6), distributed=False, **kw).to_pandas()
+    dist = grouped_topk(ray.data.from_arrow(t).repartition(6), distributed=True, **kw).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["g", "score", "id"]].itertuples(index=False)))
+    assert key(local) == key(dist)
+    assert len(local) == 37 * 3
