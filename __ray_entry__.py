@@ -42,8 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same result columns/names).
-    Keys absent here (minhash/simhash/embedding dups, ivf, lang/quality,
-    multimodal) are probabilistic/heuristic — rows-only checks."""
+    Keys absent here (knn_ivf, lang_quality, multimodal_features,
+    curate_full) are probabilistic/heuristic — rows-only checks."""
     from sqlgrep_ray.pipelines.contract import ORACLES
 
     return dict(ORACLES)

@@ -36,7 +36,9 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
 
     from sqlgrep_ray.pipelines.contract import (
         q_asof_join_orders,
+        q_curate_corpus,
         q_groupby_q1,
+        q_lang_quality,
         q_minhash_pairs,
         q_regex_extract_docs,
         q_sessionize_users,
@@ -77,6 +79,15 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     t0 = time.time()
     q_asof_join_orders(sf_dir).count()
     timings["asof_join_orders"] = time.time() - t0
+
+    # curation stage kernels (vectorized TextStats) + the composed pipeline
+    t0 = time.time()
+    q_lang_quality(sf_dir).count()
+    timings["text_stats"] = time.time() - t0
+
+    t0 = time.time()
+    q_curate_corpus(sf_dir).count()
+    timings["curate"] = time.time() - t0
 
     return timings, turns
 

@@ -106,7 +106,9 @@ class Tables:
             if source.endswith(".parquet") or os.path.isdir(source):
                 # prune at the read: the parse stage only consumes the raw
                 # text column (select_columns later would NOT prune the scan)
-                return ray.data.read_parquet(source, columns=[text_col])
+                from sqlgrep_ray.sources import read_parquet_clean
+
+                return read_parquet_clean(source, columns=[text_col])
             return ray.data.read_text(source)
         # iterable of raw lines
         return ray.data.from_arrow(
@@ -267,3 +269,27 @@ class Tables:
     ) -> list[dict]:
         """Reference ``execute_query`` shape: fully evaluated list of dicts."""
         return self.execute_query(sql, source, join_source, text_col).take_all()
+
+    def execute_query_callback(
+        self,
+        sql: str,
+        callback,
+        source: Optional[Source] = None,
+        join_source: Optional[Source] = None,
+        text_col: str = "text",
+        batch_size: Optional[int] = 1024,
+    ) -> int:
+        """Streaming callback API (reference ``execute_query_callback``,
+        ``python_wrapper.rs:151-209``): invoke ``callback(rows)`` per result
+        batch (a list of row dicts); a ``False`` return STOPS consumption —
+        Ray's streaming executor then stops feeding the iterator, so
+        upstream work past the already-scheduled blocks is never done.
+        Returns the number of rows delivered."""
+        ds = self.execute_query(sql, source, join_source, text_col)
+        delivered = 0
+        for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            rows = batch.to_pylist()
+            delivered += len(rows)
+            if callback(rows) is False:
+                break
+        return delivered

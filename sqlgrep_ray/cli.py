@@ -1,12 +1,16 @@
 """CLI — the Ray-Data analogue of the reference's ``sqlgrep`` binary.
 
     python -m sqlgrep_ray.cli -d defs.sql data.log -c "SELECT … FROM t"
-    python -m sqlgrep_ray.cli -d defs.sql data.log          # REPL-ish stdin loop
+    python -m sqlgrep_ray.cli -d defs.sql data.log          # REPL loop
+    cat data.log | python -m sqlgrep_ray.cli -d defs.sql --stdin -c "…"
 
 Mirrors ``src/main.rs``: ``-d`` table-definition file(s), positional input
-file(s) (text lines; ``.parquet`` works too), ``-c`` one-shot query,
-``--format text|json|csv`` output (reference ``--output-format``),
-``--show-run-stats`` wall time / line counts (``executor.rs:12-36``).
+file(s) (text lines; ``.parquet`` works too), ``--stdin`` data from stdin
+(``main.rs:171-173``), ``-c`` one-shot query, ``--format text|json|csv``
+output (reference ``--output-format``), ``--show-run-stats`` wall time /
+line counts (``executor.rs:12-36``). The REPL supports ``\\d [table]``
+describe (``main.rs:238-272``) and, on a TTY, readline completion over SQL
+keywords + table/column names (``main.rs:92-106``).
 
 This is an entry-point script, so it OWNS the Ray session (the library never
 calls ``ray.init``).
@@ -18,6 +22,70 @@ import argparse
 import sys
 import time
 
+_SQL_KEYWORDS = [
+    "SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT",
+    "DISTINCT", "INNER JOIN", "OUTER JOIN", "ON", "AND", "OR", "NOT", "IN",
+    "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "AS",
+    "count", "sum", "min", "max", "avg", "stddev", "variance", "percentile",
+    "array_agg", "string_agg", "bool_and", "bool_or",
+]
+
+
+def describe_lines(tables, name: str | None = None) -> list[str]:
+    """``\\d`` output: table list, or one table's columns+types+modifiers
+    (reference ``main.rs:238-272``)."""
+    if not name:
+        names = sorted(tables._tables)
+        if not names:
+            return ["(no tables defined)"]
+        return ["Tables:"] + [f"  {n}" for n in names]
+    tdef = tables[name]
+    sql_names = {"string": "TEXT", "int": "INT", "float": "REAL",
+                 "bool": "BOOLEAN", "timestamp": "TIMESTAMP"}
+
+    def tname(vt) -> str:
+        if vt.kind == "array":
+            return tname(vt.elem) + "[]"
+        return sql_names.get(vt.kind, repr(vt))
+
+    lines = [f"Table {tdef.name}:"]
+    for c in tdef.columns:
+        mods = []
+        if c.not_null:
+            mods.append("NOT NULL")
+        if c.trim:
+            mods.append("TRIM")
+        if c.convert:
+            mods.append("CONVERT")
+        if c.default is not None:
+            mods.append(f"DEFAULT {c.default!r}")
+        suffix = ("  " + " ".join(mods)) if mods else ""
+        lines.append(f"  {c.name}  {tname(c.vtype)}{suffix}")
+    lines.append("Patterns:")
+    for p in tdef.patterns:
+        lines.append(f"  {p.name}: {p.regex}")
+    return lines
+
+
+def _install_completer(tables) -> None:
+    """Readline completion over keywords + table + column names (TTY only)."""
+    try:
+        import readline
+    except ImportError:  # pragma: no cover - platform without readline
+        return
+    words = list(_SQL_KEYWORDS)
+    for tdef in tables._tables.values():
+        words.append(tdef.name)
+        words.extend(c.name for c in tdef.columns)
+
+    def complete(text: str, state: int):
+        cands = [w for w in words if w.lower().startswith(text.lower())]
+        return cands[state] if state < len(cands) else None
+
+    readline.set_completer(complete)
+    readline.set_completer_delims(" \t\n,()=<>")
+    readline.parse_and_bind("tab: complete")
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="sqlgrep_ray")
@@ -25,6 +93,8 @@ def main(argv=None) -> int:
     ap.add_argument("-d", "--data-definition", action="append", default=[],
                     help="table definition file (CREATE TABLE …)")
     ap.add_argument("-c", "--command", help="query to execute")
+    ap.add_argument("--stdin", action="store_true",
+                    help="read input DATA lines from stdin (main.rs:171-173)")
     ap.add_argument("--format", choices=["text", "json", "csv"], default="text")
     ap.add_argument("--show-run-stats", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -54,10 +124,20 @@ def main(argv=None) -> int:
         with open(path) as fh:
             tables.add_tables(fh.read())
 
+    stdin_lines: list[str] | None = None
+    if args.stdin:
+        if not args.command:
+            print("--stdin consumes stdin as DATA; pass the query with -c",
+                  file=sys.stderr)
+            return 2
+        stdin_lines = [ln.rstrip("\n") for ln in sys.stdin]
+
     def run_one(sql: str) -> int:
         t0 = time.time()
         source = args.inputs[0] if args.inputs else None
-        if source and len(args.inputs) > 1:
+        if stdin_lines is not None:
+            result = tables.execute_query(sql, source=stdin_lines)
+        elif source and len(args.inputs) > 1:
             # multiple input files concatenated in order (executor.rs:38-137)
             import ray.data as rd
 
@@ -77,20 +157,44 @@ def main(argv=None) -> int:
                   f"{len(lines)} result rows.", file=sys.stderr)
         return 0
 
+    def handle(line: str) -> bool:
+        """One REPL line; False ⇒ exit requested."""
+        line = line.strip()
+        if not line or line.startswith("--"):
+            return True
+        if line.lower() in ("exit", "quit", "\\q"):
+            return False
+        if line.startswith("\\d"):
+            arg = line[2:].strip() or None
+            try:
+                for ln in describe_lines(tables, arg):
+                    print(ln)
+            except Exception as ex:
+                print(f"error: {ex}", file=sys.stderr)
+            return True
+        try:
+            run_one(line)
+        except Exception as ex:  # keep the loop alive like a REPL
+            print(f"error: {ex}", file=sys.stderr)
+        return True
+
     try:
         if args.command:
             return run_one(args.command)
-        # simple stdin query loop (reference REPL, main.rs:291-361, minus completion)
-        for line in sys.stdin:
-            line = line.strip()
-            if not line or line.startswith("--"):
-                continue
-            if line.lower() in ("exit", "quit", "\\q"):
-                break
-            try:
-                run_one(line)
-            except Exception as ex:  # keep the loop alive like a REPL
-                print(f"error: {ex}", file=sys.stderr)
+        # REPL (reference main.rs:291-361): \d describe, completion on a TTY
+        if sys.stdin.isatty():
+            _install_completer(tables)
+            while True:
+                try:
+                    line = input("> ")
+                except (EOFError, KeyboardInterrupt):
+                    break
+                if not handle(line):
+                    break
+        else:
+            for line in sys.stdin:
+                if not handle(line):
+                    break
         return 0
     finally:
         ray.shutdown()

@@ -71,7 +71,9 @@ def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
     """Table read; pass ``columns`` (or derive via
     ``runner.referenced_columns(plan)``) so only needed columns leave
     storage — ``select_columns`` after the read does NOT prune it."""
-    return ray.data.read_parquet(
+    from sqlgrep_ray.sources import read_parquet_clean
+
+    return read_parquet_clean(
         os.path.join(sf_dir, f"{name}.parquet"), columns=columns
     )
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -30,6 +31,7 @@ from sqlgrep_ray.functions.exprs import (
 )
 from sqlgrep_ray.pipelines.plan import (
     AggregatePlan,
+    GroupKey,
     JoinSpec,
     Plan,
     Projection,
@@ -264,6 +266,104 @@ def run_select(
     return ds
 
 
+def _cd_two_stage_eligible(plan: AggregatePlan) -> bool:
+    """True when the only holistic aggregate is a single COUNT(DISTINCT) —
+    the shape the skew-safe two-stage shuffle handles (multiple distinct
+    args would need one pipeline each; other holistics need whole groups)."""
+    holi = [a for a in plan.aggs if a.func in HOLISTIC]
+    return len(holi) == 1 and holi[0].func == "count_distinct"
+
+
+def _count_distinct_two_stage(
+    ds: "ray.data.Dataset",
+    plan: AggregatePlan,
+    ctx: Optional[CompileCtx],
+    key_names: list[str],
+    markers: list[str],
+) -> "ray.data.Dataset":
+    """Skew-safe COUNT(DISTINCT) (+ any associative aggregates) — the
+    reference's holistic per-group set (``aggregate_execution.rs:143-154``)
+    re-expressed as TWO bounded shuffles instead of shipping whole groups to
+    one worker (SURVEY §2.6; promotes the round-1 ``stages/skew.py`` pattern
+    into the planner):
+
+    1. group by (keys…, value): per-block ``pa.TableGroupBy`` combiner, one
+       hash shuffle → one row per distinct (keys, value) pair, carrying the
+       merged partials of every associative aggregate (their merge is
+       associative, so sub-grouping by value cannot change them);
+    2. group by keys: COUNT(DISTINCT) = number of rows whose value marker is
+       non-null; associative partials merge once more.
+
+    A hot key's work is now spread over its distinct values instead of one
+    worker holding the whole value set.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cd_i = next(i for i, a in enumerate(plan.aggs) if a.func == "count_distinct")
+    cd_a = plan.aggs[cd_i]
+    CDK = "__cdv"
+    assoc = tuple(a for a in plan.aggs if a.func != "count_distinct")
+    ext_plan = AggregatePlan(
+        group_by=plan.group_by + (GroupKey(CDK, cd_a.arg),), aggs=assoc
+    )
+    fin_plan = AggregatePlan(group_by=plan.group_by, aggs=assoc)
+    ext_keys = key_names + [CDK]
+    cd_marker = _marker(len(key_names))  # marker column of CDK
+
+    partials = ds.map_batches(
+        PartialAggregator(ext_plan, ctx), batch_format="pyarrow", zero_copy_batch=True
+    )
+    merge1 = _merge_aggs(ext_plan) or [Count(alias_name="__rows")]
+    stage1 = (
+        partials.map_batches(
+            _encode_keys(ext_keys), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(_interleaved(ext_keys))
+        .aggregate(*merge1)
+    )
+
+    merge_spec = LocalMergeFinalize(ext_plan, ctx).merge_spec
+    stage2_keys = _interleaved(key_names) if key_names else [_CONST_KEY]
+
+    def block2(t: pa.Table) -> pa.Table:
+        # distinct-value indicator: CDK marker 1 ⇔ non-null value
+        t = t.append_column("__cd", t[cd_marker].cast(pa.int64()))
+        if not key_names and _CONST_KEY not in t.column_names:
+            t = t.append_column(
+                _CONST_KEY, pa.array(np.zeros(t.num_rows, dtype=np.int8))
+            )
+        spec = list(merge_spec) + [("__cd", "sum")]
+        gb = pa.TableGroupBy(t, stage2_keys)
+        out = gb.aggregate(spec)
+        renames = {f"{p}_{k}": p for p, k in spec}
+        return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+    combined = stage1.map_batches(block2, batch_format="pyarrow", zero_copy_batch=True)
+    aggs2: list[Any] = [Sum("__cd", alias_name="__cd", ignore_nulls=True)]
+    for pcol, kind2 in merge_spec:
+        cls = {"sum": Sum, "min": Min, "max": Max}[kind2]
+        aggs2.append(cls(pcol, alias_name=pcol, ignore_nulls=True))
+    merged2 = combined.groupby(stage2_keys).aggregate(*aggs2)
+
+    fin = FinalizeAggregates(fin_plan, ctx, passthrough=[*markers, "__cd"])
+    cd_only = AggregatePlan(group_by=(), aggs=(cd_a,))
+
+    def final(t: pa.Table) -> pa.Table:
+        out = fin(t)
+        cd = out["__cd"]
+        if isinstance(cd, pa.ChunkedArray):
+            cd = cd.combine_chunks()
+        out = out.drop_columns(["__cd"])
+        out = out.append_column(cd_a.name, pc.fill_null(cd, 0).cast(pa.int64()))
+        out = apply_transforms(out, cd_only, ctx)
+        order = key_names + [a.name for a in plan.aggs] + markers
+        if not key_names and _CONST_KEY in out.column_names:
+            out = out.drop_columns([_CONST_KEY])
+        return out.select([c for c in order if c in out.column_names])
+
+    return merged2.map_batches(final, batch_format="pyarrow")
+
+
 def run_aggregate(
     ds: "ray.data.Dataset",
     plan: AggregatePlan,
@@ -317,7 +417,9 @@ def run_aggregate(
             agged = agged.limit(plan.limit)
         return agged
 
-    if is_holistic(plan):
+    if is_holistic(plan) and _cd_two_stage_eligible(plan):
+        agged = _count_distinct_two_stage(ds, plan, ctx, key_names, markers)
+    elif is_holistic(plan):
         ds = ds.map_batches(
             GroupEvaluator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
         )

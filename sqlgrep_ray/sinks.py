@@ -60,8 +60,10 @@ def _json_value(v: Any) -> Any:
 def _rows_of(result: Any) -> tuple[list[str], list[dict]]:
     if isinstance(result, ray.data.Dataset):
         rows = result.take_all()
-        cols = list(rows[0].keys()) if rows else result.schema().names
-        return cols, rows
+        if rows:
+            return list(rows[0].keys()), rows
+        schema = result.schema(fetch_if_missing=True)
+        return (schema.names if schema is not None else []), rows
     if isinstance(result, pa.Table):
         return result.column_names, result.to_pylist()
     # pandas

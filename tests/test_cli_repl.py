@@ -1,0 +1,97 @@
+"""CLI/REPL parity additions (VERDICT r1 item 9-10): \\d describe, stdin as
+data (``main.rs:171-173``), and the streaming callback API
+(``python_wrapper.rs:151-209``)."""
+
+import subprocess
+import sys
+
+import pytest
+
+from sqlgrep_ray.api import Tables
+from sqlgrep_ray.cli import describe_lines
+
+DEFS = r"""
+CREATE TABLE conns(
+    line = 'user=(\\w+) n=([0-9]+)',
+    line[1] => user TEXT,
+    line[2] => n INT
+);
+"""
+
+
+def test_describe_lines_lists_tables_and_columns():
+    t = Tables()
+    t.add_tables(DEFS)
+    top = describe_lines(t)
+    assert top[0] == "Tables:" and "  conns" in top
+    d = describe_lines(t, "conns")
+    assert d[0] == "Table conns:"
+    assert any("user" in ln and "TEXT" in ln for ln in d)
+    assert any(ln.strip().startswith("n") and "INT" in ln for ln in d)
+    assert any("Patterns:" in ln for ln in d)
+    with pytest.raises(Exception):
+        describe_lines(t, "nope")
+
+
+def test_cli_stdin_data_and_repl_describe(tmp_path):
+    """One subprocess run each (the CLI owns its own Ray session):
+    (a) --stdin pipes DATA lines; (b) the REPL answers \\d without data."""
+    defs = tmp_path / "defs.sql"
+    defs.write_text(DEFS)
+
+    # (a) stdin as data + one-shot -c
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs), "--stdin",
+         "-c", "SELECT user, n FROM conns WHERE n > 1", "--format", "csv",
+         "--num-cpus", "2"],
+        input="user=alice n=1\nuser=bob n=2\nnoise\nuser=eve n=9\n",
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines[0] == "user;n"
+    # TEXT values render quoted (reference Display parity, sinks.py)
+    assert set(lines[1:]) == {"'bob';2", "'eve';9"}
+
+    # (b) REPL: \d and \d conns over piped stdin (no data needed)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs),
+         "--num-cpus", "2"],
+        input="\\d\n\\d conns\nexit\n",
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Tables:" in out.stdout and "Table conns:" in out.stdout
+    assert "user" in out.stdout
+
+    # --stdin without -c is an error (stdin can't serve data AND queries)
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs), "--stdin"],
+        input="", capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 2
+
+
+def test_execute_query_callback_early_stop(ray_session):
+    t = Tables()
+    t.add_tables(DEFS)
+    lines = [f"user=u{i} n={i}" for i in range(500)]
+
+    seen: list[int] = []
+
+    def cb(rows):
+        seen.append(len(rows))
+        return False  # stop after the first batch
+
+    delivered = t.execute_query_callback(
+        "SELECT user, n FROM conns", cb, source=lines, batch_size=50
+    )
+    assert delivered == seen[0] == 50
+    assert len(seen) == 1
+
+    # without early stop the callback sees everything
+    total = t.execute_query_callback(
+        "SELECT user, n FROM conns", lambda rows: True, source=lines,
+        batch_size=200,
+    )
+    assert total == 500

@@ -278,3 +278,51 @@ def test_auto_merge_path_selection(ray_session, monkeypatch):
     dist = run_plan(ray.data.from_arrow(t).repartition(8), plan).to_pandas()
     assert small.equals(dist)
     assert len(small) == 50
+
+
+def test_count_distinct_two_stage_equals_holistic(ray_session, monkeypatch):
+    """The skew-safe two-stage COUNT(DISTINCT) path must agree with the
+    holistic whole-group path on NULL keys, NULL values, mixed associative
+    aggregates and the global (no-key) shape."""
+    import ray.data
+    import pyarrow as pa
+
+    from sqlgrep_ray.functions.exprs import Col
+    from sqlgrep_ray.pipelines import runner
+    from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b", None, "a", "b", "a", None, "b"]),
+            "u": pa.array([1, 2, 2, 1, None, 3, 2, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60, 70, 80], pa.int64()),
+        }
+    )
+    plan = AggregatePlan(
+        group_by=(GroupKey("k", Col("k")),),
+        aggs=(
+            AggItem("users", "count_distinct", Col("u")),
+            AggItem("n", "count_star"),
+            AggItem("sv", "sum", Col("v")),
+        ),
+    )
+    gplan = AggregatePlan(
+        aggs=(AggItem("users", "count_distinct", Col("u")),),
+    )
+    assert runner._cd_two_stage_eligible(plan)
+    two = run_plan(ray.data.from_arrow(t).repartition(4), plan).to_pandas()
+    gtwo = run_plan(ray.data.from_arrow(t).repartition(4), gplan).to_pandas()
+
+    monkeypatch.setattr(runner, "_cd_two_stage_eligible", lambda p: False)
+    hol = run_plan(ray.data.from_arrow(t).repartition(4), plan).to_pandas()
+    ghol = run_plan(ray.data.from_arrow(t).repartition(4), gplan).to_pandas()
+
+    import pandas as pd
+
+    norm = lambda df: df.sort_values(list(df.columns)[0]).reset_index(drop=True)[
+        sorted(df.columns)
+    ]
+    pd.testing.assert_frame_equal(norm(two), norm(hol), check_dtype=False)
+    pd.testing.assert_frame_equal(gtwo[sorted(gtwo.columns)], ghol[sorted(ghol.columns)], check_dtype=False)
+    assert set(two.columns) == {"k", "users", "n", "sv"}
