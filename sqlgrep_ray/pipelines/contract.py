@@ -993,6 +993,31 @@ ON a.embedding = b.embedding AND a.vec_id < b.vec_id
 """
 
 
+def q_minhash_pairs_dist(sf_dir: str) -> Result:
+    """Same planted-corpus contract through the DISTRIBUTED verify path
+    (hash-join text back by id → groupby(bucket) verify → pair-dedup
+    aggregate) — the 100-TB route, held to the same exact oracle."""
+    out = minhash_lsh_dedup(
+        _planted_docs(sf_dir), id_col="doc_id", threshold=1.0, distributed=True
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
+def q_simhash_pairs_dist(sf_dir: str) -> Result:
+    out = simhash_dedup(
+        _planted_docs(sf_dir), id_col="doc_id", max_hamming=0,
+        exact_confirm=True, distributed=True,
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
+def q_embedding_dups_dist(sf_dir: str) -> Result:
+    out = embedding_dup_pairs(
+        _planted_emb(sf_dir), threshold=0.999, distributed=True
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
 def q_knn_ivf(sf_dir: str) -> Result:
     emb = _pat(sf_dir, "embeddings")
     import pyarrow.compute as pc
@@ -1127,6 +1152,25 @@ def q_asof_join_orders(sf_dir: str) -> Result:
     out = asof_join(
         _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
         orders,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+        how="inner",
+    )
+    return out.select_columns(["event_id", "o_orderdate"])
+
+
+def q_asof_join_orders_dist(sf_dir: str) -> Result:
+    """Same as-of contract through the shuffle-both-sides fallback
+    (``asof_join_large``) — the path for right sides too large to
+    broadcast; held to the same DuckDB ASOF oracle."""
+    from sqlgrep_ray.stages.asof import asof_join_large
+
+    out = asof_join_large(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
         left_key="user_id",
         left_ts="ts",
         right_key="o_custkey",
@@ -1299,10 +1343,14 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
+    "minhash_pairs_dist": q_minhash_pairs_dist,
+    "simhash_pairs_dist": q_simhash_pairs_dist,
+    "embedding_dups_dist": q_embedding_dups_dist,
     "knn_ivf": q_knn_ivf,
     "lang_quality": q_lang_quality,
     "multimodal_features": q_multimodal,
     "asof_join_orders": q_asof_join_orders,
+    "asof_join_orders_dist": q_asof_join_orders_dist,
     "tumbling_hour": q_tumbling_hour,
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
@@ -1348,6 +1396,7 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_top5": SQL_KNN_TOP5,
     "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
+    "asof_join_orders_dist": SQL_ASOF_JOIN_ORDERS,
     "tumbling_hour": SQL_TUMBLING_HOUR,
     "sessionize_users": SQL_SESSIONIZE_USERS,
     "conv_stats": SQL_CONV_STATS,
@@ -1360,6 +1409,9 @@ ORACLES: dict[str, str] = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_dups": SQL_EMBEDDING_DUPS,
+    "minhash_pairs_dist": SQL_MINHASH_PAIRS,
+    "simhash_pairs_dist": SQL_SIMHASH_PAIRS,
+    "embedding_dups_dist": SQL_EMBEDDING_DUPS,
     # knn_ivf / lang_quality / multimodal_features: probabilistic or
     # heuristic — rows-only checks
 }

@@ -11,10 +11,13 @@ pipeline runs, every stage streaming:
 
 Everything composes from existing stages; this module only wires them.
 
-No driver-side materialization: the exact-dedup survivor set is applied as
-a distributed semi-join on ``id_col`` and near-dup losers as a distributed
-anti-join — the keep-set never exists as one in-memory list (at 10^9 docs
-the round-1 ``to_pandas()`` keep-set was a driver OOM).
+Keep-set application is size-aware: the exact-dedup survivor set (and the
+near-dup loser set) are COUNTED first — small sets broadcast as an id array
+(``ray.put`` once, vectorized ``is_in`` filter, no shuffle); sets above
+``BROADCAST_IDS_MAX`` switch to a distributed semi-/anti-join on ``id_col``,
+so the keep-set never has to exist as one in-memory list at 10^9 docs (the
+round-1 unconditional ``to_pandas()`` keep-set was a driver OOM; the
+unconditional join was a 4-second actor-pool tax on small corpora).
 """
 
 from __future__ import annotations
@@ -28,6 +31,38 @@ import ray.data
 from sqlgrep_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
 from sqlgrep_ray.stages.enrich import join_partitions
 from sqlgrep_ray.stages.textstats import text_stats
+
+# id sets up to this size are broadcast (int64 → ≤16 MB in the object store,
+# one copy per node) instead of hash-shuffle joined
+BROADCAST_IDS_MAX = 2_000_000
+
+
+def _collect_ids(ds: "ray.data.Dataset", id_col: str) -> pa.Array:
+    tbls = list(ds.select_columns([id_col]).iter_batches(batch_format="pyarrow"))
+    if not tbls:
+        return pa.array([], pa.int64())
+    return pa.concat_tables(tbls)[id_col].combine_chunks()
+
+
+def _semi_filter(
+    left: "ray.data.Dataset", ids: pa.Array, id_col: str, keep: bool
+) -> "ray.data.Dataset":
+    """Broadcast id-set membership filter (keep=True ⇒ semi, False ⇒ anti)."""
+    import ray
+
+    ids_ref = ray.put(ids)
+
+    def f(t: pa.Table, ids_ref=None) -> pa.Table:
+        vs = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        mask = pc.is_in(t[id_col], value_set=vs)
+        if not keep:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return left.map_batches(
+        f, fn_kwargs=dict(ids_ref=ids_ref), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def _anti_join(
@@ -110,16 +145,21 @@ def curate(
     # spill to the object store rather than re-running text_stats per consumer
     filtered = filtered.materialize()
 
-    # exact dedup on content fingerprint → surviving ids; applied as a
-    # distributed semi-join (inner join on the id — the winner table carries
-    # one row per survivor, so no fan-out)
-    winners = exact_dedup(filtered, key="fingerprint", id_col=id_col)
-    kept = filtered.join(
-        winners.select_columns([id_col]),
-        join_type="inner",
-        on=(id_col,),
-        num_partitions=num_partitions,
-    )
+    # exact dedup on content fingerprint → surviving ids; the winner set is
+    # counted first (it is the output of an aggregation — already small per
+    # key) and applied as a broadcast semi-filter when it fits, else as a
+    # distributed semi-join (inner join on the id — one row per survivor, no
+    # fan-out)
+    winners = exact_dedup(filtered, key="fingerprint", id_col=id_col).materialize()
+    if winners.count() <= BROADCAST_IDS_MAX:
+        kept = _semi_filter(filtered, _collect_ids(winners, id_col), id_col, keep=True)
+    else:
+        kept = filtered.join(
+            winners.select_columns([id_col]),
+            join_type="inner",
+            on=(id_col,),
+            num_partitions=num_partitions,
+        )
 
     if drop_near_dups:
         pairs = minhash_lsh_dedup(
@@ -129,7 +169,11 @@ def curate(
             lambda t: pa.table({id_col: t["id_b"]}),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        kept = _anti_join(kept, losers, id_col, num_partitions)
+        ).materialize()
+        if losers.count() <= BROADCAST_IDS_MAX:
+            loser_ids = pc.unique(_collect_ids(losers, id_col))
+            kept = _semi_filter(kept, loser_ids, id_col, keep=False)
+        else:
+            kept = _anti_join(kept, losers, id_col, num_partitions)
 
     return kept

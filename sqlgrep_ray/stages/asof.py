@@ -33,6 +33,8 @@ import ray.data
 def _build_index(
     right: pa.Table, right_key: str, right_ts: str, value_cols: Sequence[str]
 ) -> dict:
+    if right.num_rows == 0:
+        return {"index": {}, "values": {c: right[c] for c in value_cols}, "n": 0}
     order = pc.sort_indices(
         right, [(right_key, "ascending"), (right_ts, "ascending")]
     )
@@ -45,6 +47,42 @@ def _build_index(
     for s, e in zip(cuts[:-1], cuts[1:]):
         index[keys[s]] = (ts[s:e], s)  # (sorted ts, base offset into right)
     return {"index": index, "values": vals, "n": right.num_rows}
+
+
+def _probe(
+    batch: pa.Table,
+    built: dict,
+    left_key: str,
+    left_ts: str,
+    value_cols: Sequence[str],
+    how: str,
+) -> pa.Table:
+    index, values = built["index"], built["values"]
+    n = batch.num_rows
+    lkeys = batch[left_key].to_numpy(zero_copy_only=False)
+    lts = batch[left_ts].combine_chunks().cast(pa.int64()).to_numpy()
+    match = np.full(n, -1, dtype=np.int64)
+    # vectorized probe: one searchsorted per distinct key in the batch
+    for k in np.unique(lkeys):
+        ent = index.get(k)
+        if ent is None:
+            continue
+        ts_arr, base = ent
+        rows = np.flatnonzero(lkeys == k)
+        pos = np.searchsorted(ts_arr, lts[rows], side="right") - 1
+        ok = pos >= 0
+        match[rows[ok]] = base + pos[ok]
+    found = match >= 0
+    out = batch
+    take = pa.array(np.where(found, match, 0))
+    null_mask = pa.array(~found)
+    for c in value_cols:
+        col = values[c].take(take)
+        col = pc.if_else(null_mask, pa.scalar(None, col.type), col)
+        out = out.append_column(c, col)
+    if how == "inner":
+        out = out.filter(pa.array(found))
+    return out
 
 
 class AsofProber:
@@ -86,33 +124,10 @@ class AsofProber:
         return idx
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        built = self._index()
-        index, values = built["index"], built["values"]
-        n = batch.num_rows
-        lkeys = batch[self.left_key].to_numpy(zero_copy_only=False)
-        lts = batch[self.left_ts].combine_chunks().cast(pa.int64()).to_numpy()
-        match = np.full(n, -1, dtype=np.int64)
-        # vectorized probe: one searchsorted per distinct key in the batch
-        for k in np.unique(lkeys):
-            ent = index.get(k)
-            if ent is None:
-                continue
-            ts_arr, base = ent
-            rows = np.flatnonzero(lkeys == k)
-            pos = np.searchsorted(ts_arr, lts[rows], side="right") - 1
-            ok = pos >= 0
-            match[rows[ok]] = base + pos[ok]
-        found = match >= 0
-        out = batch
-        take = pa.array(np.where(found, match, 0))
-        null_mask = pa.array(~found)
-        for c in self.value_cols:
-            col = values[c].take(take)
-            col = pc.if_else(null_mask, pa.scalar(None, col.type), col)
-            out = out.append_column(c, col)
-        if self.how == "inner":
-            out = out.filter(pa.array(found))
-        return out
+        return _probe(
+            batch, self._index(), self.left_key, self.left_ts,
+            self.value_cols, self.how,
+        )
 
 
 def asof_join(
@@ -133,3 +148,85 @@ def asof_join(
     return left.map_batches(
         prober, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def asof_join_large(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "inner",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Shuffle-both-sides as-of join — the fallback for a RIGHT side too
+    large to broadcast (the module-doc partitioning note, now implemented).
+
+    Both sides are hash-assigned to ``num_buckets`` key buckets (one
+    deterministic shuffle each, via a tagged union so a single ``groupby``
+    co-locates them); each bucket task builds the sorted per-key index over
+    just ITS right rows and probes its left rows with the same vectorized
+    ``searchsorted`` as the broadcast path. Per-worker memory is
+    (left+right)/num_buckets; a single hot key must still fit one worker.
+    """
+    import pandas as pd
+
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    left_names = list(lschema.names)
+    val_types = {c: rschema.field(c).type for c in value_cols}
+    rts_type = rschema.field(right_ts).type
+    out_names = left_names + ["__rts", *value_cols, "__side", "__b"]
+
+    def bucket_of(keys: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pa.table({"k": keys}).to_pandas()["k"], index=False
+        ).to_numpy()
+        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {nm: t[nm] for nm in left_names}
+        cols["__rts"] = pa.nulls(t.num_rows, rts_type)
+        for c in value_cols:
+            cols[c] = pa.nulls(t.num_rows, val_types[c])
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["__b"] = bucket_of(t[left_key], t.num_rows)
+        return pa.table({nm: cols[nm] for nm in out_names})
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for f in lschema:
+            if f.name == left_key:
+                cols[f.name] = t[right_key].cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(t.num_rows, f.type)
+        cols["__rts"] = t[right_ts]
+        for c in value_cols:
+            cols[c] = t[c]
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["__b"] = bucket_of(t[right_key], t.num_rows)
+        return pa.table({nm: cols[nm] for nm in out_names})
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns(
+            list(dict.fromkeys([right_key, right_ts, *value_cols]))
+        ).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def bucket_asof(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lpart = g.filter(pa.array(side == 0)).select(left_names)
+        rpart_src = g.filter(pa.array(side == 1))
+        rcols = {right_key: rpart_src[left_key], right_ts: rpart_src["__rts"]}
+        for c in value_cols:
+            rcols[c] = rpart_src[c]
+        built = _build_index(pa.table(rcols), right_key, right_ts, value_cols)
+        return _probe(lpart, built, left_key, left_ts, value_cols, how)
+
+    return tagged.groupby("__b").map_groups(bucket_asof, batch_format="pyarrow")

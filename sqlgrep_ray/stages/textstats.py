@@ -183,9 +183,16 @@ def detect_language_batch(filled: pa.Array) -> pa.Array:
 
 
 def fingerprint64(text: Optional[str]) -> int:
-    """Deterministic 64-bit fingerprint of whitespace-normalized text."""
+    """Deterministic 64-bit fingerprint of whitespace-normalized text.
+
+    SIGNED int64 (the same 8 hash bytes viewed as two's-complement): Ray's
+    groupby converts group-key values through Python ints, and values above
+    2^63-1 overflow C long → per-block pickle fallback. Signed keys stay on
+    the Arrow-native path."""
     norm = " ".join((text or "").split()).lower().encode()
-    return int.from_bytes(hashlib.blake2b(norm, digest_size=8).digest(), "little")
+    return int.from_bytes(
+        hashlib.blake2b(norm, digest_size=8).digest(), "little", signed=True
+    )
 
 
 class TextStats:
@@ -291,9 +298,9 @@ class TextStats:
         if self.fingerprint:
             texts = filled.to_pylist()
             fps = np.fromiter(
-                (fingerprint64(t) for t in texts), dtype=np.uint64, count=n
+                (fingerprint64(t) for t in texts), dtype=np.int64, count=n
             )
-            batch = batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+            batch = batch.append_column("fingerprint", pa.array(fps, pa.int64()))
         return batch
 
 

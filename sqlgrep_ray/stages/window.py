@@ -74,34 +74,76 @@ def sessionize(
     key: str,
     ts_col: str,
     gap_s: float,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Split each key's events into sessions separated by gaps > ``gap_s``.
 
     Output: one row per (key, session) with ``session_idx`` (0-based, in time
-    order), ``n_events``, ``session_start``, ``session_end``,
-    ``duration_s``. Per-key events are sorted and split inside one task
-    (see module doc for the partitioning assumption).
+    order), ``n_events``, ``session_start``, ``session_end``, ``duration_s``.
+
+    Execution: keys are hash-assigned to ``num_buckets`` buckets (one
+    deterministic shuffle); each bucket task sorts its rows by (key, ts)
+    ONCE and splits every key's sessions in the same vectorized pass — one
+    Python call per bucket, not per key (the round-1 ``map_groups``-per-key
+    version paid ~0.1 ms × |keys|). Per-worker memory is the bucket's rows
+    (≈ corpus / num_buckets); raise ``num_buckets`` for bigger corpora. A
+    single hot KEY must still fit one worker — same contract as the
+    reference's in-memory group state.
     """
     gap_us = int(gap_s * 1_000_000)
 
-    def split_sessions(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, [(ts_col, "ascending")])
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def split_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        karr_empty = g[key][:0].combine_chunks()
+        if n == 0:
+            return pa.table(
+                {
+                    key: karr_empty,
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "duration_s": pa.array([], pa.float64()),
+                }
+            )
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (ts_col, "ascending")]
+        )
         g = g.take(order)
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
-        n = len(ts)
-        new_session = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
-        sess = np.cumsum(new_session) - 1
-        n_sessions = int(sess[-1]) + 1 if n else 0
+        karr = g[key].combine_chunks()
+        if n > 1:
+            same = pc.equal(karr.slice(1), karr.slice(0, n - 1))
+            same = pc.fill_null(same, False)  # null keys: each row own key
+            key_change = np.r_[
+                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+        else:
+            key_change = np.array([True])
+        new_session = key_change | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
         starts = np.flatnonzero(new_session)
         ends = np.r_[starts[1:], n] - 1
+        n_sessions = len(starts)
+        # session ordinal within its key: subtract each key's first session
+        key_first = key_change[starts]
+        grp = np.cumsum(key_first) - 1
+        first_sess_of_key = np.flatnonzero(key_first)
+        sess_idx = np.arange(n_sessions) - first_sess_of_key[grp]
         return pa.table(
             {
-                key: pa.concat_arrays([g[key][:1].combine_chunks()] * n_sessions)
-                if n_sessions
-                else g[key][:0].combine_chunks(),
-                "session_idx": pa.array(
-                    np.arange(n_sessions, dtype=np.int64)
-                ),
+                key: karr.take(pa.array(starts)),
+                "session_idx": pa.array(sess_idx.astype(np.int64)),
                 "n_events": pa.array((ends - starts + 1).astype(np.int64)),
                 "session_start": pa.array(ts[starts], pa.timestamp("us")),
                 "session_end": pa.array(ts[ends], pa.timestamp("us")),
@@ -111,6 +153,9 @@ def sessionize(
             }
         )
 
-    return ds.select_columns([key, ts_col]).groupby(key).map_groups(
-        split_sessions, batch_format="pyarrow"
+    return (
+        ds.select_columns([key, ts_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(split_bucket, batch_format="pyarrow")
     )

@@ -60,5 +60,21 @@ class MetricsCollector:
         wrapped.__name__ = f"counted_{stage}"
         return wrapped
 
-    def snapshot(self) -> dict[str, Any]:
-        return ray.get(self.actor.snapshot.remote())
+    def snapshot(
+        self, stabilize: bool = True, timeout_s: float = 10.0
+    ) -> dict[str, Any]:
+        """Current counters. Increments are fire-and-forget from worker
+        tasks, so messages can still be in flight when the pipeline's driver
+        call returns; ``stabilize`` polls until two consecutive reads agree
+        (bounded by ``timeout_s``) — driver-side only, never the hot path."""
+        snap = ray.get(self.actor.snapshot.remote())
+        if not stabilize:
+            return snap
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            time.sleep(0.1)
+            nxt = ray.get(self.actor.snapshot.remote())
+            if nxt["counters"] == snap["counters"]:
+                return nxt
+            snap = nxt
+        return snap

@@ -53,3 +53,30 @@ def test_curate_without_near_dup_removal(ray_session):
     ).to_pandas()
     # near-dups both survive when only exact dedup is on
     assert sorted(out["doc_id"]) == [0, 1]
+
+
+def test_curate_join_fallback_equals_broadcast(ray_session, monkeypatch):
+    """Forcing the distributed semi-/anti-join branch (BROADCAST_IDS_MAX=0)
+    must give the same survivors as the broadcast filter path."""
+    import ray.data
+    from sqlgrep_ray.pipelines import curate as curate_mod
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                BASE,
+                "  " + BASE.upper() + " ",
+                BASE + " again today friends",
+                "kurz",
+                "another english text about the cat and the dog in the house",
+                BASE,
+            ],
+        }
+    )
+    kw = dict(min_quality=0.1, min_tokens=3, drop_near_dups=True,
+              near_dup_threshold=0.8)
+    small = curate_mod.curate(ray.data.from_arrow(docs), **kw).to_pandas()
+    monkeypatch.setattr(curate_mod, "BROADCAST_IDS_MAX", 0)
+    joined = curate_mod.curate(ray.data.from_arrow(docs), **kw).to_pandas()
+    assert sorted(small["doc_id"]) == sorted(joined["doc_id"])

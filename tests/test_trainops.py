@@ -47,7 +47,7 @@ def test_exact_dedup(ray_session):
 
     ds = ray.data.from_arrow(_doc_table()).map_batches(
         lambda t: t.append_column(
-            "fp", pa.array([fingerprint64(x) for x in t["text"].to_pylist()], pa.uint64())
+            "fp", pa.array([fingerprint64(x) for x in t["text"].to_pylist()], pa.int64())
         ),
         batch_format="pyarrow",
     )
