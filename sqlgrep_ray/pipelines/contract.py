@@ -875,6 +875,29 @@ FROM documents
 """
 
 
+def q_percentile_global(sf_dir: str) -> Result:
+    """Distributed EXACT global percentile (stages/quantile.py): sample →
+    bracket → bounded collect, never the whole column on one worker — the
+    scale path for the holistic plan percentile. Value is an element of the
+    data (no float arithmetic), so it hashes identically cross-engine."""
+    from sqlgrep_ray.stages.quantile import distributed_percentile
+
+    v = distributed_percentile(
+        _t(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", 0.95
+    )
+    return pa.table({"p95": pa.array([v], pa.float64())})
+
+
+SQL_PERCENTILE_GLOBAL = """
+SELECT x AS p95 FROM (
+  SELECT l_extendedprice AS x,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+) WHERE rn = 1 + CAST(FLOOR(0.95 * (SELECT count(l_extendedprice)
+                                    FROM lineitem)) AS BIGINT)
+"""
+
+
 def q_knn_top5(sf_dir: str) -> Result:
     """Brute-force cosine top-5 for 3 query vectors (ids only — float scores
     differ in last ulp across engines)."""
@@ -1321,6 +1344,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "count_distinct_users": q_count_distinct_users,
     "stddev_quantity": q_stddev_quantity,
     "percentile_price": q_percentile_price,
+    "percentile_global": q_percentile_global,
     "array_string_agg": q_array_string_agg,
     "case_priority": q_case_priority,
     "scalar_funcs_part": q_scalar_funcs_part,
@@ -1377,6 +1401,7 @@ ORACLES: dict[str, str] = {
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "stddev_quantity": SQL_STDDEV_QUANTITY,
     "percentile_price": SQL_PERCENTILE_PRICE,
+    "percentile_global": SQL_PERCENTILE_GLOBAL,
     "array_string_agg": SQL_ARRAY_STRING_AGG,
     "case_priority": SQL_CASE_PRIORITY,
     "scalar_funcs_part": SQL_SCALAR_FUNCS_PART,

@@ -1,0 +1,57 @@
+"""Distributed exact percentile (stages/quantile.py) — equals the holistic
+truncation-index rule with bounded memory."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sqlgrep_ray.stages.quantile import distributed_percentile
+
+
+def _expected(vals, p):
+    a = np.sort(np.asarray([v for v in vals if v is not None]))
+    k = int(p * len(a))
+    return None if k >= len(a) else a[k]
+
+
+@pytest.mark.parametrize("p", [0.0, 0.25, 0.5, 0.9, 0.99])
+def test_distributed_percentile_exact(ray_session, p):
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0, 2, 20_000)
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = distributed_percentile(ds, "x", p, sample_size=500, bracket_budget=3000)
+    assert got == _expected(vals, p)
+
+
+def test_distributed_percentile_nulls_and_oob(ray_session):
+    import ray.data
+
+    t = pa.table({"x": pa.array([None, 3.0, 1.0, None, 2.0], pa.float64())})
+    ds = ray.data.from_arrow(t)
+    assert distributed_percentile(ds, "x", 0.5) == 2.0
+    assert distributed_percentile(ds, "x", 1.0) is None  # OOB ⇒ NULL
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert distributed_percentile(empty, "x", 0.5) is None
+
+
+def test_distributed_percentile_matches_plan_path(ray_session):
+    """Same value as the holistic plan-path percentile on integers."""
+    import ray.data
+
+    from sqlgrep_ray.functions.exprs import Col
+    from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, 5000)
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    plan = AggregatePlan(aggs=(AggItem("p90", "percentile", Col("x"), extra=0.9),))
+    hol = run_plan(ray.data.from_arrow(t).repartition(4), plan).take_all()[0]["p90"]
+    dist = distributed_percentile(
+        ray.data.from_arrow(t).repartition(4), "x", 0.9, sample_size=200,
+        bracket_budget=1000,
+    )
+    assert dist == hol
