@@ -45,6 +45,17 @@ def main() -> int:
         default=None,
         help="stop after N fresh chunks (simulates a killed run; rerun resumes)",
     )
+    ap.add_argument(
+        "--follow",
+        action="store_true",
+        help="tail mode: poll --input for new shards and re-emit the per-sink "
+        "count snapshot each round (sqlgrep -f analogue, state/follow.py)",
+    )
+    ap.add_argument("--poll-interval", type=float, default=5.0)
+    ap.add_argument(
+        "--max-rounds", type=int, default=None,
+        help="follow mode: stop after N poll rounds (default: run until killed)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -80,6 +91,30 @@ def main() -> int:
             zero_copy_batch=True,
         )
         return enrich_tools(routed)
+
+    if args.follow:
+        from sqlgrep_ray.functions.exprs import Col
+        from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
+        from sqlgrep_ray.state.follow import FollowRun
+
+        plan = AggregatePlan(
+            group_by=(GroupKey("sink", Col("sink")),),
+            aggs=(AggItem("n", "count_star"),),
+        )
+        fr = FollowRun(
+            args.input,
+            args.out,
+            plan,
+            build_pipeline=build,
+            files_per_chunk=1,  # stable chunk identity as shards appear
+            extra_partition_cols=["sink"],
+        )
+        for snap in fr.follow(
+            poll_interval=args.poll_interval, max_rounds=args.max_rounds
+        ):
+            print(json.dumps({"snapshot": snap.to_pydict()}), flush=True)
+        ray.shutdown()
+        return 0
 
     run = CheckpointedRun(
         args.input,
