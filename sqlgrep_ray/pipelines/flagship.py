@@ -301,9 +301,12 @@ def flagship(
 
 
 def sink_counts(routed: "ray.data.Dataset") -> "ray.data.Dataset":
+    # sink cardinality is 4 — skip the auto merge-path count (one less
+    # barrier on the hot bench path)
     plan = AggregatePlan(
         group_by=(GroupKey("sink", Col("sink")),),
         aggs=(AggItem("n", "count_star"),),
+        small_result=True,
     )
     return run_plan(routed, plan)
 
@@ -312,6 +315,7 @@ def sink_role_counts(routed: "ray.data.Dataset") -> "ray.data.Dataset":
     plan = AggregatePlan(
         group_by=(GroupKey("sink", Col("sink")), GroupKey("role", Col("role"))),
         aggs=(AggItem("n", "count_star"),),
+        small_result=True,
     )
     return run_plan(routed, plan)
 
@@ -329,5 +333,6 @@ def hour_histogram(routed: "ray.data.Dataset") -> "ray.data.Dataset":
             AggItem("max_minute", "max", Col("minute")),
         ),
         where=Bin("is_not", Col("hour"), Lit(None, INT)),
+        small_result=True,
     )
     return run_plan(routed, plan)
