@@ -222,24 +222,26 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact dedup: hash-partition by the full row, keep one per group
     (SURVEY.md §2.8; the reference's first-seen order is not reproducible on
     unordered blocks — result SET equality is the contract)."""
+    from ray.data.aggregate import Count
 
     cols = ds.schema().names
     enc, res = _encode_keys(cols), _restore_keys(cols)
 
-    def block_head(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    # per-block pre-dedup (combiner) then global groupby-first; keys are
-    # null-encoded because projected columns may contain NULLs
+    # per-block pre-dedup (combiner) then ONE vectorized hash-aggregate
+    # shuffle keyed on the full (null-encoded) row — a throwaway Count is
+    # the aggregate (Ray groupby needs one); per-group ``map_groups`` would
+    # pay a Python call per distinct row
     def block_dedup(t: pa.Table) -> pa.Table:
         t = enc(t)
         return t.group_by(t.column_names).aggregate([])
 
     ds = ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
-    deduped = ds.groupby(_interleaved(cols)).map_groups(
-        block_head, batch_format="pyarrow"
-    )
-    return deduped.map_batches(res, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = ds.groupby(_interleaved(cols)).aggregate(Count(alias_name="__c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return res(t.drop_columns(["__c"]))
+
+    return deduped.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def run_select(
