@@ -244,6 +244,12 @@ class Tables:
             parsed = self._parse_stage(ds, tdef, text_col, add_input=needs_input)
             return run_plan(parsed, plan)
 
+        # expose the BOUND plan and parse stage for callers that need the
+        # pieces (CLI follow mode re-renders aggregates from partials)
+        run.plan = plan  # type: ignore[attr-defined]
+        run.parse = lambda ds: self._parse_stage(  # type: ignore[attr-defined]
+            ds, tdef, text_col, add_input=needs_input
+        )
         return q, run
 
     def execute_query(

@@ -95,10 +95,25 @@ def main(argv=None) -> int:
     ap.add_argument("-c", "--command", help="query to execute")
     ap.add_argument("--stdin", action="store_true",
                     help="read input DATA lines from stdin (main.rs:171-173)")
+    ap.add_argument("--command-file",
+                    help="execute the query stored in this file (main.rs)")
+    ap.add_argument("-f", "--follow", action="store_true",
+                    help="follow the input DIRECTORY: poll for new shards "
+                    "(text or parquet files) and re-emit results per round — "
+                    "the batch analogue of tail -f (executor.rs:175-234)")
+    ap.add_argument("--head", action="store_true",
+                    help="follow from the start: include shards that already "
+                    "exist (default: only shards appearing after startup)")
+    ap.add_argument("--poll-interval", type=float, default=2.0)
+    ap.add_argument("--max-rounds", type=int, default=None,
+                    help="follow: stop after N poll rounds (tests; default ∞)")
     ap.add_argument("--format", choices=["text", "json", "csv"], default="text")
     ap.add_argument("--show-run-stats", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.command_file and not args.command:
+        with open(args.command_file) as fh:
+            args.command = fh.read().strip()
 
     import ray
 
@@ -157,6 +172,82 @@ def main(argv=None) -> int:
                   f"{len(lines)} result rows.", file=sys.stderr)
         return 0
 
+    def run_follow(sql: str) -> int:
+        """Batch tail of the input DIRECTORY (reference -f follows one file,
+        ``executor.rs:175-234``): each round processes only the newly
+        appeared shards. Aggregates re-render a running snapshot from
+        accumulated per-shard partials (the per-line state update,
+        batched, ``:213-230``); selects print just the appended rows."""
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sqlgrep_ray.pipelines.plan import AggregatePlan
+        from sqlgrep_ray.pipelines.runner import _apply_join, _apply_where
+        from sqlgrep_ray.stages.aggregate import (
+            LocalMergeFinalize,
+            PartialAggregator,
+        )
+
+        in_dir = args.inputs[0]
+        fmt = {"text": format_text, "json": format_json, "csv": format_csv}[args.format]
+
+        def list_files() -> list[str]:
+            return sorted(
+                os.path.join(in_dir, f)
+                for f in os.listdir(in_dir)
+                if not f.startswith("_") and not f.startswith(".")
+            )
+
+        def read(files: list[str]) -> "rd.Dataset":
+            if files[0].endswith(".parquet"):
+                return rd.read_parquet(files, columns=["text"])
+            return rd.read_text(files)
+
+        q, run = tables.compile_query(sql)
+        plan = run.plan
+        is_agg = isinstance(plan, AggregatePlan)
+        partial = PartialAggregator(plan) if is_agg else None
+        finalize = LocalMergeFinalize(plan) if is_agg else None
+        partials: list[pa.Table] = []
+        seen: set[str] = set() if args.head else set(list_files())
+        rounds = 0
+        while True:
+            new = [f for f in list_files() if f not in seen]
+            seen.update(new)
+            if new:
+                if is_agg:
+                    pds = run.parse(read(new))
+                    pds = _apply_join(pds, plan.join, force_inner=True)
+                    pds = _apply_where(pds, plan.where, None)
+                    tbls = list(
+                        pds.map_batches(
+                            partial, batch_format="pyarrow", zero_copy_batch=True
+                        ).iter_batches(batch_format="pyarrow")
+                    )
+                    if tbls:
+                        partials.append(
+                            pa.concat_tables(tbls, promote_options="default")
+                        )
+                    snap = finalize(
+                        pa.concat_tables(partials, promote_options="default")
+                    )
+                    snap = snap.drop_columns(
+                        [c for c in snap.column_names if c.startswith("__having")]
+                    )
+                    if plan.limit is not None:
+                        snap = snap.slice(0, plan.limit)
+                    for ln in fmt(snap):
+                        print(ln, flush=True)
+                else:
+                    for ln in fmt(run(read(new))):
+                        print(ln, flush=True)
+            rounds += 1
+            if args.max_rounds is not None and rounds >= args.max_rounds:
+                return 0
+            time.sleep(args.poll_interval)
+
     def handle(line: str) -> bool:
         """One REPL line; False ⇒ exit requested."""
         line = line.strip()
@@ -179,6 +270,12 @@ def main(argv=None) -> int:
         return True
 
     try:
+        if args.follow:
+            if not args.command or not args.inputs:
+                print("--follow needs an input directory and -c/--command-file",
+                      file=sys.stderr)
+                return 2
+            return run_follow(args.command)
         if args.command:
             return run_one(args.command)
         # REPL (reference main.rs:291-361): \d describe, completion on a TTY

@@ -95,3 +95,43 @@ def test_execute_query_callback_early_stop(ray_session):
         batch_size=200,
     )
     assert total == 500
+
+
+def test_cli_follow_aggregate_snapshot(tmp_path):
+    """-f over a shard DIRECTORY: two shards exist at start (--head), the
+    aggregate snapshot over both is printed; select-follow prints appended
+    rows only. Uses --max-rounds so the loop terminates."""
+    defs = tmp_path / "defs.sql"
+    defs.write_text(DEFS)
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a-0001.log").write_text("user=alice n=1\nuser=bob n=2\n")
+    (d / "a-0002.log").write_text("user=eve n=9\nnoise\n")
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs), str(d),
+         "-f", "--head", "--max-rounds", "1", "--poll-interval", "0.1",
+         "-c", "SELECT user, max(n) AS mx FROM conns GROUP BY user",
+         "--format", "csv", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines[0] == "user;mx"
+    assert set(lines[1:]) == {"'alice';1", "'bob';2", "'eve';9"}
+
+
+def test_cli_command_file(tmp_path):
+    defs = tmp_path / "defs.sql"
+    defs.write_text(DEFS)
+    qf = tmp_path / "q.sql"
+    qf.write_text("SELECT user, n FROM conns WHERE n > 1\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs), "--stdin",
+         "--command-file", str(qf), "--format", "csv", "--num-cpus", "2"],
+        input="user=a n=1\nuser=b n=5\n",
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines == ["user;n", "'b';5"]
