@@ -1016,6 +1016,45 @@ ON a.embedding = b.embedding AND a.vec_id < b.vec_id
 """
 
 
+def q_ngram_jaccard(sf_dir: str) -> Result:
+    """Exact all-pairs n-gram Jaccard (the documented small-set operator)
+    over a 70-doc planted subset — DuckDB reproduces the shingle sets with
+    list lambdas, so the pair set is exact, organic near-dups included."""
+    from sqlgrep_ray.stages.dedup import ngram_jaccard_pairs
+
+    t = _pat(sf_dir, "documents").select(["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    sub = t.filter(pc.less(t["doc_id"], 60))
+    cp = sub.filter(pc.less(sub["doc_id"], 10))
+    cp = cp.set_column(0, "doc_id", pc.add(cp["doc_id"], 100000))
+    corpus = ray.data.from_arrow(sub).union(ray.data.from_arrow(cp))
+    out = ngram_jaccard_pairs(corpus, threshold=0.5)
+    return out.select_columns(["id_a", "id_b"])
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+), toks AS (
+  SELECT doc_id,
+         regexp_split_to_array({_SQL_WSNORM.format(c='text')}, ' ') AS tk
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) < 3 THEN list_distinct([array_to_string(tk, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sg
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
+      / (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.5
+"""
+
+
 def q_minhash_pairs_dist(sf_dir: str) -> Result:
     """Same planted-corpus contract through the DISTRIBUTED verify path
     (hash-join text back by id → groupby(bucket) verify → pair-dedup
@@ -1367,6 +1406,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
+    "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs_dist": q_minhash_pairs_dist,
     "simhash_pairs_dist": q_simhash_pairs_dist,
     "embedding_dups_dist": q_embedding_dups_dist,
@@ -1434,6 +1474,7 @@ ORACLES: dict[str, str] = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_dups": SQL_EMBEDDING_DUPS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_pairs_dist": SQL_MINHASH_PAIRS,
     "simhash_pairs_dist": SQL_SIMHASH_PAIRS,
     "embedding_dups_dist": SQL_EMBEDDING_DUPS,
