@@ -31,7 +31,11 @@ from sqlgrep_ray.schema import (  # noqa: F401
     TableDef,
 )
 
-from sqlgrep_ray.api import Tables  # noqa: F401
+from sqlgrep_ray.api import (  # noqa: F401
+    FollowFileIterator,
+    ReadLinesIterator,
+    Tables,
+)
 from sqlgrep_ray.sqlfront import parse, parse_query, parse_table_defs  # noqa: F401
 
 __version__ = "0.1.0"

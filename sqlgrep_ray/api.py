@@ -78,6 +78,70 @@ def _rewrite_cols(e: Expr, fn) -> Expr:
     return e
 
 
+class ReadLinesIterator:
+    """Iterate a text file's lines, newline-stripped — the reference's
+    ``ReadLinesIterator`` (``python_wrapper.rs:329-357``), used to feed
+    ``execute_query(lines_iter, …)``."""
+
+    def __init__(self, filename: str):
+        self._fh = open(filename)
+
+    def __iter__(self) -> "ReadLinesIterator":
+        return self
+
+    def __next__(self) -> str:
+        line = self._fh.readline()
+        if not line:
+            self._fh.close()
+            raise StopIteration
+        return line.rstrip("\n")
+
+
+class FollowFileIterator:
+    """Tail ONE growing text file — the reference's ``FollowFileIterator``
+    (``python_wrapper.rs:359-379``; ``helpers.rs:82-118``): seek to the end
+    (or the start with ``head=True``), poll for complete lines, and hold
+    partial lines until their ``\\n`` arrives.
+
+    ``max_polls`` bounds the idle polls before StopIteration (the reference
+    blocks forever; a bound makes the iterator testable/driveable)."""
+
+    def __init__(
+        self,
+        filename: str,
+        head: bool = False,
+        poll_interval: float = 0.2,
+        max_polls: Optional[int] = None,
+    ):
+        import io
+
+        self._fh = open(filename)
+        if not head:
+            self._fh.seek(0, io.SEEK_END)
+        self._poll = poll_interval
+        self._max_polls = max_polls
+
+    def __iter__(self) -> "FollowFileIterator":
+        return self
+
+    def __next__(self) -> str:
+        import time as _time
+
+        buf = ""
+        idle = 0
+        while True:
+            chunk = self._fh.readline()
+            buf += chunk
+            if buf.endswith("\n"):
+                return buf.rstrip("\n")
+            if not chunk:
+                idle += 1
+                if self._max_polls is not None and idle > self._max_polls:
+                    self._fh.close()
+                    raise StopIteration
+                _time.sleep(self._poll)
+
+
 class Tables:
     """Catalog of table definitions (reference ``Tables``, data_model.rs:458-515)."""
 
@@ -96,6 +160,18 @@ class Tables:
         if name not in self._tables:
             raise SqlError(f"unknown table {name!r}")
         return self._tables[name]
+
+    def get_table(self, name: str) -> TableDef:
+        """Reference ``get_table`` (``python_wrapper.rs:73-76``)."""
+        return self[name]
+
+    def table_names(self) -> list[str]:
+        """Reference ``table_names`` (``python_wrapper.rs:69-71``)."""
+        return sorted(self._tables)
+
+    def tables(self) -> list[TableDef]:
+        """Reference ``tables`` (``python_wrapper.rs:60-67``)."""
+        return [self._tables[n] for n in sorted(self._tables)]
 
     # -- execution ---------------------------------------------------------
 
@@ -275,6 +351,45 @@ class Tables:
     ) -> list[dict]:
         """Reference ``execute_query`` shape: fully evaluated list of dicts."""
         return self.execute_query(sql, source, join_source, text_col).take_all()
+
+    def execute_query_line(self, sql: str, line: str) -> list[dict]:
+        """One raw line → result rows (reference ``execute_query_line``,
+        ``python_wrapper.rs:269-282``)."""
+        return self.execute_query_rows(sql, source=[line])
+
+    def execute_compiled_query(
+        self,
+        compiled,
+        source: Optional[Source] = None,
+        text_col: str = "text",
+    ) -> "ray.data.Dataset":
+        """Run a ``compile_query`` result against a (new) source — compile
+        once, execute per input (reference ``execute_compiled_query``,
+        ``python_wrapper.rs:86-91``)."""
+        q, run = compiled
+        src = q.file if q.file is not None else source
+        if src is None:
+            raise SqlError("no input source (pass source= or use FROM t::'file')")
+        return run(self._as_dataset(src, text_col))
+
+    def execute_compiled_query_callback(
+        self,
+        compiled,
+        callback,
+        source: Optional[Source] = None,
+        text_col: str = "text",
+        batch_size: Optional[int] = 1024,
+    ) -> int:
+        """Compiled variant of :meth:`execute_query_callback` (reference
+        ``python_wrapper.rs:102-110``)."""
+        ds = self.execute_compiled_query(compiled, source, text_col)
+        delivered = 0
+        for batch in ds.iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            rows = batch.to_pylist()
+            delivered += len(rows)
+            if callback(rows) is False:
+                break
+        return delivered
 
     def execute_query_callback(
         self,

@@ -135,3 +135,55 @@ def test_cli_command_file(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert lines == ["user;n", "'b';5"]
+
+
+def test_library_parity_surface(ray_session, tmp_path):
+    """python_wrapper.rs parity: table_names/tables/get_table, compiled
+    execution, execute_query_line, ReadLinesIterator, FollowFileIterator."""
+    from sqlgrep_ray.api import FollowFileIterator, ReadLinesIterator
+
+    t = Tables()
+    t.add_tables(DEFS)
+    assert t.table_names() == ["conns"]
+    assert [td.name for td in t.tables()] == ["conns"]
+    assert t.get_table("conns").name == "conns"
+
+    compiled = t.compile_query("SELECT user, n FROM conns WHERE n >= 2")
+    out1 = t.execute_compiled_query(compiled, source=["user=a n=1", "user=b n=2"])
+    assert out1.take_all() == [{"user": "b", "n": 2}]
+    # compile once, run again on a different source
+    out2 = t.execute_compiled_query(compiled, source=["user=c n=7"])
+    assert out2.take_all() == [{"user": "c", "n": 7}]
+
+    seen = []
+    n = t.execute_compiled_query_callback(
+        compiled, lambda rows: seen.extend(rows),
+        source=[f"user=u n={i}" for i in range(10)],
+    )
+    assert n == 8 and len(seen) == 8  # n>=2 keeps 8 of 10
+
+    assert t.execute_query_line(
+        "SELECT user, n FROM conns", "user=zed n=4"
+    ) == [{"user": "zed", "n": 4}]
+
+    f = tmp_path / "lines.log"
+    f.write_text("one 1\ntwo 2\n")
+    assert list(ReadLinesIterator(str(f))) == ["one 1", "two 2"]
+
+    # FollowFileIterator: head=True reads existing lines; appended complete
+    # lines arrive; a partial line is held until its newline shows up
+    it = FollowFileIterator(str(f), head=True, poll_interval=0.01, max_polls=3)
+    assert next(it) == "one 1"
+    assert next(it) == "two 2"
+    with open(f, "a") as fh:
+        fh.write("three 3\npart")
+        fh.flush()
+    assert next(it) == "three 3"
+    with open(f, "a") as fh:
+        fh.write("ial 4\n")
+        fh.flush()
+    assert next(it) == "partial 4"
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        next(it)
