@@ -109,8 +109,20 @@ def main(argv=None) -> int:
                     help="follow: stop after N poll rounds (tests; default ∞)")
     ap.add_argument("--format", choices=["text", "json", "csv"], default="text")
     ap.add_argument("--show-run-stats", action="store_true")
+    ap.add_argument("--edit-table",
+                    help="open the table editor on this table "
+                    "(table_editor.rs:19-60; curses TUI, preview-only when "
+                    "stdout is not a TTY)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.edit_table:
+        # editor runs locally on a 1000-line sample — no Ray session needed
+        if not args.data_definition or not args.inputs:
+            print("--edit-table needs -d DEFS and an input file", file=sys.stderr)
+            return 2
+        from sqlgrep_ray.editor import run_editor
+
+        return run_editor(args.data_definition[0], args.inputs[0], args.edit_table)
     if args.command_file and not args.command:
         with open(args.command_file) as fh:
             args.command = fh.read().strip()
