@@ -269,11 +269,16 @@ def run_select(
 
 
 def _cd_two_stage_eligible(plan: AggregatePlan) -> bool:
-    """True when the only holistic aggregate is a single COUNT(DISTINCT) —
-    the shape the skew-safe two-stage shuffle handles (multiple distinct
-    args would need one pipeline each; other holistics need whole groups)."""
+    """True when every holistic aggregate is a COUNT(DISTINCT) over the SAME
+    argument expression — the shape the skew-safe two-stage shuffle handles
+    (one subgroup key serves them all; COUNT(DISTINCT) over different args
+    would need one pipeline each; other holistics need whole groups).
+    Expr dataclasses are frozen with structural equality, so ``==`` compares
+    the argument trees."""
     holi = [a for a in plan.aggs if a.func in HOLISTIC]
-    return len(holi) == 1 and holi[0].func == "count_distinct"
+    if not holi or any(a.func != "count_distinct" for a in holi):
+        return False
+    return all(a.arg == holi[0].arg for a in holi)
 
 
 def _count_distinct_two_stage(
@@ -301,8 +306,8 @@ def _count_distinct_two_stage(
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    cd_i = next(i for i, a in enumerate(plan.aggs) if a.func == "count_distinct")
-    cd_a = plan.aggs[cd_i]
+    cd_items = [a for a in plan.aggs if a.func == "count_distinct"]
+    cd_a = cd_items[0]  # all share the same arg (eligibility check)
     CDK = "__cdv"
     assoc = tuple(a for a in plan.aggs if a.func != "count_distinct")
     ext_plan = AggregatePlan(
@@ -348,7 +353,7 @@ def _count_distinct_two_stage(
     merged2 = combined.groupby(stage2_keys).aggregate(*aggs2)
 
     fin = FinalizeAggregates(fin_plan, ctx, passthrough=[*markers, "__cd"])
-    cd_only = AggregatePlan(group_by=(), aggs=(cd_a,))
+    cd_only = AggregatePlan(group_by=(), aggs=tuple(cd_items))
 
     def final(t: pa.Table) -> pa.Table:
         out = fin(t)
@@ -356,7 +361,9 @@ def _count_distinct_two_stage(
         if isinstance(cd, pa.ChunkedArray):
             cd = cd.combine_chunks()
         out = out.drop_columns(["__cd"])
-        out = out.append_column(cd_a.name, pc.fill_null(cd, 0).cast(pa.int64()))
+        cd = pc.fill_null(cd, 0).cast(pa.int64())
+        for a in cd_items:  # every same-arg COUNT(DISTINCT) gets the count
+            out = out.append_column(a.name, cd)
         out = apply_transforms(out, cd_only, ctx)
         order = key_names + [a.name for a in plan.aggs] + markers
         if not key_names and _CONST_KEY in out.column_names:

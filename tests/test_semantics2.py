@@ -326,3 +326,39 @@ def test_count_distinct_two_stage_equals_holistic(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(norm(two), norm(hol), check_dtype=False)
     pd.testing.assert_frame_equal(gtwo[sorted(gtwo.columns)], ghol[sorted(ghol.columns)], check_dtype=False)
     assert set(two.columns) == {"k", "users", "n", "sv"}
+
+
+def test_count_distinct_two_stage_same_arg_pair(ray_session):
+    """Two COUNT(DISTINCT) aggregates over the SAME expression (e.g. a
+    HAVING hidden slot beside the projection) both ride one two-stage
+    shuffle and agree with the holistic rule."""
+    import ray.data
+    import pyarrow as pa
+
+    from sqlgrep_ray.functions.exprs import Bin, Col, Lit
+    from sqlgrep_ray.pipelines import runner
+    from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "b", "b", "a"]),
+            "u": pa.array([1, 1, 2, 3, None, 4], pa.int64()),
+        }
+    )
+    plan = AggregatePlan(
+        group_by=(GroupKey("k", Col("k")),),
+        aggs=(
+            AggItem("users", "count_distinct", Col("u")),
+            AggItem("__having0", "count_distinct", Col("u")),
+            AggItem("n", "count_star"),
+        ),
+        having=Bin("ge", Col("__having0"), Lit(2)),
+    )
+    assert runner._cd_two_stage_eligible(plan)
+    out = run_plan(ray.data.from_arrow(t).repartition(3), plan).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == ["a", "b"]
+    assert list(out["users"]) == [2, 2]  # a: {1,4}; b: {2,3} (null ignored)
+    assert list(out["n"]) == [3, 3]
+    assert "__having0" not in out.columns  # hidden slot dropped after filter
