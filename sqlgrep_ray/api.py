@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Iterable, Optional, Union
+from typing import Optional, Union
 
 import pyarrow as pa
 import ray.data

@@ -14,7 +14,7 @@ Type system (reference ``src/model.rs:355-364``):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Union
 
 import pyarrow as pa

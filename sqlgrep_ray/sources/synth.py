@@ -23,7 +23,7 @@ lineage units.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import numpy as np
 import pyarrow as pa

@@ -25,7 +25,7 @@ cap with ``max_bucket`` and log drops.
 from __future__ import annotations
 
 import hashlib
-from typing import Callable, Iterable, Optional
+from typing import Callable, Optional
 
 import numpy as np
 import pyarrow as pa

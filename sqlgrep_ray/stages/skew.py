@@ -20,7 +20,7 @@ Both compose from plain Ray Data groupbys — no custom shuffle.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa

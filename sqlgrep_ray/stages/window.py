@@ -20,7 +20,7 @@ Both emit plain Datasets, so downstream plans (HAVING, sort, limit) compose.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa

@@ -16,7 +16,7 @@ Usage::
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import pyarrow as pa
 import ray
