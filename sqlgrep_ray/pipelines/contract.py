@@ -1055,6 +1055,39 @@ WHERE len(list_intersect(a.sg, b.sg))::DOUBLE
 """
 
 
+def q_dup_ngram_stats(sf_dir: str) -> Result:
+    """Per-doc duplicate k-gram occurrence counts (stages/textdup.py — the
+    Lee-et-al substring-duplication signal) over the planted corpus: only
+    (gram_hash, doc_id, count) int triples ever shuffle; oracle rebuilds the
+    gram lists with DuckDB list lambdas. Integer outputs → hash-exact."""
+    from sqlgrep_ray.stages.textdup import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(_planted_docs(sf_dir, n_dups=15), k=5)
+
+
+SQL_DUP_NGRAM_STATS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 15
+), toks AS (
+  SELECT doc_id,
+         regexp_split_to_array({_SQL_WSNORM.format(c='text')}, ' ') AS tk
+  FROM corpus
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 3),
+                i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4])
+    END) AS g
+  FROM toks WHERE array_to_string(tk, ' ') <> ''
+), tot AS (SELECT g, count(*) AS total FROM grams GROUP BY g)
+SELECT doc_id,
+       SUM(CASE WHEN total >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_grams,
+       count(*)::BIGINT AS total_grams
+FROM grams JOIN tot USING (g) GROUP BY doc_id
+"""
+
+
 def q_minhash_pairs_dist(sf_dir: str) -> Result:
     """Same planted-corpus contract through the DISTRIBUTED verify path
     (hash-join text back by id → groupby(bucket) verify → pair-dedup
@@ -1407,6 +1440,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_ngram_stats": q_dup_ngram_stats,
     "minhash_pairs_dist": q_minhash_pairs_dist,
     "simhash_pairs_dist": q_simhash_pairs_dist,
     "embedding_dups_dist": q_embedding_dups_dist,
@@ -1475,6 +1509,7 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "embedding_dups": SQL_EMBEDDING_DUPS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dup_ngram_stats": SQL_DUP_NGRAM_STATS,
     "minhash_pairs_dist": SQL_MINHASH_PAIRS,
     "simhash_pairs_dist": SQL_SIMHASH_PAIRS,
     "embedding_dups_dist": SQL_EMBEDDING_DUPS,

@@ -1,0 +1,136 @@
+"""Duplicate n-gram span statistics — corpus-level repeated-text signal.
+
+Per document: how many of its token k-gram OCCURRENCES also occur elsewhere
+in the corpus (or again in the same document) — the "duplicate n-gram
+fraction" quality signal from substring-dedup work on LLM training data
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better"); C4/RefinedWeb-style pipelines drop or down-weight documents with
+high duplicate fractions.
+
+Not in the reference (its dedup stops at SELECT DISTINCT,
+``execution/helpers.rs:5-25``); built from the same Ray Data primitives as
+the rest of the engine and scale-safe by construction:
+
+1. per-block combine: (gram_hash, doc_id) → occurrence count
+   (``pa.TableGroupBy``, vectorized) — only fixed-width int pairs leave the
+   block, never text;
+2. ``groupby(gram_hash, doc_id).Sum`` — global per-doc gram counts;
+3. ``groupby(gram_hash).Sum`` — global total occurrences per gram (small:
+   one row per distinct gram);
+4. hash-join 2⟕3 on the gram hash, flag grams with total ≥ 2, then ONE
+   ``groupby(doc_id)`` sums duplicate vs total occurrences.
+
+Output: (doc_id, dup_grams, total_grams) — integers, so the DuckDB oracle
+(string shingles via list lambdas) matches hash-exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from sqlgrep_ray.stages.enrich import join_partitions
+
+
+def _gram_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of each token k-gram occurrence (with multiplicity).
+    Texts shorter than ``k`` tokens contribute ONE gram: the whole token
+    sequence (mirrors ``dedup._token_shingles``)."""
+    toks = (text or "").split()
+    if not toks:
+        return np.array([], dtype=np.int64)
+    if len(toks) < k:
+        spans = [" ".join(toks)]
+    else:
+        spans = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(spans), dtype=np.int64)
+    for i, s in enumerate(spans):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8).digest(),
+            "little",
+            signed=True,  # signed: Ray groupby keys stay Arrow-native
+        )
+    return out
+
+
+def duplicate_ngram_stats(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_partitions: "int | None" = None,
+) -> "ray.data.Dataset":
+    """(doc_id, dup_grams, total_grams): of the document's ``total_grams``
+    k-gram occurrences, ``dup_grams`` belong to grams seen ≥ 2 times in the
+    whole corpus. ``dup_grams / total_grams`` is the duplicate-span
+    fraction; filter or down-weight above a threshold."""
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        id_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
+        for i, txt in enumerate(texts):
+            hs = _gram_hashes(txt, k)
+            if len(hs):
+                id_out.append(np.full(len(hs), ids[i], dtype=np.int64))
+                h_out.append(hs)
+        if not h_out:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        tbl = pa.table(
+            {
+                id_col: pa.array(np.concatenate(id_out)),
+                "gram": pa.array(np.concatenate(h_out)),
+            }
+        )
+        # per-block combine: one row per (gram, doc) with its occurrence count
+        return (
+            pa.TableGroupBy(tbl, ["gram", id_col])
+            .aggregate([([], "count_all")])
+            .rename_columns(["gram", id_col, "cnt"])
+        )
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # global per-(gram, doc) counts — ONE vectorized hash shuffle; pin for
+    # the two consumers below (narrow: three int64 columns)
+    per_doc = (
+        pairs.groupby(["gram", id_col])
+        .aggregate(Sum("cnt", alias_name="cnt", ignore_nulls=True))
+        .materialize()
+    )
+    # global per-gram totals (one row per distinct gram)
+    totals = per_doc.groupby("gram").aggregate(
+        Sum("cnt", alias_name="total", ignore_nulls=True)
+    )
+    joined = per_doc.join(
+        totals,
+        join_type="inner",
+        on=("gram",),
+        num_partitions=join_partitions(num_partitions),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        dup = pc.if_else(
+            pc.greater_equal(t["total"], 2), t["cnt"], pa.scalar(0, pa.int64())
+        )
+        return pa.table({id_col: t[id_col], "cnt": t["cnt"], "dup": dup})
+
+    flagged = joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    out = flagged.groupby(id_col).aggregate(
+        Sum("dup", alias_name="dup_grams", ignore_nulls=True),
+        Sum("cnt", alias_name="total_grams", ignore_nulls=True),
+    )
+    return out

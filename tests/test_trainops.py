@@ -275,3 +275,28 @@ def test_grouped_topk_distributed_equivalence(ray_session):
     key = lambda df: sorted(map(tuple, df[["g", "score", "id"]].itertuples(index=False)))
     assert key(local) == key(dist)
     assert len(local) == 37 * 3
+
+
+def test_duplicate_ngram_stats(ray_session):
+    """dup-gram occurrence accounting: the exact-dup doc pair shares every
+    gram; unique docs have zero duplicated grams."""
+    import ray.data
+    from sqlgrep_ray.stages.textdup import duplicate_ngram_stats
+
+    out = (
+        duplicate_ngram_stats(ray.data.from_arrow(_doc_table()), k=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 0 and doc 3 are identical → every gram duplicated
+    n0 = len(BASE.split()) - 2
+    assert out.loc[0, "total_grams"] == n0
+    assert out.loc[0, "dup_grams"] == n0
+    assert out.loc[3, "dup_grams"] == n0
+    # doc 1 = BASE + " today": shares all but the trailing window's grams
+    assert 0 < out.loc[1, "dup_grams"] < out.loc[1, "total_grams"]
+    # unrelated docs: nothing duplicated
+    assert out.loc[2, "dup_grams"] == 0
+    assert out.loc[5, "dup_grams"] == 0
+    # short doc (< k tokens) contributes exactly one whole-sequence gram
+    assert out.loc[4, "total_grams"] == 1
