@@ -1088,6 +1088,19 @@ FROM grams JOIN tot USING (g) GROUP BY doc_id
 """
 
 
+def q_winnow_pairs(sf_dir: str) -> Result:
+    """Winnowing rolling-hash fingerprint collisions (stages/winnow.py —
+    MOSS-style partial-copy detection). Hash-selection makes the pair set
+    non-SQL-expressible → rows-only; the planted exact copies guarantee
+    nonzero results and pytest pins the span-sharing guarantee."""
+    from sqlgrep_ray.stages.winnow import shared_fingerprint_pairs
+
+    out = shared_fingerprint_pairs(
+        _planted_docs(sf_dir, n_dups=15), min_shared=5
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
 def q_minhash_pairs_dist(sf_dir: str) -> Result:
     """Same planted-corpus contract through the DISTRIBUTED verify path
     (hash-join text back by id → groupby(bucket) verify → pair-dedup
@@ -1441,6 +1454,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "embedding_dups": q_embedding_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "winnow_pairs": q_winnow_pairs,
     "minhash_pairs_dist": q_minhash_pairs_dist,
     "simhash_pairs_dist": q_simhash_pairs_dist,
     "embedding_dups_dist": q_embedding_dups_dist,

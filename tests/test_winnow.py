@@ -1,0 +1,79 @@
+"""Winnowing rolling-hash fingerprints (stages/winnow.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sqlgrep_ray.stages.winnow import (
+    _rolling_hashes,
+    shared_fingerprint_pairs,
+    winnow_doc,
+    winnow_fingerprints,
+)
+
+PARA = ("the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm mat near the door and the evening sun settles slowly "
+        "behind the tall hills beyond the quiet river valley tonight")
+
+
+def test_rolling_hash_property():
+    """The hash of a window depends only on its content — shifted copies of
+    the same substring hash identically (the 'rolling' property)."""
+    a = _rolling_hashes(b"xxhello worldxx", 5)
+    b = _rolling_hashes(b"hello worldyyyy", 5)
+    # "hello" window: position 2 in a, position 0 in b
+    assert a[2] == b[0]
+    assert len(set(a.tolist())) > 1
+
+
+def test_winnow_shared_span_guarantee():
+    """Docs sharing a long span share at least one fingerprint; unrelated
+    docs (almost surely) share none."""
+    k, w = 25, 16
+    shared_span = PARA[:120]
+    d1 = shared_span + " unique tail one two three four five"
+    d2 = "completely different head material here " + shared_span
+    d3 = "nothing in common with the others at all just filler words " * 3
+    f1, f2, f3 = (set(winnow_doc(d, k, w).tolist()) for d in (d1, d2, d3))
+    assert f1 & f2  # guaranteed: shared span ≥ w + k - 1 chars
+    assert not (f1 & f3) and not (f2 & f3)
+
+
+def test_winnow_whole_doc_positionality():
+    """Same normalized content (case/whitespace) → identical fingerprints;
+    short docs still get one fingerprint."""
+    assert winnow_doc(PARA).tolist() == winnow_doc("  " + PARA.upper() + " ").tolist()
+    short = winnow_doc("tiny doc", 25, 16)
+    assert len(short) == 1
+    assert winnow_doc("") .tolist() == []
+
+
+def test_winnow_pairs_pipeline(ray_session):
+    import ray.data
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                PARA,
+                PARA[:120] + " with an appended unique ending segment here",
+                "totally unrelated content about arrow batches and shuffles "
+                "inside a ray data pipeline running on many cores",
+                PARA,  # exact copy of 0
+            ],
+        }
+    )
+    fps = winnow_fingerprints(ray.data.from_arrow(docs)).to_pandas()
+    assert set(fps.columns) == {"doc_id", "fp"}
+    assert fps.groupby("doc_id").size().min() >= 1
+
+    pairs = shared_fingerprint_pairs(
+        ray.data.from_arrow(docs), min_shared=1
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 3) in got  # exact copy
+    assert (0, 1) in got  # long shared prefix
+    assert not any(2 in p for p in got)
+    # the exact copy shares strictly more fingerprints than the partial copy
+    s = {(a, b): n for a, b, n in pairs.itertuples(index=False)}
+    assert s[(0, 3)] > s[(0, 1)]
