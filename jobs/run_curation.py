@@ -1,0 +1,214 @@
+"""Corpus curation as a submittable Ray job — staged and resumable.
+
+    ray job submit --working-dir . -- python jobs/run_curation.py \
+        --input /data/documents --out /data/curated
+
+Global operators (corpus-wide dedup, near-dup pairs, duplicate-gram totals)
+cannot checkpoint per input chunk the way the flagship parse does — each
+stage needs the WHOLE corpus. The resumable unit is therefore the STAGE:
+every stage writes its parquet output plus a ``_DONE.<stage>`` marker and a
+rerun skips completed stages (the standard staged-materialization pattern
+for all-to-all steps). Stages:
+
+1. ``stats``    — text_stats + language/quality/token filter → stats parquet
+2. ``winners``  — exact-dedup surviving ids (fingerprint min-id)
+3. ``pairs``    — MinHash-LSH near-dup pairs above the threshold
+4. ``dupgrams`` — per-doc duplicate k-gram occurrence counts
+5. ``final``    — semi-join winners, anti-join near-dup losers, drop docs
+                  whose duplicate-gram fraction exceeds the cap; write the
+                  surviving corpus partitioned by language + metrics.json
+
+Each stage streams from the previous stage's parquet — nothing is held on
+the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _done(out: str, stage: str) -> str:
+    return os.path.join(out, f"_DONE.{stage}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet file/dir")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--languages", default="en", help="comma list; 'all' disables")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument("--dup-ngram-max-frac", type=float, default=0.8)
+    ap.add_argument("--dup-ngram-k", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from sqlgrep_ray.pipelines.curate import _semi_filter, _collect_ids, BROADCAST_IDS_MAX
+    from sqlgrep_ray.sources import read_parquet_clean
+    from sqlgrep_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+    from sqlgrep_ray.stages.textdup import duplicate_ngram_stats
+    from sqlgrep_ray.stages.textstats import text_stats
+
+    _STAGE_DIRS = {
+        "stats": "stats", "winners": "winners", "pairs": "pairs",
+        "dupgrams": "dupgrams", "final": "final",
+    }
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+
+    def stage(name: str):
+        """True ⇒ run it (marker absent). A rerun first DELETES the stage's
+        partial output (idempotent, like CheckpointedRun._clean_partial) so
+        interrupted stages never leave duplicate files behind."""
+        if os.path.exists(_done(args.out, name)):
+            skipped.append(name)
+            return False
+        shutil.rmtree(os.path.join(args.out, _STAGE_DIRS[name]), ignore_errors=True)
+        return True
+
+    def finish(name: str, t_start: float) -> None:
+        timings[name] = round(time.time() - t_start, 2)
+        open(_done(args.out, name), "w").write(str(time.time()))
+
+    stats_dir = os.path.join(args.out, "stats")
+    if stage("stats"):
+        t = time.time()
+        langs = (
+            None
+            if args.languages == "all"
+            else pa.array(args.languages.split(","))
+        )
+        ds = text_stats(read_parquet_clean(args.input, columns=["doc_id", "text"]))
+
+        def keep(tb: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.greater_equal(tb["quality_score"], args.min_quality),
+                pc.greater_equal(tb["n_tokens_ws"], args.min_tokens),
+            )
+            if langs is not None:
+                mask = pc.and_(pc.is_in(tb["lang_pred"], value_set=langs), mask)
+            return tb.filter(mask)
+
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+            stats_dir
+        )
+        finish("stats", t)
+
+    winners_dir = os.path.join(args.out, "winners")
+    if stage("winners"):
+        t = time.time()
+        exact_dedup(
+            rd.read_parquet(stats_dir), key="fingerprint", id_col="doc_id"
+        ).write_parquet(winners_dir)
+        finish("winners", t)
+
+    pairs_dir = os.path.join(args.out, "pairs")
+    if stage("pairs"):
+        t = time.time()
+        minhash_lsh_dedup(
+            rd.read_parquet(stats_dir),
+            id_col="doc_id",
+            threshold=args.near_dup_threshold,
+        ).write_parquet(pairs_dir)
+        finish("pairs", t)
+
+    dup_dir = os.path.join(args.out, "dupgrams")
+    if stage("dupgrams"):
+        t = time.time()
+        duplicate_ngram_stats(
+            rd.read_parquet(stats_dir), k=args.dup_ngram_k
+        ).write_parquet(dup_dir)
+        finish("dupgrams", t)
+
+    final_dir = os.path.join(args.out, "final")
+    if stage("final"):
+        t = time.time()
+        from sqlgrep_ray.pipelines.curate import _anti_join
+        from sqlgrep_ray.stages.enrich import join_partitions
+
+        np_ = join_partitions(None)
+        filtered = rd.read_parquet(stats_dir)
+        winners = rd.read_parquet(winners_dir)
+        # size-aware keep-set application (same policy as pipelines.curate):
+        # broadcast small id sets, hash-join above the bound
+        if winners.count() <= BROADCAST_IDS_MAX:
+            kept = _semi_filter(
+                filtered, _collect_ids(winners, "doc_id"), "doc_id", keep=True
+            )
+        else:
+            kept = filtered.join(
+                winners.select_columns(["doc_id"]), join_type="inner",
+                on=("doc_id",), num_partitions=np_,
+            )
+        pairs = rd.read_parquet(pairs_dir)
+        losers_ds = pairs.map_batches(
+            lambda tb: pa.table({"doc_id": tb["id_b"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        n_losers = losers_ds.count()
+        if 0 < n_losers <= BROADCAST_IDS_MAX:
+            loser_ids = pc.unique(_collect_ids(losers_ds, "doc_id"))
+            kept = _semi_filter(kept, loser_ids, "doc_id", keep=False)
+        elif n_losers:
+            kept = _anti_join(kept, losers_ds, "doc_id", np_)
+        # duplicate-gram fraction cap: broadcast the over-cap ids
+        dup = rd.read_parquet(dup_dir)
+
+        def over_cap(tb: pa.Table) -> pa.Table:
+            frac = pc.divide(
+                tb["dup_grams"].cast(pa.float64()),
+                pc.max_element_wise(tb["total_grams"].cast(pa.float64()), 1.0),
+            )
+            return tb.filter(pc.greater(frac, args.dup_ngram_max_frac)).select(
+                ["doc_id"]
+            )
+
+        bad = dup.map_batches(over_cap, batch_format="pyarrow", zero_copy_batch=True)
+        bad_ids = _collect_ids(bad, "doc_id")
+        if len(bad_ids):
+            kept = _semi_filter(kept, bad_ids, "doc_id", keep=False)
+        kept.write_parquet(final_dir, partition_cols=["lang_pred"])
+        finish("final", t)
+
+    rows_out = rd.read_parquet(final_dir).count()
+    metrics = {
+        "wall_s": round(time.time() - t0, 2),
+        "rows_out": rows_out,
+        "stages_run": timings,
+        "stages_skipped_resume": skipped,
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as fh:
+        json.dump(metrics, fh, indent=1)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
