@@ -206,7 +206,10 @@ def ensure_transcripts(
     n_rows = int(ROWS_PER_SF * sf)
     tbl = generate_transcripts(n_rows, seed)
     os.makedirs(out_dir, exist_ok=True)
-    shard_rows = 75_000
+    # 18.75k rows/shard: ~0.15 s of parse work per task — fine-grained
+    # enough that 32 cpus stay packed even at sf0.1 (29 shards) and wave
+    # quantization at larger scales stays under a few percent
+    shard_rows = 18_750
     n_shards = max(1, (n_rows + shard_rows - 1) // shard_rows)
     for i in range(n_shards):
         part = tbl.slice(i * shard_rows, shard_rows)
