@@ -141,6 +141,14 @@ def main_measure(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
             "turns_per_sec": total_turns / dt,
         }
     else:
+        # warm the worker pool (32 task workers importing ray.data/numpy is
+        # multi-second on this host) so per-query timings measure pipeline
+        # steady state, matching the flagship-only protocol above
+        import ray.data
+
+        ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+            lambda b: b
+        ).count()
         timings, turns = run_queries(sf_dir)
         out = {
             "queries": {k: round(v, 3) for k, v in timings.items()},
