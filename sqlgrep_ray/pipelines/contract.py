@@ -1411,6 +1411,188 @@ GROUP BY conv_id ORDER BY conv_id
 
 
 # ---------------------------------------------------------------------------
+# Round-2 additions: decontamination, vocabulary, PII scrub, sketches,
+# clustering, quality counts
+# ---------------------------------------------------------------------------
+
+# k=8 token grams as a DuckDB list lambda (shared by the decontam oracle)
+_SQL_GRAM8 = (
+    "tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]"
+    "||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]"
+)
+
+
+def q_decontam_docs(sf_dir: str) -> Result:
+    """Test-set decontamination (stages/decontam.py): benchmark = the texts
+    of doc_id < 40, corpus = all documents; any doc sharing a lowercased
+    8-gram with the benchmark is flagged. Benchmark gram set is built once
+    on the driver and broadcast (small side by contract); the corpus side
+    is one vectorized map_batches. Integer/bool outputs → hash-exact."""
+    from sqlgrep_ray.stages.decontam import decontaminate
+
+    t = _pat(sf_dir, "documents").select(["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    bench = t.filter(pc.less(t["doc_id"], 40))["text"].to_pylist()
+    return decontaminate(_t(sf_dir, "documents", ["doc_id", "text"]), bench, k=8)
+
+
+SQL_DECONTAM_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array({_SQL_WSNORM.format(c='lower(text)')}, ' ') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 6), i -> {_SQL_GRAM8}) END) AS g
+  FROM toks WHERE array_to_string(tk, ' ') <> ''
+), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 40)
+SELECT doc_id,
+       count(*)::BIGINT AS total_grams,
+       SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       bool_or(bench.g IS NOT NULL) AS contaminated
+FROM grams LEFT JOIN bench USING (g) GROUP BY doc_id
+"""
+
+
+def q_top_tokens_docs(sf_dir: str) -> Result:
+    """Corpus vocabulary top-k (stages/vocab.py): combiner-first token
+    counts (one value_counts per block, shuffle bounded by vocabulary),
+    deterministic ties (count desc, token asc)."""
+    from sqlgrep_ray.stages.vocab import top_tokens
+
+    return top_tokens(_t(sf_dir, "documents", ["text"]), 30)
+
+
+SQL_TOP_TOKENS_DOCS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           {_SQL_WSNORM.format(c='lower(text)')}, ' ')) AS token
+  FROM documents WHERE {_SQL_WSNORM.format(c='lower(text)')} <> ''
+)
+SELECT token, count(*)::BIGINT AS count FROM toks
+GROUP BY token ORDER BY count DESC, token ASC LIMIT 30
+"""
+
+
+def q_scrub_pii_docs(sf_dir: str) -> Result:
+    """PII scrub (stages/scrub.py) over documents with deterministic
+    planted contact info on every 5th doc (the raw corpus has none — a
+    scrub that finds nothing verifies nothing, VERDICT r1 item 4). The
+    redacted TEXT itself is hash-compared: Arrow and DuckDB both run RE2,
+    so replacement output is byte-identical."""
+    from sqlgrep_ray.stages.scrub import scrub_pii
+
+    def plant(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"]
+        s = pc.cast(ids, pa.string())
+        mod = pc.cast(pc.subtract(ids, pc.multiply(pc.divide(ids, 256), 256)), pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.scalar(" contact user"), s, pa.scalar("@example.com or https://ex.org/d/"),
+            s, pa.scalar(" ip 10.1."), mod, pa.scalar(".7"), pa.scalar(""),
+        )
+        planted = pc.binary_join_element_wise(t["text"], suffix, pa.scalar(""))
+        is5 = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0)
+        return t.set_column(
+            t.schema.get_field_index("text"), "text", pc.if_else(is5, planted, t["text"])
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return scrub_pii(ds)
+
+
+from sqlgrep_ray.stages.scrub import EMAIL_RE as _EM, IPV4_RE as _IP, URL_RE as _UR
+
+SQL_SCRUB_PII_DOCS = f"""
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id
+         || '@example.com or https://ex.org/d/' || doc_id
+         || ' ip 10.1.' || (doc_id % 256) || '.7'
+    ELSE text END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_UR}'))::BIGINT AS n_urls,
+         regexp_replace(text, '{_UR}', '<URL>', 'g') AS t FROM src
+), s2 AS (
+  SELECT doc_id, n_urls, len(regexp_extract_all(t, '{_EM}'))::BIGINT AS n_emails,
+         regexp_replace(t, '{_EM}', '<EMAIL>', 'g') AS t FROM s1
+)
+SELECT doc_id, n_urls, n_emails,
+       len(regexp_extract_all(t, '{_IP}'))::BIGINT AS n_ips,
+       regexp_replace(t, '{_IP}', '<IP>', 'g') AS redacted
+FROM s2
+"""
+
+
+def q_quality_counts_docs(sf_dir: str) -> Result:
+    """TextStats integer numerators (counts=True): char-class and stopword
+    COUNTS instead of ratios — exact cross-engine, upgrading the quality
+    family from rows-only to oracle-checked."""
+    ds = text_stats(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        tokens=True, quality=False, language=False, fingerprint=False,
+        counts=True,
+    )
+    return ds.select_columns(
+        ["doc_id", "n_chars", "n_non_alpha", "n_punct", "n_tokens_ws", "n_stopwords"]
+    )
+
+
+def _sql_stoplist() -> str:
+    from sqlgrep_ray.stages.textstats import _STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS)) + "]"
+
+
+SQL_QUALITY_COUNTS_DOCS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_WSNORM.format(c='text')} AS wsn FROM documents
+)
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(regexp_extract_all(text, '[^\\pL\\pZ\\s]'))::BIGINT AS n_non_alpha,
+  len(regexp_extract_all(text, '[^\\pL\\pN\\pZ\\s]'))::BIGINT AS n_punct,
+  (CASE WHEN wsn = '' THEN 0
+        ELSE len(regexp_split_to_array(wsn, ' ')) END)::BIGINT AS n_tokens_ws,
+  (CASE WHEN wsn = '' THEN 0 ELSE len(list_filter(
+     list_transform(regexp_split_to_array(wsn, ' '),
+       x -> lower(regexp_replace(x, '^[.,!?;:''"]+|[.,!?;:''"]+$', '', 'g'))),
+     x -> list_contains({_sql_stoplist()}, x))) END)::BIGINT AS n_stopwords
+FROM base
+"""
+
+
+def q_approx_distinct_users(sf_dir: str) -> Result:
+    """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
+    fixed-size-sketch scale path (registers, not values, move). Estimate is
+    approximate by design → rows-only; pytest pins the error bound and the
+    exact small-range regime."""
+    from sqlgrep_ray.stages.sketch import approx_count_distinct
+
+    est = approx_count_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
+
+
+def q_kmeans_clusters(sf_dir: str) -> Result:
+    """Distributed Lloyd's k-means (stages/cluster.py) over the embeddings
+    table: centroids broadcast per iteration, per-block partial sums, no
+    shuffle. Cluster sizes per centroid — iterative algorithm, not
+    SQL-expressible → rows-only; pytest recovers planted clusters."""
+    from sqlgrep_ray.stages.cluster import kmeans
+
+    labeled, _ = kmeans(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), k=10, n_iter=8
+    )
+    return labeled.groupby("cluster_id").count().sort("cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1472,6 +1654,12 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
     "flagship_enriched": q_flagship_enriched,
+    "decontam_docs": q_decontam_docs,
+    "top_tokens_docs": q_top_tokens_docs,
+    "scrub_pii_docs": q_scrub_pii_docs,
+    "quality_counts_docs": q_quality_counts_docs,
+    "approx_distinct_users": q_approx_distinct_users,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1527,6 +1715,10 @@ ORACLES: dict[str, str] = {
     "minhash_pairs_dist": SQL_MINHASH_PAIRS,
     "simhash_pairs_dist": SQL_SIMHASH_PAIRS,
     "embedding_dups_dist": SQL_EMBEDDING_DUPS,
-    # knn_ivf / lang_quality / multimodal_features: probabilistic or
-    # heuristic — rows-only checks
+    "decontam_docs": SQL_DECONTAM_DOCS,
+    "top_tokens_docs": SQL_TOP_TOKENS_DOCS,
+    "scrub_pii_docs": SQL_SCRUB_PII_DOCS,
+    "quality_counts_docs": SQL_QUALITY_COUNTS_DOCS,
+    # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
+    # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
 }

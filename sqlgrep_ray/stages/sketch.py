@@ -1,0 +1,101 @@
+"""HyperLogLog approximate COUNT(DISTINCT) — mergeable fixed-size sketch.
+
+The scale path for distinct counting: the exact paths
+(``aggregate.py`` holistic set, ``skew.salted_count_distinct``) shuffle
+every distinct value at least once; a HyperLogLog register array is
+2^p bytes REGARDLESS of cardinality, so at 100 TB the whole reduction
+moves kilobytes. Standard estimator (Flajolet et al. 2007) with the
+small-range linear-counting correction; expected relative error ≈
+1.04/√(2^p) (~0.8% at the default p=14).
+
+Ray-Data shape — combiner-first, no driver state:
+
+1. per-block combine: vectorized 64-bit hash (fixed-key siphash via
+   ``pandas.util.hash_pandas_object`` — deterministic across worker
+   processes) → register index = top ``p`` bits, rank = leading-zero count
+   of the rest + 1 → per-block register array by ``np.maximum.at``;
+2. merge: element-wise register max, two-level (each merge batch folds ≤
+   ``merge_batch`` partial rows, then one final fold) so no single task
+   ever holds more than ``merge_batch`` × 2^p bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(int(np.log2(m)), 0.7213 / (1 + 1.079 / m))
+
+
+def _hash64(arr: pa.Array) -> np.ndarray:
+    s = pd.Series(arr.to_pandas())
+    return pd.util.hash_pandas_object(s, index=False).to_numpy()  # uint64
+
+
+def _block_registers(values: pa.Array, p: int) -> np.ndarray:
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    h = _hash64(values)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # bit_length via frexp exponent — exact while 64-p ≤ 52 (p ≥ 12)
+    _, exp = np.frexp(w.astype(np.float64))
+    rank = np.where(w == 0, 64 - p + 1, 64 - p - exp + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray, p: int) -> int:
+    m = 1 << p
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return int(round(est))
+
+
+def approx_count_distinct(
+    ds: "ray.data.Dataset",
+    col: str,
+    p: int = 14,
+    merge_batch: int = 256,
+) -> int:
+    """Approximate number of distinct non-null values of ``col``."""
+    if not 12 <= p <= 18:
+        raise ValueError("p must be in [12, 18] (frexp rank path)")
+
+    def block(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = c.drop_null()
+        return pa.table({"regs": pa.array([_block_registers(c, p).tobytes()])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        stacked = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist()]
+        )
+        return pa.table({"regs": pa.array([stacked.max(axis=0).tobytes()])})
+
+    partials = (
+        ds.select_columns([col])
+        .map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(merge, batch_format="pyarrow", batch_size=merge_batch)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+    final = partials.take_all()[0]["regs"]
+    return _estimate(np.frombuffer(final, dtype=np.uint8), p)
+
+
+def hll_error_bound(p: int) -> float:
+    """Expected relative standard error of the estimate at precision p."""
+    return 1.04 / np.sqrt(1 << p)

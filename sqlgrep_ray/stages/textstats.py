@@ -208,12 +208,18 @@ class TextStats:
         quality: bool = True,
         language: bool = True,
         fingerprint: bool = True,
+        counts: bool = False,
     ):
         self.text_col = text_col
         self.tokens = tokens
         self.quality = quality
         self.language = language
         self.fingerprint = fingerprint
+        # counts: also emit the integer numerators behind the quality ratios
+        # (n_chars / n_non_alpha / n_punct / n_stopwords) — exact cross-engine
+        # (DuckDB regexp_extract_all runs the same RE2 classes), so the
+        # quality family is oracle-checkable, not just rows-only
+        self.counts = counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_col]
@@ -223,7 +229,7 @@ class TextStats:
         filled = pc.fill_null(col, "")
 
         splits = toks_per_row = None
-        if self.tokens or self.quality:
+        if self.tokens or self.quality or self.counts:
             # ONE vectorized whitespace split serves token counting and the
             # stopword ratio (no per-row Python). Empty pieces from
             # leading/trailing/multiple whitespace are masked out, matching
@@ -245,7 +251,7 @@ class TextStats:
             batch = batch.append_column("n_tokens_ws", pa.array(toks_per_row))
             batch = batch.append_column("n_tokens_bpe", bpe)
 
-        if self.quality:
+        if self.quality or self.counts:
             # char-class ratios via Arrow's re2 unicode classes: \pL matches
             # python's isalpha, \pN isalnum's numeric half, \s isspace
             n_chars = pc.utf8_length(filled).cast(pa.float64()).to_numpy(
@@ -287,10 +293,24 @@ class TextStats:
                 0.35 * length_ok + 0.30 * alpha + 0.25 * np.minimum(stop * 3, 1.0)
                 + 0.10 * (1.0 - np.minimum(punct * 4, 1.0))
             )
-            batch = batch.append_column("alpha_ratio", pa.array(alpha))
-            batch = batch.append_column("punct_ratio", pa.array(punct))
-            batch = batch.append_column("stopword_ratio", pa.array(stop))
-            batch = batch.append_column("quality_score", pa.array(score))
+            if self.quality:
+                batch = batch.append_column("alpha_ratio", pa.array(alpha))
+                batch = batch.append_column("punct_ratio", pa.array(punct))
+                batch = batch.append_column("stopword_ratio", pa.array(stop))
+                batch = batch.append_column("quality_score", pa.array(score))
+            if self.counts:
+                batch = batch.append_column(
+                    "n_chars", pa.array(n_chars.astype(np.int64))
+                )
+                batch = batch.append_column(
+                    "n_non_alpha", pa.array(non_alpha.astype(np.int64))
+                )
+                batch = batch.append_column(
+                    "n_punct", pa.array(punct_n.astype(np.int64))
+                )
+                batch = batch.append_column(
+                    "n_stopwords", pa.array(stop_n.astype(np.int64))
+                )
 
         if self.language:
             batch = batch.append_column("lang_pred", detect_language_batch(filled))
