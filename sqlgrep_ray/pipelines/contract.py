@@ -1568,6 +1568,88 @@ FROM base
 """
 
 
+def q_semdedup_emb(sf_dir: str) -> Result:
+    """SemDeDup (stages/semdedup.py): k-means buckets + within-cluster
+    cosine pairs, over the planted-duplicate embedding corpus. At
+    threshold 0.95 only exact copies qualify (max organic cosine ≈ 0.51 in
+    this fixture), and identical vectors always co-cluster (deterministic
+    argmin), so the pair set equals the SQL equality join — kmeans'
+    cross-cluster recall trade-off cannot bite. Exact oracle."""
+    from sqlgrep_ray.stages.semdedup import semdedup_pairs
+
+    out = semdedup_pairs(
+        _planted_emb(sf_dir), k=4, threshold=0.95, n_iter=6
+    )
+    return out.select_columns(["id_a", "id_b"])
+
+
+def q_heavy_tokens_docs(sf_dir: str) -> Result:
+    """Misra-Gries heavy hitters (stages/sketch.py) over document tokens.
+    The fixture vocabulary (31 tokens) is far below k=256, so no compress
+    ever fires and the sketch is provably EXACT here — the oracle is the
+    full token-count table; the approximate regime (guarantee + lower
+    bounds) is pinned by pytest."""
+    from sqlgrep_ray.stages.sketch import heavy_tokens
+
+    out = heavy_tokens(_t(sf_dir, "documents", ["text"]), k=256)
+    return out.map_batches(
+        lambda t: t.rename_columns(["token", "count"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_HEAVY_TOKENS_DOCS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(
+           {_SQL_WSNORM.format(c='lower(text)')}, ' ')) AS token
+  FROM documents WHERE {_SQL_WSNORM.format(c='lower(text)')} <> ''
+)
+SELECT token, count(*)::BIGINT AS count FROM toks GROUP BY token
+"""
+
+
+def q_pack_docs(sf_dir: str) -> Result:
+    """Sequence packing (stages/pack.py): next-fit over documents ordered
+    by doc_id into 2000-token bins. The contract pins the whole-corpus
+    deterministic order (sort + one block); production packs per block.
+    The DuckDB oracle replays the same scan with a recursive CTE —
+    integer outputs, hash-exact."""
+    from sqlgrep_ray.stages.pack import pack_sequences
+
+    ds = text_stats(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        tokens=True, quality=False, language=False, fingerprint=False,
+    ).select_columns(["doc_id", "n_tokens_ws"])
+    packed = pack_sequences(
+        ds.sort("doc_id").repartition(1), budget=2000, tokens_col="n_tokens_ws"
+    )
+    return packed
+
+
+SQL_PACK_DOCS = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_SQL_WSNORM.format(c='text')} AS wsn FROM documents
+), seq AS (
+  SELECT doc_id,
+         (CASE WHEN wsn = '' THEN 0
+               ELSE len(regexp_split_to_array(wsn, ' ')) END)::BIGINT AS n_tokens_ws,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM base
+), pack AS (
+  SELECT rn, doc_id, n_tokens_ws, doc_id AS bin_id, n_tokens_ws AS cum
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.doc_id, s.n_tokens_ws,
+         CASE WHEN p.cum + s.n_tokens_ws > 2000 THEN s.doc_id ELSE p.bin_id END,
+         CASE WHEN p.cum + s.n_tokens_ws > 2000 THEN s.n_tokens_ws
+              ELSE p.cum + s.n_tokens_ws END
+  FROM pack p JOIN seq s ON s.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens_ws, bin_id FROM pack
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> Result:
     """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
     fixed-size-sketch scale path (registers, not values, move). Estimate is
@@ -1660,6 +1742,9 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "quality_counts_docs": q_quality_counts_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_emb": q_semdedup_emb,
+    "heavy_tokens_docs": q_heavy_tokens_docs,
+    "pack_docs": q_pack_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1719,6 +1804,9 @@ ORACLES: dict[str, str] = {
     "top_tokens_docs": SQL_TOP_TOKENS_DOCS,
     "scrub_pii_docs": SQL_SCRUB_PII_DOCS,
     "quality_counts_docs": SQL_QUALITY_COUNTS_DOCS,
+    "semdedup_emb": SQL_EMBEDDING_DUPS,
+    "heavy_tokens_docs": SQL_HEAVY_TOKENS_DOCS,
+    "pack_docs": SQL_PACK_DOCS,
     # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
     # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
 }

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
@@ -99,3 +100,92 @@ def approx_count_distinct(
 def hll_error_bound(p: int) -> float:
     """Expected relative standard error of the estimate at precision p."""
     return 1.04 / np.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — mergeable frequent-items summary
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(t: pa.Table, k: int) -> pa.Table:
+    """Keep ≤ k counters; subtract the (k+1)-th largest count from the
+    survivors (the Misra-Gries decrement — mergeable summaries, Agarwal
+    et al. 2012). Counts become LOWER bounds, undercounting each item by
+    at most N/(k+1) in total across all compressions."""
+    if t.num_rows <= k:
+        return t
+    counts = t["count"].to_numpy(zero_copy_only=False)
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    keep_idx = order[:k]
+    new_counts = counts[keep_idx] - thresh
+    pos = new_counts > 0
+    return pa.table(
+        {
+            "item": t["item"].take(pa.array(keep_idx[pos])),
+            "count": pa.array(new_counts[pos]),
+        }
+    )
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 256,
+    merge_rows: int = 65536,
+) -> "ray.data.Dataset":
+    """Approximate top frequent values of ``col``: every item with true
+    frequency > N/(k+1) is guaranteed present; reported counts are lower
+    bounds within N/(k+1) of truth. The summary is ≤ k rows per block and
+    the merge is two-level — nothing proportional to the distinct-value
+    count ever shuffles (the exact path, ``vocab.token_frequencies``,
+    moves the whole vocabulary)."""
+
+    def block(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(c.drop_null())
+        local = pa.table({"item": vc.field("values"), "count": vc.field("counts")})
+        return _mg_compress(local, k)
+
+    def merge(t: pa.Table) -> pa.Table:
+        summed = pa.TableGroupBy(t, "item").aggregate([("count", "sum")])
+        summed = summed.rename_columns(["item", "count"])
+        return _mg_compress(summed, k)
+
+    out = (
+        ds.select_columns([col])
+        .map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(merge, batch_format="pyarrow", batch_size=merge_rows)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+    return out.sort(["count", "item"], descending=[True, False])
+
+
+def heavy_tokens(
+    ds: "ray.data.Dataset",
+    k: int = 256,
+    text_col: str = "text",
+    lower: bool = True,
+    merge_rows: int = 65536,
+) -> "ray.data.Dataset":
+    """Heavy hitters over the whitespace-tokenized text column (the
+    sketch-path complement of ``vocab.top_tokens``)."""
+
+    def toks(t: pa.Table) -> pa.Table:
+        c = t[text_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        filled = pc.fill_null(c, "")
+        if lower:
+            filled = pc.utf8_lower(filled)
+        flat = pc.list_flatten(pc.utf8_split_whitespace(filled))
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    tokens = ds.select_columns([text_col]).map_batches(
+        toks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return heavy_hitters(tokens, "token", k=k, merge_rows=merge_rows)

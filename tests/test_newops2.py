@@ -1,0 +1,160 @@
+"""Round-2 additions, part 2: SemDeDup, Misra-Gries heavy hitters,
+sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_ds(vectors, ids=None):
+    import ray.data
+
+    ids = ids if ids is not None else list(range(len(vectors)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, dtype=np.float32) for v in vectors]
+                ),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_pairs_within_cluster(ray_session):
+    from sqlgrep_ray.stages.semdedup import semdedup, semdedup_pairs
+
+    rng = np.random.default_rng(3)
+    # two far-apart clusters; ids 0/1 are near-identical in cluster A,
+    # ids 20/21 near-identical in cluster B, the rest scattered
+    a = [np.array([100.0, 0.0]) + rng.normal(0, 5.0, 2) for _ in range(18)]
+    b = [np.array([-100.0, 0.0]) + rng.normal(0, 5.0, 2) for _ in range(18)]
+    a[0] = np.array([100.0, 1.0])
+    a[1] = a[0] * 1.001  # same direction -> cosine 1.0
+    b[0] = np.array([-100.0, 2.0])
+    b[1] = b[0] * 0.999
+    vecs = a + b
+    ds = _emb_ds(vecs, ids=list(range(18)) + list(range(20, 38)))
+    pairs = semdedup_pairs(ds, k=2, threshold=0.99999, n_iter=6).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (20, 21) in got
+    # survivors: the min-id winner of each dup pair stays
+    kept = {r["vec_id"] for r in semdedup(ds, k=2, threshold=0.99999).take_all()}
+    assert 0 in kept and 1 not in kept
+    assert 20 in kept and 21 not in kept
+    assert len(kept) == 36 - len({b for _, b in got})
+
+
+def test_semdedup_cross_cluster_blindness(ray_session):
+    from sqlgrep_ray.stages.semdedup import semdedup_pairs
+
+    # identical vectors forced into different clusters never pair — the
+    # documented recall trade-off: with k=n and wide separation each point
+    # is its own cluster
+    vecs = [[10.0, 0.0], [0.0, 10.0], [-10.0, 0.0], [0.0, -10.0]]
+    ds = _emb_ds(vecs)
+    pairs = semdedup_pairs(ds, k=4, threshold=0.5, n_iter=4).take_all()
+    assert pairs == []
+
+
+def test_semdedup_large_path_equivalence(ray_session, monkeypatch):
+    import sqlgrep_ray.pipelines.curate as curate_mod
+    from sqlgrep_ray.stages.semdedup import semdedup
+
+    vecs = [[1.0, 0.0], [1.0, 0.0001], [0.0, 1.0], [0.0, 1.0001], [1.0, 1.0]]
+    ds = _emb_ds(vecs)
+    small = sorted(
+        r["vec_id"] for r in semdedup(ds, k=1, threshold=0.9999, n_iter=2).take_all()
+    )
+    monkeypatch.setattr(curate_mod, "BROADCAST_IDS_MAX", 0)
+    large = sorted(
+        r["vec_id"] for r in semdedup(ds, k=1, threshold=0.9999, n_iter=2).take_all()
+    )
+    assert small == large == [0, 2, 4]
+    # embeddings survive the pack/join/unpack round-trip
+    monkey_rows = semdedup(ds, k=1, threshold=0.9999, n_iter=2).take_all()
+    got = {r["vec_id"]: list(np.asarray(r["embedding"])) for r in monkey_rows}
+    assert got[4] == [1.0, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import heavy_hitters
+
+    # zipf-ish: item i appears 2000 // (i + 1) times
+    items = []
+    for i in range(400):
+        items.extend([f"it-{i:03d}"] * (2000 // (i + 1)))
+    n = len(items)
+    rng = np.random.default_rng(11)
+    rng.shuffle(items)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(items)})
+    ).repartition(8)
+    k = 64
+    out = heavy_hitters(ds, "v", k=k).take_all()
+    est = {r["item"]: r["count"] for r in out}
+    true = {f"it-{i:03d}": 2000 // (i + 1) for i in range(400)}
+    bound = n / (k + 1)
+    for item, cnt in true.items():
+        if cnt > bound:
+            assert item in est, f"{item} (freq {cnt} > {bound}) missing"
+        if item in est:
+            assert est[item] <= cnt  # lower bound
+            assert est[item] >= cnt - bound
+
+
+def test_heavy_tokens(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import heavy_tokens
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(["a a a b", "A b c", None])})
+    )
+    out = heavy_tokens(ds, k=10).take_all()
+    assert {r["item"]: r["count"] for r in out} == {"a": 4, "b": 2, "c": 1}
+    assert out[0]["item"] == "a"  # sorted by count desc
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_next_fit(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.pack import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+            "n_tokens": pa.array([400, 500, 200, 1500, 100, 900], pa.int64()),
+        }
+    )
+    out = pack_sequences(ray.data.from_arrow(t), budget=1000).take_all()
+    bins = {r["doc_id"]: r["bin_id"] for r in out}
+    # 400+500 fit; +200 would exceed -> new bin; 1500 overflows alone;
+    # 100+900 fit together
+    assert bins == {10: 10, 11: 10, 12: 12, 13: 13, 14: 14, 15: 14}
+    # invariant: no bin except oversize singletons exceeds budget
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in out:
+        tot[r["bin_id"]] += r["n_tokens"]
+    for b, s in tot.items():
+        members = [r for r in out if r["bin_id"] == b]
+        assert s <= 1000 or len(members) == 1
