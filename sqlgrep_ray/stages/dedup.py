@@ -527,8 +527,15 @@ class SimHasher:
 
     @staticmethod
     def multiset_fp(text: Optional[str]) -> int:
-        toks = sorted((text or "").split())
-        return _hash64("\x00".join(toks).encode())
+        """64-bit token-multiset fingerprint: the SUM (mod 2^64) of the
+        per-token hashes. Commutative and multiplicity-sensitive, so equal
+        ⇔ equal token multisets (w.h.p.) — same contract as hashing the
+        sorted token list, but it vectorizes to one segment sum over the
+        already-hashed token stream in the batch path."""
+        acc = 0
+        for tok in (text or "").split():
+            acc = (acc + _hash64(tok.encode())) & 0xFFFFFFFFFFFFFFFF
+        return acc
 
     @staticmethod
     def simhash64(text: Optional[str]) -> int:
@@ -548,15 +555,68 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        hs = [self.simhash64(t) for t in texts]
-        batch = batch.append_column(
-            "simhash", pa.array(np.array(hs, dtype=np.uint64), pa.uint64())
+        """Batch path, exact-equivalent to per-row :meth:`simhash64`: the
+        same blake2b runs once per UNIQUE token (dictionary-encode — token
+        streams repeat heavily), and the per-row ±1 bit accumulation is 64
+        cumsum/segment-diff passes over the occurrence stream instead of a
+        Python loop per token."""
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n = len(filled)
+        splits = pc.utf8_split_whitespace(filled)
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
+        flat = splits.flatten()
+        offsets = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        cumne = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+        offs = cumne[offsets]
+        starts, ends = offs[:-1], offs[1:]
+        ntok = ends - starts
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(u.encode(), digest_size=8).digest(), "little"
+                )
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
         )
+        out = np.zeros(n, dtype=np.uint64)
+        if len(codes):
+            occ = uh[codes]
+            T = len(occ)
+            buf = np.empty(T, dtype=np.uint64)
+            c = np.empty(T + 1, dtype=np.int64)
+            c[0] = 0
+            for b in range(64):
+                # preallocated in-place shift/mask/cumsum — the loop is
+                # memory-bandwidth-bound, temporaries triple its cost
+                np.right_shift(occ, np.uint64(b), out=buf)
+                np.bitwise_and(buf, np.uint64(1), out=buf)
+                np.cumsum(buf.view(np.int64), out=c[1:])
+                hits = c[ends] - c[starts]
+                # majority vote: acc = 2·hits − ntok > 0
+                out |= (2 * hits > ntok).astype(np.uint64) << np.uint64(b)
+        batch = batch.append_column("simhash", pa.array(out, pa.uint64()))
         if self.with_msfp:
-            fps = np.fromiter(
-                (self.multiset_fp(t) for t in texts), dtype=np.uint64, count=len(texts)
-            )
+            fps = np.zeros(n, dtype=np.uint64)
+            if len(codes):
+                # multiset fp = modular segment SUM of token hashes (uint64
+                # cumsum wraps mod 2^64; the subtraction un-wraps exactly)
+                cs = np.empty(len(occ) + 1, dtype=np.uint64)
+                cs[0] = 0
+                np.cumsum(occ, out=cs[1:])
+                fps = cs[ends] - cs[starts]
             batch = batch.append_column("msfp", pa.array(fps, pa.uint64()))
         return batch
 

@@ -90,7 +90,6 @@ def detect_language(text: Optional[str]) -> str:
 # membership matrix; non-ASCII profile trigrams (only "ión") are handled by
 # an utf8-encoded byte-window of their encoded length.
 def _build_lang_tables():
-    uniq3: dict[int, int] = {}
     wide: list[tuple[bytes, int]] = []  # (utf8 bytes, lang bitmask)
     masks3: dict[int, int] = {}
     for li, lang in enumerate(_LANGS):
@@ -101,15 +100,16 @@ def _build_lang_tables():
                 masks3[code] = masks3.get(code, 0) | (1 << li)
             else:
                 wide.append((b, 1 << li))
-    codes = np.array(sorted(masks3), dtype=np.int64)
-    memb = np.array(
-        [[(masks3[c] >> li) & 1 for li in range(len(_LANGS))] for c in sorted(masks3)],
-        dtype=np.int64,
-    )
-    return codes, memb, wide
+    codes = np.array(sorted(masks3), dtype=np.int32)  # 24-bit codes
+    # direct-mapped LUT over the whole 24-bit code space (16 MiB uint8,
+    # one per worker process): LUT[code] = language bitmask, 0 = no match.
+    # One gather replaces searchsorted + clip + equality + where.
+    lut = np.zeros(1 << 24, dtype=np.uint8)
+    lut[codes] = np.array([masks3[int(c)] for c in codes], dtype=np.uint8)
+    return lut, wide
 
 
-_TRI_CODES, _TRI_MEMB, _TRI_WIDE = None, None, None
+_TRI_LUT, _TRI_WIDE = None, None
 
 
 def detect_language_batch(filled: pa.Array) -> pa.Array:
@@ -121,9 +121,9 @@ def detect_language_batch(filled: pa.Array) -> pa.Array:
     ≥ 0x80 and can never equal an all-ASCII code), so sliding 3-byte codes +
     a sorted-table lookup reproduce the per-position python counts.
     """
-    global _TRI_CODES, _TRI_MEMB, _TRI_WIDE
-    if _TRI_CODES is None:
-        _TRI_CODES, _TRI_MEMB, _TRI_WIDE = _build_lang_tables()
+    global _TRI_LUT, _TRI_WIDE
+    if _TRI_LUT is None:
+        _TRI_LUT, _TRI_WIDE = _build_lang_tables()
     lowered = pc.utf8_lower(pc.utf8_slice_codeunits(filled, 0, 2000))
     padded = pc.binary_join_element_wise(
         pa.scalar(" "), lowered, pa.scalar(" "), pa.scalar("")
@@ -146,22 +146,26 @@ def detect_language_batch(filled: pa.Array) -> pa.Array:
     scores = np.zeros((len(_LANGS), n), dtype=np.float64)
     denom = np.maximum(n_tris, 1.0)
     if m >= 3:
-        d = data.astype(np.int64)
+        d = data.astype(np.int32)
         codes = (d[: m - 2] << 16) | (d[1 : m - 1] << 8) | d[2:]
-        idx = np.searchsorted(_TRI_CODES, codes)
-        idx_c = np.minimum(idx, len(_TRI_CODES) - 1)
-        found = _TRI_CODES[idx_c] == codes
-        # per-lang hit mask over byte positions → segment sums per string;
-        # windows crossing a string boundary sit past each string's last
-        # valid start (start + bytelen − 2) and are excluded by the offsets
-        starts = buf_off[:-1]
-        stops = np.maximum(buf_off[1:] - 2, starts)  # valid window starts
-        for li in range(len(_LANGS)):
-            lang_hit = np.zeros(m - 2, dtype=np.int64)
-            lang_hit[found] = _TRI_MEMB[idx_c[found], li]
-            cum = np.concatenate([[0], np.cumsum(lang_hit, dtype=np.int64)])
-            hits = cum[np.minimum(stops, m - 2)] - cum[np.minimum(starts, m - 2)]
-            scores[li] = hits / denom
+        # direct-mapped LUT gather → language bitmask per position; matches
+        # are SPARSE (profile trigrams hit a minority of positions), so all
+        # per-string accounting runs over the match positions only:
+        # row = searchsorted into the string offsets, counts = bincount
+        masks = _TRI_LUT[codes]
+        mpos = np.flatnonzero(masks)
+        if len(mpos):
+            mmask = masks[mpos]
+            row = np.searchsorted(buf_off, mpos, side="right") - 1
+            # drop windows crossing a string boundary: a valid start sits at
+            # least 3 bytes before its string's end
+            ok = mpos <= buf_off[row + 1] - 3
+            row, mmask = row[ok], mmask[ok]
+            for li in range(len(_LANGS)):
+                sel = (mmask >> li) & 1
+                scores[li] = (
+                    np.bincount(row, weights=sel, minlength=n) / denom
+                )
         for b, mask in _TRI_WIDE:
             # rare non-ASCII trigram: substring count of its utf8 bytes
             cnt = pc.count_substring(padded, b.decode()).to_numpy(
