@@ -256,11 +256,48 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack(
-            [self.signature(t) for t in batch[self.text_col].to_pylist()]
-        )
+        """Batch path, exact-equivalent to per-row :meth:`signature`:
+        shingle strings come from the shared vectorized gram kernel
+        (``decontam._doc_grams``), blake2b runs once per UNIQUE shingle
+        (dictionary-encode), and each permutation is one wrap-mod pass +
+        ``minimum.reduceat`` over the row-sorted occurrence stream (min
+        over the occurrence multiset == min over the shingle set)."""
+        from sqlgrep_ray.stages.decontam import _doc_grams
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n = len(filled)
+        grams, rows, _ntok = _doc_grams(filled, self.k)
+        sigs = np.full((n, self.n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(grams):
+            enc = pc.dictionary_encode(grams)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            uh = np.fromiter(
+                (_hash64(u.encode()) for u in enc.dictionary.to_pylist()),
+                dtype=np.uint64,
+                count=len(enc.dictionary),
+            )
+            order = np.argsort(rows, kind="stable")
+            rs, occ = rows[order], uh[codes[order]]
+            seg_starts = np.flatnonzero(
+                np.concatenate([[True], rs[1:] != rs[:-1]])
+            )
+            seg_rows = rs[seg_starts]
+            v = np.empty(len(occ), dtype=np.uint64)
+            m = np.uint64(_MERSENNE)
+            for p in range(self.n_perm):
+                # a*x wraps mod 2^64 exactly like multiply.outer in
+                # signature() — keep the wrap for bit-identical output
+                np.multiply(occ, self.a[p], out=v)
+                np.add(v, self.b[p], out=v)
+                np.mod(v, m, out=v)
+                sigs[seg_rows, p] = np.minimum.reduceat(v, seg_starts)
         sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1).astype(np.uint64)), self.n_perm
+            pa.array(sigs.reshape(-1)), self.n_perm
         )
         return batch.append_column("minhash", sig_list)
 
