@@ -71,16 +71,17 @@ def duplicate_ngram_stats(
     from ray.data.aggregate import Sum
 
     def explode(t: pa.Table) -> pa.Table:
+        from sqlgrep_ray.stages.decontam import _doc_grams
+
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        texts = t[text_col].to_pylist()
-        id_out: list[np.ndarray] = []
-        h_out: list[np.ndarray] = []
-        for i, txt in enumerate(texts):
-            hs = _gram_hashes(txt, k)
-            if len(hs):
-                id_out.append(np.full(len(hs), ids[i], dtype=np.int64))
-                h_out.append(hs)
-        if not h_out:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        # shared vectorized gram kernel + blake2b once per UNIQUE gram
+        # (dictionary-encode) — exact-equivalent to per-row _gram_hashes
+        grams, rows, _ntok = _doc_grams(filled, k)
+        if not len(grams):
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
@@ -88,10 +89,25 @@ def duplicate_ngram_stats(
                     "cnt": pa.array([], pa.int64()),
                 }
             )
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(u.encode(), digest_size=8).digest(),
+                    "little",
+                )
+                for u in enc.dictionary.to_pylist()
+            ),
+            dtype=np.uint64,
+            count=len(enc.dictionary),
+        ).view(np.int64)  # same bits as signed=True in _gram_hashes
         tbl = pa.table(
             {
-                id_col: pa.array(np.concatenate(id_out)),
-                "gram": pa.array(np.concatenate(h_out)),
+                id_col: pa.array(ids[rows]),
+                "gram": pa.array(uh[codes]),
             }
         )
         # per-block combine: one row per (gram, doc) with its occurrence count
