@@ -66,6 +66,103 @@ def winnow_doc(text: str, k: int = 25, w: int = 16) -> np.ndarray:
     return np.unique(sel.astype(np.int64))
 
 
+def _winnow_batch(
+    filled: pa.Array, k: int, w: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized :func:`winnow_doc` over a null-free string array.
+
+    Returns ``(rows, fps)`` — one entry per (doc, unique selected
+    fingerprint). One Karp-Rabin pass and ONE pandas rolling-min run over
+    the whole concatenated normalized buffer; windows crossing a document
+    boundary are simply never selected (their positions fall outside the
+    per-doc valid ranges), so results are exact-equivalent per doc.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = len(filled)
+    # normalization parity with `" ".join(text.split()).lower()`: unicode
+    # whitespace split, empty pieces dropped, single-space join, lower
+    splits = pc.utf8_split_whitespace(filled)
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = splits.flatten()
+    offsets = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    cumne = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+    offs = cumne[offsets]
+    lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+    norm = pc.utf8_lower(pc.binary_join(lst, pa.scalar(" ")))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    raw_off = np.frombuffer(norm.buffers()[1], dtype=np.int32)
+    boff = raw_off[norm.offset : norm.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(norm.buffers()[2], dtype=np.uint8)[boff[0] : boff[-1]]
+    boff = boff - boff[0]
+    lens = boff[1:] - boff[:-1]
+    total = len(data)
+
+    rows_out: list[np.ndarray] = []
+    fps_out: list[np.ndarray] = []
+
+    nh = np.maximum(lens - k + 1, 0)  # valid hash count per doc
+    hs = boff[:-1]
+    he = hs + nh
+    if total >= k and nh.any():
+        b = data.astype(np.uint64)
+        h = np.zeros(total - k + 1, dtype=np.uint64)
+        for j in range(k):
+            # in-place, no temporaries; uint64 arithmetic wraps mod 2^64 by
+            # itself, so the explicit mask of the scalar path is redundant
+            np.multiply(h, _B, out=h)
+            np.add(h, b[j : total - k + 1 + j], out=h)
+        h53 = (h >> np.uint64(11)).astype(np.float64)
+        # docs with 1..w hashes: plain min over their hash segment,
+        # computed in ≤ w vectorized passes
+        small = np.flatnonzero((nh >= 1) & (nh <= w))
+        if len(small):
+            s_hs, s_he = hs[small], he[small]
+            m = h53[s_hs]
+            for j in range(1, w):
+                m = np.minimum(m, h53[np.minimum(s_hs + j, s_he - 1)])
+            rows_out.append(small.astype(np.int64))
+            fps_out.append(m.astype(np.int64))
+        # docs with > w hashes: one global rolling-min, positions clipped
+        # to each doc's in-bounds windows
+        big = np.flatnonzero(nh > w)
+        if len(big):
+            roll = pd.Series(h53).rolling(w).min().to_numpy()
+            starts2 = hs[big] + w - 1
+            counts = he[big] - starts2
+            cum0 = np.concatenate([[0], np.cumsum(counts)])
+            tot = int(cum0[-1])
+            idx = np.repeat(starts2 - cum0[:-1], counts) + np.arange(tot)
+            rows_out.append(np.repeat(big.astype(np.int64), counts))
+            fps_out.append(roll[idx].astype(np.int64))
+    # short non-empty docs (< k normalized bytes): zero-padded single hash,
+    # rare — per-doc loop over just those
+    short = np.flatnonzero((lens > 0) & (nh == 0))
+    for i in short:
+        seg = bytes(data[boff[i] : boff[i + 1]])
+        pad = seg + b"\x00" * (k - len(seg))
+        hv = _rolling_hashes(pad, k)
+        fp = int((hv[0] >> np.uint64(11)).astype(np.float64))
+        rows_out.append(np.array([i], dtype=np.int64))
+        fps_out.append(np.array([fp], dtype=np.int64))
+    if not rows_out:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    rows = np.concatenate(rows_out)
+    fps = np.concatenate(fps_out)
+    # unique fingerprints per doc
+    order = np.lexsort((fps, rows))
+    rows, fps = rows[order], fps[order]
+    keep = np.concatenate(
+        [[True], (rows[1:] != rows[:-1]) | (fps[1:] != fps[:-1])]
+    )
+    return rows[keep], fps[keep]
+
+
 def winnow_fingerprints(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -77,25 +174,17 @@ def winnow_fingerprints(
     the fingerprinting stage."""
 
     def fp_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        texts = t[text_col].to_pylist()
-        id_out, fp_out = [], []
-        for i, txt in enumerate(texts):
-            fps = winnow_doc(txt, k, w)
-            if len(fps):
-                id_out.append(np.full(len(fps), ids[i], dtype=np.int64))
-                fp_out.append(fps)
-        if not fp_out:
-            return pa.table(
-                {
-                    id_col: pa.array([], pa.int64()),
-                    "fp": pa.array([], pa.int64()),
-                }
-            )
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rows, fps = _winnow_batch(pc.fill_null(col, ""), k, w)
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(id_out)),
-                "fp": pa.array(np.concatenate(fp_out)),
+                id_col: pa.array(ids[rows] if len(rows) else [], pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
             }
         )
 
