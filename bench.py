@@ -37,12 +37,15 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     from sqlgrep_ray.pipelines.contract import (
         q_asof_join_orders,
         q_curate_corpus,
+        q_decontam_docs,
         q_groupby_q1,
         q_lang_quality,
         q_minhash_pairs,
         q_regex_extract_docs,
+        q_scrub_pii_docs,
         q_sessionize_users,
         q_knn_top5,
+        q_top_tokens_docs,
     )
     from sqlgrep_ray.pipelines.flagship import flagship, sink_counts
     from sqlgrep_ray.sources.synth import transcripts_for
@@ -88,6 +91,18 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     t0 = time.time()
     q_curate_corpus(sf_dir).count()
     timings["curate"] = time.time() - t0
+
+    t0 = time.time()
+    q_decontam_docs(sf_dir).count()
+    timings["decontam"] = time.time() - t0
+
+    t0 = time.time()
+    q_scrub_pii_docs(sf_dir).count()
+    timings["scrub_pii"] = time.time() - t0
+
+    t0 = time.time()
+    q_top_tokens_docs(sf_dir).count()
+    timings["top_tokens"] = time.time() - t0
 
     return timings, turns
 
