@@ -1650,6 +1650,43 @@ SELECT doc_id, n_tokens_ws, bin_id FROM pack
 """
 
 
+def q_lm_oov_docs(sf_dir: str) -> Result:
+    """Char-trigram LM quality scoring (stages/lmscore.py — the CCNet
+    perplexity-filter shape): model trained by the engine on the doc_id%10
+    reference subset, every doc scored against it. The INTEGER outputs
+    (trigram count, OOV count) are hash-exact vs a DuckDB char-trigram
+    reproduction; the float bits_per_char is pinned by pytest."""
+    from sqlgrep_ray.stages.lmscore import lm_score, train_char_lm
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ref_subset(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"]
+        mod10 = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+        return t.filter(pc.equal(mod10, 0))
+
+    ref = docs.map_batches(ref_subset, batch_format="pyarrow", zero_copy_batch=True)
+    model = train_char_lm(ref)
+    out = lm_score(docs, model)
+    return out.select_columns(["doc_id", "n_trigrams", "n_oov"])
+
+
+SQL_LM_OOV_DOCS = f"""
+WITH nrm AS (
+  SELECT doc_id, lower({_SQL_WSNORM.format(c='text')}) AS s FROM documents
+), tri AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(s) - 1),
+                   i -> substring(s, i, 3))) AS g
+  FROM nrm WHERE length(s) >= 3
+), ref AS (SELECT DISTINCT g FROM tri WHERE doc_id % 10 = 0)
+SELECT tri.doc_id, count(*)::BIGINT AS n_trigrams,
+       SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+FROM tri LEFT JOIN ref USING (g) GROUP BY tri.doc_id
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> Result:
     """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
     fixed-size-sketch scale path (registers, not values, move). Estimate is
@@ -1745,6 +1782,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "semdedup_emb": q_semdedup_emb,
     "heavy_tokens_docs": q_heavy_tokens_docs,
     "pack_docs": q_pack_docs,
+    "lm_oov_docs": q_lm_oov_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1807,6 +1845,7 @@ ORACLES: dict[str, str] = {
     "semdedup_emb": SQL_EMBEDDING_DUPS,
     "heavy_tokens_docs": SQL_HEAVY_TOKENS_DOCS,
     "pack_docs": SQL_PACK_DOCS,
+    "lm_oov_docs": SQL_LM_OOV_DOCS,
     # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
     # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
 }
