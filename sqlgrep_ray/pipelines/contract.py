@@ -1687,6 +1687,30 @@ FROM tri LEFT JOIN ref USING (g) GROUP BY tri.doc_id
 """
 
 
+def q_dsir_weights(sf_dir: str) -> Result:
+    """DSIR importance weights (stages/dsir.py): target LM = en docs,
+    background LM = whole corpus; every doc scored by the per-char
+    log-likelihood ratio in one pass against the two broadcast models.
+    Float weights → rows-only; the integer trigram machinery underneath is
+    oracle-checked by ``lm_oov_docs`` and the domain-separation property by
+    pytest."""
+    from sqlgrep_ray.stages.dsir import importance_weights
+    from sqlgrep_ray.stages.lmscore import train_char_lm
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def en_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t["lang"], "en"))
+
+    target = train_char_lm(
+        docs.map_batches(en_only, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    background = train_char_lm(docs)
+    return importance_weights(docs, target, background)
+
+
 def q_approx_distinct_users(sf_dir: str) -> Result:
     """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
     fixed-size-sketch scale path (registers, not values, move). Estimate is
@@ -1783,6 +1807,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "heavy_tokens_docs": q_heavy_tokens_docs,
     "pack_docs": q_pack_docs,
     "lm_oov_docs": q_lm_oov_docs,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES: dict[str, str] = {
