@@ -14,9 +14,13 @@ for all-to-all steps). Stages:
 2. ``winners``  — exact-dedup surviving ids (fingerprint min-id)
 3. ``pairs``    — MinHash-LSH near-dup pairs above the threshold
 4. ``dupgrams`` — per-doc duplicate k-gram occurrence counts
-5. ``final``    — semi-join winners, anti-join near-dup losers, drop docs
-                  whose duplicate-gram fraction exceeds the cap; write the
-                  surviving corpus partitioned by language + metrics.json
+5. ``decontam`` — (with ``--benchmark``) ids of docs sharing a token
+                  n-gram with the benchmark corpus (test-set leakage)
+6. ``final``    — semi-join winners, anti-join near-dup losers, drop docs
+                  whose duplicate-gram fraction exceeds the cap (and any
+                  benchmark-contaminated ids), optionally PII-scrub the
+                  surviving text (``--scrub-pii``); write the surviving
+                  corpus partitioned by language + metrics.json
 
 Each stage streams from the previous stage's parquet — nothing is held on
 the driver.
@@ -48,6 +52,17 @@ def main() -> int:
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
     ap.add_argument("--dup-ngram-max-frac", type=float, default=0.8)
     ap.add_argument("--dup-ngram-k", type=int, default=8)
+    ap.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet of benchmark texts; docs sharing an n-gram are dropped",
+    )
+    ap.add_argument("--decontam-k", type=int, default=8)
+    ap.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="redact URLs/emails/IPv4s in the surviving text",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -75,7 +90,7 @@ def main() -> int:
 
     _STAGE_DIRS = {
         "stats": "stats", "winners": "winners", "pairs": "pairs",
-        "dupgrams": "dupgrams", "final": "final",
+        "dupgrams": "dupgrams", "decontam": "decontam", "final": "final",
     }
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
@@ -146,6 +161,26 @@ def main() -> int:
         ).write_parquet(dup_dir)
         finish("dupgrams", t)
 
+    decon_dir = os.path.join(args.out, "decontam")
+    if args.benchmark and stage("decontam"):
+        t = time.time()
+        from sqlgrep_ray.stages.decontam import benchmark_ngrams, decontaminate
+
+        bench_texts = (
+            read_parquet_clean(args.benchmark, columns=["text"])
+            .to_pandas()["text"]
+            .tolist()
+        )
+        bench = benchmark_ngrams(bench_texts, args.decontam_k)
+        flagged = decontaminate(
+            rd.read_parquet(stats_dir), bench, k=args.decontam_k
+        )
+        flagged.map_batches(
+            lambda tb: tb.filter(tb["contaminated"]).select(["doc_id"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).write_parquet(decon_dir)
+        finish("decontam", t)
+
     final_dir = os.path.join(args.out, "final")
     if stage("final"):
         t = time.time()
@@ -193,6 +228,20 @@ def main() -> int:
         bad_ids = _collect_ids(bad, "doc_id")
         if len(bad_ids):
             kept = _semi_filter(kept, bad_ids, "doc_id", keep=False)
+        if args.benchmark:
+            contaminated = rd.read_parquet(decon_dir)
+            n_bad = contaminated.count()
+            if 0 < n_bad <= BROADCAST_IDS_MAX:
+                kept = _semi_filter(
+                    kept, _collect_ids(contaminated, "doc_id"), "doc_id", keep=False
+                )
+            elif n_bad:
+                kept = _anti_join(kept, contaminated, "doc_id", np_)
+        if args.scrub_pii:
+            from sqlgrep_ray.stages.scrub import scrub_pii
+
+            # redacted text replaces the raw column in the output corpus
+            kept = scrub_pii(kept, text_col="text", redacted_col="text")
         kept.write_parquet(final_dir, partition_cols=["lang_pred"])
         finish("final", t)
 

@@ -36,3 +36,46 @@ def test_curation_job_and_stage_resume(tmp_path):
     assert m2["stages_run"].keys() == {"final"}
     assert set(m2["stages_skipped_resume"]) == {"stats", "winners", "pairs", "dupgrams"}
     assert m2["rows_out"] == m1["rows_out"]
+
+
+def test_curation_job_decontam_and_scrub(tmp_path):
+    """--benchmark drops overlap docs; --scrub-pii rewrites the text col."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # benchmark = the exact text of a handful of corpus docs -> they (and
+    # only near-verbatim overlaps) must disappear from the output
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = src.slice(0, 5).select(["text"])
+    bench_path = str(tmp_path / "bench.parquet")
+    pq.write_table(bench, bench_path)
+
+    out = str(tmp_path / "cur2")
+    p = subprocess.run(
+        [sys.executable, "jobs/run_curation.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--languages", "all", "--min-quality", "0.0",
+         "--benchmark", bench_path, "--scrub-pii", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    m = json.loads(p.stdout.strip().splitlines()[-1])
+    assert "decontam" in m["stages_run"]
+
+    import duckdb
+
+    final = os.path.join(out, "final")
+    ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{final}/*/*.parquet')"
+        ).fetchall()
+    }
+    bench_ids = set(src.slice(0, 5)["doc_id"].to_pylist())
+    assert not (ids & bench_ids)  # contaminated docs dropped
+    cols = duckdb.sql(
+        f"SELECT * FROM read_parquet('{final}/*/*.parquet') LIMIT 1"
+    ).columns
+    assert "n_emails" in cols and "text" in cols  # scrub ran, text kept
