@@ -94,9 +94,10 @@ def semdedup(
 ) -> "ray.data.Dataset":
     """Surviving rows after semantic dedup: a row is dropped iff it pairs
     (cosine ≥ threshold, same cluster) with a SMALLER id — the min-id
-    winner rule shared with ``dedup.exact_dedup``. Losers are removed by a
-    distributed anti-join (broadcast of the loser-id set would bound it to
-    the driver; the hash-join keeps it streaming)."""
+    winner rule shared with ``dedup.exact_dedup``. Loser removal is
+    size-aware (the curate policy): small loser sets broadcast as an id
+    array, large ones run a distributed anti-join with the vector column
+    binary-packed through the shuffle."""
     pairs = semdedup_pairs(
         ds, vec_col=vec_col, id_col=id_col, k=k, threshold=threshold, n_iter=n_iter
     )
