@@ -1319,6 +1319,36 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_hopping_window(sf_dir: str) -> Result:
+    """1-hour windows hopping every 15 min (stages/window.py
+    hopping_window): each event replicated into its 4 overlapping windows
+    by one vectorized take, then the ordinary aggregate path."""
+    from sqlgrep_ray.stages.window import hopping_window
+
+    return hopping_window(
+        _t(sf_dir, "events", ["ts", "value"]),
+        ts_col="ts",
+        width_s=3600,
+        hop_s=900,
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("max_value", "max", Col("value")),
+        ),
+    )
+
+
+SQL_HOPPING_WINDOW = """
+WITH x AS (
+  SELECT make_timestamp(((epoch_us(ts) // 900000000) - j) * 900000000)
+           AS window_start,
+         value
+  FROM events CROSS JOIN generate_series(0, 3) AS t(j)
+)
+SELECT window_start, count(*) AS n, max(value) AS max_value
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_sessionize_users(sf_dir: str) -> Result:
     """Gap-based sessionization per user (30-min inactivity gap)."""
     from sqlgrep_ray.stages.window import sessionize
@@ -1789,6 +1819,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "asof_join_orders": q_asof_join_orders,
     "asof_join_orders_dist": q_asof_join_orders_dist,
     "tumbling_hour": q_tumbling_hour,
+    "hopping_window": q_hopping_window,
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
@@ -1847,6 +1878,7 @@ ORACLES: dict[str, str] = {
     "asof_join_orders": SQL_ASOF_JOIN_ORDERS,
     "asof_join_orders_dist": SQL_ASOF_JOIN_ORDERS,
     "tumbling_hour": SQL_TUMBLING_HOUR,
+    "hopping_window": SQL_HOPPING_WINDOW,
     "sessionize_users": SQL_SESSIONIZE_USERS,
     "conv_stats": SQL_CONV_STATS,
     "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,

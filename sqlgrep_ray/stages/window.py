@@ -69,6 +69,52 @@ def tumbling_window(
     return run_plan(windowed, plan)
 
 
+def hopping_window(
+    ds: "ray.data.Dataset",
+    ts_col: str,
+    width_s: int,
+    hop_s: int,
+    aggs: Sequence[AggItem],
+    extra_keys: Sequence[str] = (),
+    window_col: str = "window_start",
+    small_result: bool = True,
+) -> "ray.data.Dataset":
+    """Overlapping (sliding) windows: width ``width_s``, advancing every
+    ``hop_s`` (must divide the width). Each event belongs to exactly
+    ``width_s // hop_s`` windows; the explode is one vectorized ``take``
+    per batch (replication factor is the window overlap — size batches
+    accordingly), after which the window start is an ordinary group key on
+    the combiner-first aggregate path, like ``tumbling_window``."""
+    if width_s % hop_s:
+        raise ValueError("hop_s must divide width_s")
+    n_win = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = t[ts_col]
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        epoch = us.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(epoch)
+        rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), n_win)))
+        j = np.tile(np.arange(n_win, dtype=np.int64), n)
+        starts = (np.repeat(epoch // hop_us, n_win) - j) * hop_us
+        return rep.append_column(
+            window_col, pa.array(starts).cast(pa.timestamp("us"))
+        )
+
+    windowed = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = [GroupKey(window_col, Col(window_col))] + [
+        GroupKey(k, Col(k)) for k in extra_keys
+    ]
+    plan = AggregatePlan(
+        group_by=tuple(keys), aggs=tuple(aggs), small_result=small_result
+    )
+    return run_plan(windowed, plan)
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key: str,

@@ -103,3 +103,54 @@ def test_tumbling_with_extra_key(ray_session):
     ).to_pandas()
     key = {(r["window_start"].hour, r["user_id"]): r["n"] for _, r in out.iterrows()}
     assert key == {(0, 1): 5, (1, 2): 2}
+
+
+def test_hopping_window(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.window import hopping_window
+
+    out = (
+        hopping_window(
+            ray.data.from_arrow(_events()).repartition(2),
+            ts_col="ts",
+            width_s=3600,
+            hop_s=1800,
+            aggs=(AggItem("n", "count_star"),),
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # events at minutes 0,2,4,30,31,90,95; 60-min windows hopping every
+    # 30 min: each event lands in exactly 2 windows
+    got = {
+        (r["window_start"].hour, r["window_start"].minute): r["n"]
+        for _, r in out.iterrows()
+    }
+    # exact reference: window w contains event t iff w <= t < w + width
+    import collections
+
+    ref = collections.Counter()
+    for _, row in _events().to_pandas().iterrows():
+        t = row["ts"]
+        us = int(t.timestamp() * 1e6)
+        w0 = (us // (1800 * 10**6)) * 1800 * 10**6
+        for j in range(2):
+            ref[dt.datetime.utcfromtimestamp((w0 - j * 1800 * 10**6) / 1e6)] += 1
+    assert {k: v for k, v in got.items()} == {
+        (k.hour, k.minute): v for k, v in ref.items()
+    }
+
+
+def test_hopping_window_requires_divisible_hop(ray_session):
+    import pytest
+    import ray.data
+
+    from sqlgrep_ray.stages.window import hopping_window
+
+    with pytest.raises(ValueError):
+        hopping_window(
+            ray.data.from_arrow(_events()), ts_col="ts", width_s=3600,
+            hop_s=700, aggs=(AggItem("n", "count_star"),),
+        )
