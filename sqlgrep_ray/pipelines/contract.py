@@ -1741,6 +1741,46 @@ def q_dsir_weights(sf_dir: str) -> Result:
     return importance_weights(docs, target, background)
 
 
+def q_inverted_df(sf_dir: str) -> Result:
+    """Inverted-index build (stages/index.py): per-block (token, doc)
+    dedup + skew-safe two-phase posting-list collection. The (token, df)
+    projection is integer/string → hash-exact."""
+    from sqlgrep_ray.stages.index import build_inverted_index
+
+    idx = build_inverted_index(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return idx.select_columns(["token", "df"])
+
+
+SQL_INVERTED_DF = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+           {_SQL_WSNORM.format(c='lower(text)')}, ' ')) AS token
+  FROM documents WHERE {_SQL_WSNORM.format(c='lower(text)')} <> ''
+)
+SELECT token, count(*)::BIGINT AS df FROM toks GROUP BY token
+"""
+
+
+def q_index_search(sf_dir: str) -> Result:
+    """Distributed AND-search over the inverted index: docs containing
+    every query term, without materializing a posting list anywhere."""
+    from sqlgrep_ray.stages.index import build_inverted_index, search_index
+
+    idx = build_inverted_index(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return search_index(idx, ["spark", "hash", "window"])
+
+
+SQL_INDEX_SEARCH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(
+           {_SQL_WSNORM.format(c='lower(text)')}, ' ')) AS token
+  FROM documents WHERE {_SQL_WSNORM.format(c='lower(text)')} <> ''
+)
+SELECT doc_id FROM toks WHERE token IN ('spark', 'hash', 'window')
+GROUP BY doc_id HAVING count(*) = 3
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> Result:
     """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
     fixed-size-sketch scale path (registers, not values, move). Estimate is
@@ -1839,6 +1879,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "pack_docs": q_pack_docs,
     "lm_oov_docs": q_lm_oov_docs,
     "dsir_weights": q_dsir_weights,
+    "inverted_df": q_inverted_df,
+    "index_search": q_index_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1903,6 +1945,8 @@ ORACLES: dict[str, str] = {
     "heavy_tokens_docs": SQL_HEAVY_TOKENS_DOCS,
     "pack_docs": SQL_PACK_DOCS,
     "lm_oov_docs": SQL_LM_OOV_DOCS,
+    "inverted_df": SQL_INVERTED_DF,
+    "index_search": SQL_INDEX_SEARCH,
     # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
     # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
 }
