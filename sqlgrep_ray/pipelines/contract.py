@@ -1781,6 +1781,18 @@ GROUP BY doc_id HAVING count(*) = 3
 """
 
 
+def q_bpe_counts(sf_dir: str) -> Result:
+    """BPE tokenizer (stages/bpe.py): merges trained by the engine on the
+    corpus word counts, then per-doc piece counts. Iterative greedy merges
+    are not SQL-expressible → rows-only; the merge loop and the per-word
+    encoding are pinned against the Sennrich reference example in pytest."""
+    from sqlgrep_ray.stages.bpe import bpe_token_counts, train_bpe
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(docs, n_merges=40)
+    return bpe_token_counts(docs, merges)
+
+
 def q_approx_distinct_users(sf_dir: str) -> Result:
     """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
     fixed-size-sketch scale path (registers, not values, move). Estimate is
@@ -1881,6 +1893,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "dsir_weights": q_dsir_weights,
     "inverted_df": q_inverted_df,
     "index_search": q_index_search,
+    "bpe_counts": q_bpe_counts,
 }
 
 ORACLES: dict[str, str] = {
