@@ -1781,6 +1781,32 @@ GROUP BY doc_id HAVING count(*) = 3
 """
 
 
+def q_grouped_sample(sf_dir: str) -> Result:
+    """Deterministic k-per-group sample (stages/sample.grouped_sample):
+    the 10 smallest Knuth-hashes of doc_id per language — SQL-exact via
+    row_number over the same integer hash."""
+    from sqlgrep_ray.stages.sample import grouped_sample
+
+    return grouped_sample(
+        _t(sf_dir, "documents", ["doc_id", "lang"]),
+        keys=["lang"],
+        id_col="doc_id",
+        k=10,
+    )
+
+
+SQL_GROUPED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
 def q_bpe_counts(sf_dir: str) -> Result:
     """BPE tokenizer (stages/bpe.py): merges trained by the engine on the
     corpus word counts, then per-doc piece counts. Iterative greedy merges
@@ -1894,6 +1920,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "inverted_df": q_inverted_df,
     "index_search": q_index_search,
     "bpe_counts": q_bpe_counts,
+    "grouped_sample": q_grouped_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1960,6 +1987,7 @@ ORACLES: dict[str, str] = {
     "lm_oov_docs": SQL_LM_OOV_DOCS,
     "inverted_df": SQL_INVERTED_DF,
     "index_search": SQL_INDEX_SEARCH,
+    "grouped_sample": SQL_GROUPED_SAMPLE,
     # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
     # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
 }

@@ -18,7 +18,7 @@ state, trivially resumable.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -44,6 +44,40 @@ def hash_sample(
         return t.filter(pa.array(_keep_mask(ids, fraction)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_sample(
+    ds: "ray.data.Dataset",
+    keys: "Sequence[str]",
+    id_col: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Deterministic k-per-group sample: the k rows with the smallest
+    Knuth-hash of ``id_col`` within each group — a reproducible,
+    engine-independent "give me k examples per stratum". Rides the
+    combiner-first grouped top-k (``stages/topk.py``), so the shuffle
+    carries at most k × groups_per_block rows per block; SQL-exact
+    (row_number over the same integer hash)."""
+    from sqlgrep_ray.stages.topk import grouped_topk
+
+    def add_score(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * _KNUTH) % _MOD
+        # grouped_topk takes the LARGEST scores: negate the hash
+        return t.append_column("__hs", pa.array(-(h.astype(np.int64))))
+
+    out = grouped_topk(
+        ds.map_batches(add_score, batch_format="pyarrow", zero_copy_batch=True),
+        keys=keys,
+        score_col="__hs",
+        tie_col=id_col,
+        k=k,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__hs"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def stratified_sample(

@@ -158,3 +158,38 @@ def test_pack_sequences_next_fit(ray_session):
     for b, s in tot.items():
         members = [r for r in out if r["bin_id"] == b]
         assert s <= 1000 or len(members) == 1
+
+
+# ---------------------------------------------------------------------------
+# grouped sample
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_sample_deterministic(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sample import grouped_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "grp": pa.array(["a" if i % 2 else "b" for i in range(100)]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    r1 = sorted(
+        (r["grp"], r["doc_id"])
+        for r in grouped_sample(ds, keys=["grp"], id_col="doc_id", k=5).take_all()
+    )
+    r2 = sorted(
+        (r["grp"], r["doc_id"])
+        for r in grouped_sample(ds, keys=["grp"], id_col="doc_id", k=5).take_all()
+    )
+    assert r1 == r2 and len(r1) == 10
+    # python reference: 5 smallest knuth-hashes per group
+    ref = []
+    for g in ("a", "b"):
+        ids = [i for i in range(100) if ("a" if i % 2 else "b") == g]
+        ids.sort(key=lambda i: ((i * 2654435761) % (1 << 32), i))
+        ref += [(g, i) for i in ids[:5]]
+    assert r1 == sorted(ref)
