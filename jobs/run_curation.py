@@ -63,6 +63,12 @@ def main() -> int:
         action="store_true",
         help="redact URLs/emails/IPv4s in the surviving text",
     )
+    ap.add_argument(
+        "--pack-budget",
+        type=int,
+        default=None,
+        help="assign bin_id for training-sequence packing (tokens per bin)",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -242,6 +248,16 @@ def main() -> int:
 
             # redacted text replaces the raw column in the output corpus
             kept = scrub_pii(kept, text_col="text", redacted_col="text")
+        if args.pack_budget:
+            from sqlgrep_ray.stages.pack import pack_sequences
+
+            # training-sequence packing: deterministic per-block next-fit
+            # over the stats-stage token counts (docs sharing a bin_id
+            # concatenate into one ≤ budget-token training sequence)
+            kept = pack_sequences(
+                kept.sort("doc_id"), budget=args.pack_budget,
+                tokens_col="n_tokens_ws",
+            )
         kept.write_parquet(final_dir, partition_cols=["lang_pred"])
         finish("final", t)
 

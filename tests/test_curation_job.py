@@ -79,3 +79,26 @@ def test_curation_job_decontam_and_scrub(tmp_path):
         f"SELECT * FROM read_parquet('{final}/*/*.parquet') LIMIT 1"
     ).columns
     assert "n_emails" in cols and "text" in cols  # scrub ran, text kept
+
+
+def test_curation_job_pack_budget(tmp_path):
+    """--pack-budget assigns training-sequence bins within the budget."""
+    out = str(tmp_path / "cur3")
+    p = subprocess.run(
+        [sys.executable, "jobs/run_curation.py",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--out", out, "--languages", "all", "--min-quality", "0.0",
+         "--pack-budget", "2000", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    import duckdb
+
+    final = os.path.join(out, "final")
+    rows = duckdb.sql(
+        f"SELECT bin_id, sum(n_tokens_ws) AS tot, count(*) AS n "
+        f"FROM read_parquet('{final}/*/*.parquet') GROUP BY bin_id"
+    ).fetchall()
+    assert rows
+    for _bin, tot, n in rows:
+        assert tot <= 2000 or n == 1  # oversize docs overflow alone
