@@ -35,7 +35,11 @@ import ray.data
 
 
 def _norm_tokens(text: str) -> list[str]:
-    return (text or "").lower().split()
+    from sqlgrep_ray.stages.textnorm import arrow_lower, arrow_split
+
+    # utf8proc lowercase+split (textnorm.py) — matches the corpus-side
+    # batch kernel on all inputs, not just ASCII
+    return arrow_split(arrow_lower(text or ""))
 
 
 def benchmark_ngrams(texts: Iterable[str], k: int) -> pa.Array:

@@ -217,7 +217,9 @@ def _hash64(s: bytes) -> int:
 
 
 def _token_shingles(text: str, k: int) -> set[int]:
-    toks = text.split()
+    from sqlgrep_ray.stages.textnorm import arrow_split
+
+    toks = arrow_split(text)
     if len(toks) < k:
         return {_hash64(" ".join(toks).encode())} if toks else set()
     out = set()
@@ -569,15 +571,19 @@ class SimHasher:
         ⇔ equal token multisets (w.h.p.) — same contract as hashing the
         sorted token list, but it vectorizes to one segment sum over the
         already-hashed token stream in the batch path."""
+        from sqlgrep_ray.stages.textnorm import arrow_split
+
         acc = 0
-        for tok in (text or "").split():
+        for tok in arrow_split(text or ""):
             acc = (acc + _hash64(tok.encode())) & 0xFFFFFFFFFFFFFFFF
         return acc
 
     @staticmethod
     def simhash64(text: Optional[str]) -> int:
+        from sqlgrep_ray.stages.textnorm import arrow_split
+
         acc = np.zeros(64, dtype=np.int64)
-        for tok in (text or "").split():
+        for tok in arrow_split(text or ""):
             h = np.uint64(
                 int.from_bytes(
                     hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"

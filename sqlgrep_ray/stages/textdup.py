@@ -40,7 +40,9 @@ def _gram_hashes(text: str, k: int) -> np.ndarray:
     """64-bit hashes of each token k-gram occurrence (with multiplicity).
     Texts shorter than ``k`` tokens contribute ONE gram: the whole token
     sequence (mirrors ``dedup._token_shingles``)."""
-    toks = (text or "").split()
+    from sqlgrep_ray.stages.textnorm import arrow_split
+
+    toks = arrow_split(text or "")
     if not toks:
         return np.array([], dtype=np.int64)
     if len(toks) < k:

@@ -64,7 +64,11 @@ _LANGS = sorted(_LANG_PROFILES)
 
 
 def _trigrams(text: str) -> list[str]:
-    t = f" {text.lower()} "
+    from sqlgrep_ray.stages.textnorm import arrow_lower
+
+    # utf8proc lowercase (textnorm.py) — python str.lower() length-expands
+    # some mappings and would diverge from the batch matcher
+    t = f" {arrow_lower(text)} "
     return [t[i : i + 3] for i in range(len(t) - 2)]
 
 

@@ -47,7 +47,10 @@ def winnow_doc(text: str, k: int = 25, w: int = 16) -> np.ndarray:
     """Selected fingerprints (sorted unique int64) of one document."""
     import pandas as pd
 
-    norm = " ".join((text or "").split()).lower().encode()
+    from sqlgrep_ray.stages.textnorm import arrow_lower, arrow_split
+
+    # utf8proc normalization — bit-identical to the batch path (textnorm.py)
+    norm = arrow_lower(" ".join(arrow_split(text or ""))).encode()
     h = _rolling_hashes(norm, k)
     if len(h) == 0:
         # short document: one whole-content fingerprint keeps it matchable
