@@ -1781,6 +1781,46 @@ GROUP BY doc_id HAVING count(*) = 3
 """
 
 
+def q_connected_components(sf_dir: str) -> Result:
+    """Distributed connected components (stages/cc.py — min-label
+    propagation, one hash-join + min-groupby per round, sum-invariant
+    convergence): deterministic chain graph over doc ids (doc→doc+1 for
+    doc_id%10<4 ⇒ 5-node paths per decade, diameter 4). The DuckDB oracle
+    computes the same components with a recursive CTE — integer outputs,
+    hash-exact."""
+    from sqlgrep_ray.stages.cc import connected_components
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"]
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+        a = ids.filter(pc.less(mod, 4))
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        return pa.table({"id_a": a, "id_b": pc.add(a, 1)})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(edges)
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 4
+), und AS (
+  SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e
+), nodes AS (SELECT DISTINCT n FROM und),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT u.m, r.m FROM reach r JOIN und u ON u.n = r.n
+)
+SELECT n AS node, MIN(m)::BIGINT AS component FROM reach GROUP BY n
+"""
+
+
 def q_grouped_sample(sf_dir: str) -> Result:
     """Deterministic k-per-group sample (stages/sample.grouped_sample):
     the 10 smallest Knuth-hashes of doc_id per language — SQL-exact via
@@ -1921,6 +1961,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "index_search": q_index_search,
     "bpe_counts": q_bpe_counts,
     "grouped_sample": q_grouped_sample,
+    "connected_components": q_connected_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1988,6 +2029,7 @@ ORACLES: dict[str, str] = {
     "inverted_df": SQL_INVERTED_DF,
     "index_search": SQL_INDEX_SEARCH,
     "grouped_sample": SQL_GROUPED_SAMPLE,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
     # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
     # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
 }

@@ -112,6 +112,7 @@ def curate(
     min_tokens: int = 5,
     drop_near_dups: bool = False,
     near_dup_threshold: float = 0.9,
+    cluster_exact: bool = False,
     num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Filter + dedup a document corpus; returns surviving (id, text, stats).
@@ -120,7 +121,11 @@ def curate(
     the winner is the smallest id (deterministic). With ``drop_near_dups``,
     MinHash-LSH pairs above ``near_dup_threshold`` additionally remove the
     larger id of each pair (union-find-free policy: deterministic, may keep
-    one member of a larger near-dup cluster per pair edge).
+    one member of a larger near-dup cluster per pair edge — e.g. the chain
+    a—c—b with a < c < b keeps both a and c). ``cluster_exact=True``
+    upgrades that to true connected components (``stages/cc.py``): exactly
+    ONE survivor per near-dup cluster, at the cost of O(diameter)
+    label-propagation rounds over the pair graph.
 
     ``languages=None`` skips the language filter (stats are still computed);
     with ``min_quality=0.0`` the surviving set is then SQL-expressible
@@ -165,11 +170,23 @@ def curate(
         pairs = minhash_lsh_dedup(
             filtered, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
         )
-        losers = pairs.map_batches(
-            lambda t: pa.table({id_col: t["id_b"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).materialize()
+        if cluster_exact:
+            from sqlgrep_ray.stages.cc import connected_components
+
+            comp = connected_components(pairs)
+            losers = comp.map_batches(
+                lambda t: pa.table(
+                    {id_col: t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+        else:
+            losers = pairs.map_batches(
+                lambda t: pa.table({id_col: t["id_b"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
         if losers.count() <= BROADCAST_IDS_MAX:
             loser_ids = pc.unique(_collect_ids(losers, id_col))
             kept = _semi_filter(kept, loser_ids, id_col, keep=False)

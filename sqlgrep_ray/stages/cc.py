@@ -1,0 +1,124 @@
+"""Distributed connected components — duplicate-pair clusters.
+
+Near-dup detection emits PAIRS; correct deduplication needs CLUSTERS
+(connected components of the pair graph): the local min-id-neighbor rule
+("drop iff paired with a smaller id") over-keeps on chains — in the path
+a—c—b with a < c < b, node c's only neighbor below it is b, so both a and
+c survive even though they share a component. Label propagation fixes
+that: every node converges to its component's MINIMUM id.
+
+Ray-Data shape (the iterative-algorithm pattern, like ``cluster.kmeans``
+but with a shuffle per round because state is per-NODE, not global):
+
+* one round = hash-join labels onto the (undirected) edge list +
+  ``groupby(node).min(label)`` — both sides are (int64, int64) columns;
+* convergence via a monotone invariant: labels only ever decrease, so the
+  global label SUM is strictly decreasing until fixpoint — one tiny
+  aggregate per round instead of a full old-vs-new join;
+* rounds needed = graph diameter (dup clusters are shallow; ``max_iter``
+  guards pathological chains).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> "ray.data.Dataset":
+    """(node, component) for every node appearing in ``edges``; component =
+    the minimum node id reachable from the node."""
+    from sqlgrep_ray.stages.enrich import join_partitions
+
+    def _flat(c):
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a, b = _flat(t[src]), _flat(t[dst])
+        return pa.table(
+            {
+                "n": pa.concat_arrays([a, b]),
+                "m": pa.concat_arrays([b, a]),
+            }
+        )
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        # groupby emits EMPTY blocks with an empty schema; Acero's join
+        # rejects a schemaless right partition ("no match for key field n"),
+        # so pin every block to the (n, component) layout
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        return t.select(["n", "component"])
+
+    und = (
+        edges.select_columns([src, dst])
+        .map_batches(undirect, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()  # reused every round
+    )
+    labels = (
+        und.select_columns(["n"])
+        .groupby("n")
+        .aggregate(Min("n", alias_name="component", ignore_nulls=True))
+        .map_batches(fix_schema, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    # size-aware partitioning: tiny label sets leave some hash partitions
+    # EMPTY, and Ray's shuffle-join aggregator builds those partitions
+    # without a schema (Acero then rejects the key field) — one partition
+    # per ~64k labels, floor 1, cap join_partitions
+    n_labels = labels.count()
+    np_ = max(1, min(join_partitions(None), n_labels // 65536 + 1))
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = und.join(
+            labels, join_type="inner", on=("n",), num_partitions=np_
+        ).map_batches(
+            lambda t: pa.table({"n": t["m"], "component": t["component"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        merged = (
+            labels.union(neigh)
+            .groupby("n")
+            .aggregate(Min("component", alias_name="component", ignore_nulls=True))
+            .map_batches(fix_schema, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+        s = merged.aggregate(Sum("component", alias_name="s", ignore_nulls=True))["s"]
+        labels = merged
+        if prev_sum is not None and s == prev_sum:
+            break  # labels only decrease: equal sum == fixpoint
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "component"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def cluster_dedup_keep(
+    pairs: "ray.data.Dataset",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> "ray.data.Dataset":
+    """One surviving id per duplicate cluster: the component minimum.
+    (Nodes not in any pair are untouched by definition — anti-join the
+    corpus against the dropped set, as ``curate`` does.)"""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return comp.map_batches(
+        lambda t: t.filter(pc.equal(t["node"], t["component"])).select(["node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
