@@ -115,3 +115,35 @@ def test_textstats_token_count_matches_split(texts):
         tokens=True, quality=False, language=False, fingerprint=False
     )(t)
     assert out["n_tokens_ws"].to_pylist() == [len(x.split()) for x in texts]
+
+
+# ---------------------------------------------------------------------------
+# parse stage: RE2 batch path vs python re path
+# ---------------------------------------------------------------------------
+
+_atom = st.sampled_from([r"(\d+)", r"([a-z]+)", r"(\w+)"])
+_sep = st.sampled_from([" ", "=", ":", "x", ", "])
+_pattern = st.tuples(_sep, _atom, _sep, _atom).map(
+    lambda t: t[0] + t[1] + t[2] + t[3]
+)
+_line = st.text(alphabet="abz019 =:x,", min_size=0, max_size=24)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_pattern, st.lists(_line, min_size=1, max_size=10))
+def test_parse_re2_path_matches_python_path(pattern, lines):
+    """The Arrow RE2 extract path and the python `re` fallback agree on
+    groups and match masks (for patterns whose groups can't match '' —
+    the documented ''-to-NULL normalization boundary)."""
+    from sqlgrep_ray.schema import PatternDef
+    from sqlgrep_ray.stages.parse import _CompiledPattern
+
+    cp = _CompiledPattern(PatternDef("p", pattern))
+    if cp.named_pattern is None:
+        return  # RE2-incompatible: only one path exists
+    text = pa.array(lines, pa.string())
+    g_re2, m_re2 = cp.extract(text)
+    g_py, m_py = cp._extract_python(text)
+    assert m_re2.to_pylist() == m_py.to_pylist(), pattern
+    for g in range(1, cp.n_groups + 1):
+        assert g_re2[g].to_pylist() == g_py[g].to_pylist(), (pattern, g)
