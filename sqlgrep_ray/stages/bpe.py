@@ -90,12 +90,25 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 100,
     min_count: int = 1,
+    max_vocab: "int | None" = None,
     lower: bool = True,
 ) -> "list[tuple[str, str]]":
-    """Distributed word-count pass + local merge loop → merge table."""
-    from sqlgrep_ray.stages.vocab import token_frequencies
+    """Distributed word-count pass + local merge loop → merge table.
 
-    freqs = token_frequencies(ds, text_col=text_col, lower=lower, min_count=min_count)
+    The collected table is vocabulary-bounded; for web-scale corpora cap
+    it with ``min_count`` and/or ``max_vocab`` (keep only the most
+    frequent words — combiner-first top-k, the standard trainer
+    truncation), so the driver never holds the long tail."""
+    if max_vocab is not None:
+        from sqlgrep_ray.stages.vocab import top_tokens
+
+        freqs = top_tokens(ds, max_vocab, text_col=text_col, lower=lower)
+    else:
+        from sqlgrep_ray.stages.vocab import token_frequencies
+
+        freqs = token_frequencies(
+            ds, text_col=text_col, lower=lower, min_count=min_count
+        )
     wc: dict[str, int] = {}
     for batch in freqs.iter_batches(batch_format="pyarrow"):
         for w, c in zip(batch["token"].to_pylist(), batch["count"].to_pylist()):

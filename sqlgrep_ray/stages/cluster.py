@@ -54,7 +54,11 @@ def kmeans(
     if len(cents) < k:
         raise ValueError(f"need ≥ {k} rows to seed {k} centroids")
 
-    narrow = ds.select_columns([vec_col]).materialize()  # iterated n_iter times
+    # pin the narrow (vec-only) projection for the n_iter re-reads; blocks
+    # beyond object-store capacity spill to disk rather than re-running the
+    # upstream pipeline per iteration — pass an already-materialized narrow
+    # dataset to skip the copy entirely
+    narrow = ds.select_columns([vec_col]).materialize()
     for _ in range(n_iter):
         ref = ray.put(cents)
 

@@ -57,3 +57,16 @@ def test_train_and_count_distributed(ray_session):
         assert out[i]["n_pieces"] == want, (i, text)
     # determinism across retrains
     assert merges == train_bpe(corpus, n_merges=6)
+
+
+def test_train_bpe_max_vocab(ray_session):
+    """max_vocab truncation keeps the most frequent words and still trains."""
+    from sqlgrep_ray.stages.bpe import train_bpe
+
+    corpus = _ds(["low low low lower rare1 rare2", "newest newest widest"])
+    full = train_bpe(corpus, n_merges=4)
+    capped = train_bpe(corpus, n_merges=4, max_vocab=3)
+    assert len(capped) == 4
+    # merges trained on {low, newest, widest|lower} — deterministic
+    assert capped == train_bpe(corpus, n_merges=4, max_vocab=3)
+    assert isinstance(full, list)
