@@ -132,13 +132,133 @@ def decode_featurize(
     )
 
 
+class ResizeImages:
+    """Actor-pool stage: decode → nearest-neighbor resize → raw RGB bytes.
+
+    The RESIZE math is real (vectorized index gather — what a production
+    stage does after any decoder); only the decode behind it is the
+    pluggable codec. Output replaces ``payload`` with ``target × target × 3``
+    raw bytes and updates ``width``/``height`` — downstream stages can
+    ``np.frombuffer(...).reshape(t, t, 3)`` without knowing the source
+    format. Non-image rows pass through untouched.
+    """
+
+    def __init__(self, target: int = 16, codec: Optional[object] = None):
+        self.target = target
+        self.codec = codec if codec is not None else FakeCodec()
+
+    @staticmethod
+    def _nn_resize(img: np.ndarray, t: int) -> np.ndarray:
+        h, w, _ = img.shape
+        ys = (np.arange(t) * h) // t
+        xs = (np.arange(t) * w) // t
+        return img[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mtypes = batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        t = self.target
+        out_p, out_w, out_h = [], [], []
+        for i, mt in enumerate(mtypes):
+            if mt == "image":
+                img = self.codec.decode_image(
+                    payloads[i], widths[i] or t, heights[i] or t
+                )
+                out_p.append(self._nn_resize(img, t).tobytes())
+                out_w.append(t)
+                out_h.append(t)
+            else:
+                out_p.append(payloads[i])
+                out_w.append(widths[i])
+                out_h.append(heights[i])
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out_p, pa.binary()),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("width"), "width",
+            pa.array(out_w, pa.int32()),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("height"), "height",
+            pa.array(out_h, pa.int32()),
+        )
+
+
+def resize_images(
+    ds: "ray.data.Dataset",
+    target: int = 16,
+    codec: Optional[object] = None,
+    batch_size: int = 64,
+    concurrency: tuple[int, int] = (1, 8),
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs=dict(target=target, codec=codec),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    ds: "ray.data.Dataset",
+    n_frames: int = 4,
+    frame_bytes: int = 256,
+    batch_size: int = 16,
+) -> "ray.data.Dataset":
+    """Video rows → one row per sampled frame (uniformly spaced indices —
+    the standard clip-sampling rule ``idx_j = floor(j · total / n)``).
+    Output: (media_id, frame_idx, frame) with the frame payload sliced out
+    of the raw stream; non-video rows are dropped. Small ``batch_size``:
+    frames × n_frames × concurrency must fit the worker heap."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        mtypes = t["media_type"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        mids = t["media_id"].to_pylist()
+        for i, mt in enumerate(mtypes):
+            if mt != "video":
+                continue
+            total = max(len(payloads[i]) // frame_bytes, 1)
+            take = min(n_frames, total)
+            for j in range(take):
+                k = (j * total) // take
+                ids.append(mids[i])
+                fidx.append(k)
+                frames.append(payloads[i][k * frame_bytes : (k + 1) * frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(
+        explode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def synth_media(n: int, seed: int = 5) -> pa.Table:
     """Deterministic fake media table matching MEDIA_SCHEMA (tests/bench)."""
     rng = np.random.RandomState(seed)
-    kinds = np.array(["image", "audio"])[rng.randint(0, 2, n)]
-    payloads = [
-        hashlib.blake2b(f"media-{i}".encode(), digest_size=32).digest() for i in range(n)
-    ]
+    kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
+    payloads = []
+    for i in range(n):
+        seed_bytes = hashlib.blake2b(f"media-{i}".encode(), digest_size=32).digest()
+        if kinds[i] == "video":
+            # raw frame stream: 6 frames × 256 bytes, deterministic
+            payloads.append(FakeCodec._stream(seed_bytes, 6 * 256))
+        else:
+            payloads.append(seed_bytes)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),

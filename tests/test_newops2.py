@@ -193,3 +193,68 @@ def test_grouped_sample_deterministic(ray_session):
         ids.sort(key=lambda i: ((i * 2654435761) % (1 << 32), i))
         ref += [(g, i) for i in ids[:5]]
     assert r1 == sorted(ref)
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / frame-sample
+# ---------------------------------------------------------------------------
+
+
+def test_resize_images_nearest_neighbor(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.multimodal import (
+        FakeCodec,
+        ResizeImages,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(60)
+    out = resize_images(ray.data.from_arrow(media), target=8).take_all()
+    codec = FakeCodec()
+    by_id = {r["media_id"]: r for r in out}
+    checked = 0
+    for i in range(media.num_rows):
+        mt = media["media_type"][i].as_py()
+        r = by_id[media["media_id"][i].as_py()]
+        if mt == "image":
+            assert r["width"] == 8 and r["height"] == 8
+            img = codec.decode_image(
+                media["payload"][i].as_py(),
+                media["width"][i].as_py(),
+                media["height"][i].as_py(),
+            )
+            want = ResizeImages._nn_resize(img, 8)
+            got = np.frombuffer(r["payload"], dtype=np.uint8).reshape(8, 8, 3)
+            assert (got == want).all()
+            checked += 1
+        else:
+            assert r["payload"] == media["payload"][i].as_py()  # passthrough
+    assert checked > 0
+
+
+def test_sample_frames_uniform(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.multimodal import sample_frames, synth_media
+
+    media = synth_media(60)
+    out = sample_frames(ray.data.from_arrow(media), n_frames=4, frame_bytes=256).take_all()
+    vids = {
+        media["media_id"][i].as_py(): media["payload"][i].as_py()
+        for i in range(media.num_rows)
+        if media["media_type"][i].as_py() == "video"
+    }
+    assert vids  # fixture has videos
+    from collections import defaultdict
+
+    frames = defaultdict(dict)
+    for r in out:
+        frames[r["media_id"]][r["frame_idx"]] = r["frame"]
+    assert set(frames) == set(vids)
+    for mid, by_idx in frames.items():
+        # 6-frame streams, n=4 -> uniform indices floor(j*6/4) = 0,1,3,4
+        assert sorted(by_idx) == [0, 1, 3, 4]
+        for k, payload in by_idx.items():
+            assert payload == vids[mid][k * 256 : (k + 1) * 256]
