@@ -98,3 +98,31 @@ def test_having_reuses_projected_aggregate_slot():
 def test_regex_matches_alias():
     q = parse_query("SELECT a FROM t WHERE regex_matches(a, 'x+')")
     assert q.plan.where.name == "regexp_matches"
+
+
+def test_user_registered_function_through_sql(ray_session):
+    """Extension surface (SURVEY §2.10): a new scalar function is ONE
+    registry entry and immediately usable from SQL (the reference's
+    add-a-Function-variant extension path, model.rs:711-738, as a dict
+    entry)."""
+    import pyarrow.compute as pc
+
+    from sqlgrep_ray import Tables
+    from sqlgrep_ray.functions.exprs import _FUNCS, register_function
+
+    name = "test_reverse_udf"
+
+    @register_function(name)
+    def _rev(arg_ks, ctx):
+        k = arg_ks[0]
+        return lambda t: pc.utf8_reverse(k(t))
+
+    try:
+        t = Tables()
+        t.add_tables(r"CREATE TABLE lines(line = '(\\w+)', line[1] => w TEXT);")
+        rows = t.execute_query_rows(
+            f"SELECT {name}(w) AS r FROM lines", source=["hello there"]
+        )
+        assert rows == [{"r": "olleh"}]
+    finally:
+        _FUNCS.pop(name, None)
