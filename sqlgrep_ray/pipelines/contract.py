@@ -1376,6 +1376,37 @@ GROUP BY user_id, session_idx ORDER BY 1, 2
 """
 
 
+def q_assign_sessions(sf_dir: str) -> Result:
+    """Row-level sessionization (stages/window.assign_sessions): every
+    event tagged with its per-user session ordinal — one vectorized
+    sort + boundary scan per key-hash bucket. The oracle replays it with
+    SQL window functions; integer ordinal → hash-exact."""
+    from sqlgrep_ray.stages.window import assign_sessions
+
+    return assign_sessions(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        key="user_id",
+        ts_col="ts",
+        gap_s=1800,
+        keep_cols=["event_id"],
+    )
+
+
+SQL_ASSIGN_SESSIONS = """
+SELECT user_id, ts, event_id,
+       (SUM(CASE WHEN prev IS NULL
+                 OR epoch_us(ts) - epoch_us(prev) > 1800000000
+            THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::BIGINT
+         AS session_idx
+FROM (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+"""
+
+
 def q_conv_stats(sf_dir: str) -> Result:
     """Per-conversation stats — HIGH-cardinality GROUP BY (one group per
     conv_id, hot conversations own ~20% of rows) through the DISTRIBUTED
@@ -1939,6 +1970,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "tumbling_hour": q_tumbling_hour,
     "hopping_window": q_hopping_window,
     "sessionize_users": q_sessionize_users,
+    "assign_sessions": q_assign_sessions,
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
@@ -2003,6 +2035,7 @@ ORACLES: dict[str, str] = {
     "tumbling_hour": SQL_TUMBLING_HOUR,
     "hopping_window": SQL_HOPPING_WINDOW,
     "sessionize_users": SQL_SESSIONIZE_USERS,
+    "assign_sessions": SQL_ASSIGN_SESSIONS,
     "conv_stats": SQL_CONV_STATS,
     "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,
     "hot_conv_roles": SQL_HOT_CONV_ROLES,

@@ -205,3 +205,68 @@ def sessionize(
         .groupby("__b")
         .map_groups(split_bucket, batch_format="pyarrow")
     )
+
+
+def assign_sessions(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    gap_s: float,
+    keep_cols: Sequence[str] = (),
+    session_col: str = "session_idx",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Row-level sessionization: every EVENT gets its session ordinal
+    (0-based per key, time order) — the feature-engineering form of
+    :func:`sessionize` (which emits per-session summaries). Same key-hash
+    bucket execution: one vectorized sort + boundary scan per bucket, no
+    per-key Python. Assignment is independent of tie order among equal
+    timestamps (boundaries depend only on time deltas), so results are
+    deterministic and SQL-comparable (``SUM(gap > g) OVER (PARTITION BY
+    key ORDER BY ts)``)."""
+    gap_us = int(gap_s * 1_000_000)
+    cols = [key, ts_col, *keep_cols]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def label_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(session_col, pa.array([], pa.int64()))
+        order = pc.sort_indices(g, [(key, "ascending"), (ts_col, "ascending")])
+        g = g.take(order)
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+        karr = g[key].combine_chunks()
+        if n > 1:
+            same = pc.fill_null(
+                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+            )
+            key_change = np.r_[
+                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+        else:
+            key_change = np.array([True])
+        new_session = key_change | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        # per-key 0-based ordinal: global boundary cumsum minus the key's
+        # first boundary ordinal
+        bno = np.cumsum(new_session) - 1
+        first_of_key = np.maximum.accumulate(np.where(key_change, bno, 0))
+        return g.append_column(
+            session_col, pa.array((bno - first_of_key).astype(np.int64))
+        )
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(label_bucket, batch_format="pyarrow")
+    )

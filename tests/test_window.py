@@ -154,3 +154,22 @@ def test_hopping_window_requires_divisible_hop(ray_session):
             ray.data.from_arrow(_events()), ts_col="ts", width_s=3600,
             hop_s=700, aggs=(AggItem("n", "count_star"),),
         )
+
+
+def test_assign_sessions_row_level(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.window import assign_sessions
+
+    t = _events()
+    out = assign_sessions(
+        ray.data.from_arrow(t).repartition(3),
+        key="user_id", ts_col="ts", gap_s=600, keep_cols=["value"],
+    ).take_all()
+    got = {(r["user_id"], r["value"]): r["session_idx"] for r in out}
+    # user 1: minutes 0,2,4 (session 0) then 30,31 (session 1); user 2: one
+    assert got == {
+        (1, 1.0): 0, (1, 2.0): 0, (1, 3.0): 0,
+        (1, 4.0): 1, (1, 5.0): 1,
+        (2, 6.0): 0, (2, 7.0): 0,
+    }
