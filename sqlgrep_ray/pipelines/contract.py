@@ -1407,6 +1407,31 @@ FROM (
 """
 
 
+def q_trailing_window(sf_dir: str) -> Result:
+    """Per-event trailing 30-min window count (stages/window.
+    trailing_window_agg) — two vectorized searchsorted calls per bucket
+    over a composite key-rank/time axis. Oracle: SQL RANGE frame."""
+    from sqlgrep_ray.stages.window import trailing_window_agg
+
+    return trailing_window_agg(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        key="user_id",
+        ts_col="ts",
+        window_s=1800,
+        keep_cols=["event_id"],
+    )
+
+
+SQL_TRAILING_WINDOW = """
+SELECT user_id, ts, event_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+       )::BIGINT AS trailing_count
+FROM events
+"""
+
+
 def q_conv_stats(sf_dir: str) -> Result:
     """Per-conversation stats — HIGH-cardinality GROUP BY (one group per
     conv_id, hot conversations own ~20% of rows) through the DISTRIBUTED
@@ -1971,6 +1996,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "hopping_window": q_hopping_window,
     "sessionize_users": q_sessionize_users,
     "assign_sessions": q_assign_sessions,
+    "trailing_window": q_trailing_window,
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
@@ -2036,6 +2062,7 @@ ORACLES: dict[str, str] = {
     "hopping_window": SQL_HOPPING_WINDOW,
     "sessionize_users": SQL_SESSIONIZE_USERS,
     "assign_sessions": SQL_ASSIGN_SESSIONS,
+    "trailing_window": SQL_TRAILING_WINDOW,
     "conv_stats": SQL_CONV_STATS,
     "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,
     "hot_conv_roles": SQL_HOT_CONV_ROLES,

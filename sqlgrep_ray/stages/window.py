@@ -207,6 +207,95 @@ def sessionize(
     )
 
 
+def trailing_window_agg(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    window_s: float,
+    sum_col: "str | None" = None,
+    keep_cols: Sequence[str] = (),
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-EVENT trailing time-window aggregates: for each row, the count
+    (and optionally sum of ``sum_col``) of the key's events with
+    ``ts ∈ [ts_row − window, ts_row]`` — SQL's ``RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW`` incl. peer rows at the same timestamp.
+
+    Execution mirrors :func:`assign_sessions` (key-hash buckets, one sort
+    per bucket); the frame bounds are TWO vectorized ``searchsorted`` calls
+    over a composite (key-rank × range + relative-time) axis — no per-key
+    or per-row Python. Falls back to a per-key scan only if the composite
+    would overflow int64 (≳ millions of keys × centuries of span)."""
+    window_us = int(window_s * 1_000_000)
+    cols = [key, ts_col, *keep_cols] + ([sum_col] if sum_col else [])
+    cols = list(dict.fromkeys(cols))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def agg_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            out = g.append_column("trailing_count", pa.array([], pa.int64()))
+            if sum_col:
+                out = out.append_column("trailing_sum", pa.array([], pa.int64()))
+            return out
+        order = pc.sort_indices(g, [(key, "ascending"), (ts_col, "ascending")])
+        g = g.take(order)
+        ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+        karr = g[key].combine_chunks()
+        if n > 1:
+            same = pc.fill_null(
+                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+            )
+            key_change = np.r_[
+                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+        else:
+            key_change = np.array([True])
+        krank = np.cumsum(key_change) - 1
+        base = ts.min()
+        rel = ts - base
+        R = int(rel.max()) + window_us + 2
+        n_keys = int(krank[-1]) + 1
+        if n_keys * R < (1 << 62):
+            comp = krank * R + rel
+            lo = krank * R + np.maximum(rel - window_us, 0)
+            lb = np.searchsorted(comp, lo, side="left")
+            ub = np.searchsorted(comp, comp, side="right")
+        else:  # pragma: no cover - astronomically wide corpora
+            seg_starts = np.flatnonzero(key_change)
+            seg_of = np.cumsum(key_change) - 1
+            bounds = np.r_[seg_starts, n]
+            lb = np.empty(n, dtype=np.int64)
+            ub = np.empty(n, dtype=np.int64)
+            for s_i in range(len(seg_starts)):
+                s, e = bounds[s_i], bounds[s_i + 1]
+                lb[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - window_us, "left")
+                ub[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "right")
+        g = g.append_column("trailing_count", pa.array((ub - lb).astype(np.int64)))
+        if sum_col:
+            vals = g[sum_col].combine_chunks().cast(pa.int64()).to_numpy()
+            cum = np.concatenate([[0], np.cumsum(vals, dtype=np.int64)])
+            g = g.append_column("trailing_sum", pa.array(cum[ub] - cum[lb]))
+        return g
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(agg_bucket, batch_format="pyarrow")
+    )
+
+
 def assign_sessions(
     ds: "ray.data.Dataset",
     key: str,

@@ -173,3 +173,37 @@ def test_assign_sessions_row_level(ray_session):
         (1, 4.0): 1, (1, 5.0): 1,
         (2, 6.0): 0, (2, 7.0): 0,
     }
+
+
+def test_trailing_window_agg(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.window import trailing_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 2), (1, base + dt.timedelta(minutes=10), 3),
+        (1, base + dt.timedelta(minutes=10), 5),  # peer tie
+        (1, base + dt.timedelta(minutes=45), 7),
+        (2, base + dt.timedelta(minutes=5), 11),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = trailing_window_agg(
+        ray.data.from_arrow(t).repartition(2),
+        key="user_id", ts_col="ts", window_s=1800, sum_col="v",
+    ).take_all()
+    got = {(r["user_id"], r["v"]): (r["trailing_count"], r["trailing_sum"]) for r in out}
+    # DuckDB RANGE-frame reference (verified): ties are peers
+    assert got == {
+        (1, 2): (1, 2),
+        (1, 3): (3, 10),
+        (1, 5): (3, 10),
+        (1, 7): (1, 7),   # 45-30=15 > 10, window excludes the ties
+        (2, 11): (1, 11),
+    }
