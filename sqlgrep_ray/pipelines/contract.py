@@ -125,6 +125,33 @@ FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.05
 """
 
 
+def q_orderby_topn(sf_dir: str) -> Result:
+    """ORDER BY + LIMIT (engine extension — the reference has no ORDER BY,
+    SURVEY §2.7): deterministic top-N via desc sort with full tie-breaks.
+    The driver's value hash is order-insensitive, so the LIMIT makes the
+    sort itself observable (a wrong order returns a different row SET)."""
+    plan = SelectPlan(
+        projections=(
+            Projection("l_orderkey", Col("l_orderkey")),
+            Projection("l_linenumber", Col("l_linenumber")),
+            Projection("l_quantity", Col("l_quantity")),
+        ),
+        order_by=(
+            (Col("l_quantity"), True),
+            (Col("l_orderkey"), False),
+            (Col("l_linenumber"), False),
+        ),
+        limit=25,
+    )
+    return run_plan(_tp(sf_dir, "lineitem", plan), plan)
+
+
+SQL_ORDERBY_TOPN = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC LIMIT 25
+"""
+
+
 def q_agg_global(sf_dir: str) -> Result:
     """Global (no GROUP BY) aggregates — one group, key [Null] (§2.6)."""
     plan = AggregatePlan(
@@ -1945,6 +1972,7 @@ def q_kmeans_clusters(sf_dir: str) -> Result:
 
 QUERIES: dict[str, Callable[[str], Result]] = {
     "select_where_project": q_select_where_project,
+    "orderby_topn": q_orderby_topn,
     "agg_global": q_agg_global,
     "groupby_q1": q_groupby_q1,
     "groupby_expr_hour": q_groupby_expr_hour,
@@ -2024,6 +2052,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
 
 ORACLES: dict[str, str] = {
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
+    "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,
     "groupby_q1": SQL_GROUPBY_Q1,
     "groupby_expr_hour": SQL_GROUPBY_EXPR_HOUR,

@@ -51,6 +51,10 @@ class SelectPlan:
     join: Optional[JoinSpec] = None
     distinct: bool = False
     limit: Optional[int] = None
+    # ENGINE EXTENSION (the reference has no ORDER BY, SURVEY §2.7):
+    # (expr, descending) pairs evaluated over the OUTPUT columns; NULLs
+    # sort first. Applied before LIMIT (deterministic top-k).
+    order_by: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -91,6 +95,9 @@ class AggregatePlan:
     having: Optional[Expr] = None
     distinct: bool = False
     limit: Optional[int] = None
+    # ENGINE EXTENSION: explicit output order (see SelectPlan.order_by);
+    # overrides the default group-key order when present.
+    order_by: tuple = ()
     # Merge-path selection for the per-block partials:
     #   True  — group-key cardinality is small (sqlgrep's norm): partials are
     #           coalesced to ONE block and merged/finalized/sorted locally,

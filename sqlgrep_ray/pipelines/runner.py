@@ -244,6 +244,47 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return deduped.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _apply_order(
+    ds: "ray.data.Dataset", order_by, ctx: Optional[CompileCtx]
+) -> "ray.data.Dataset":
+    """ORDER BY (engine extension): append compiled sort-key columns
+    (plus a 0/1 null marker per key so Ray's sort never compares NULLs —
+    NULLs order first), ``Dataset.sort``, strip the temp columns."""
+    if not order_by:
+        return ds
+    kernels = [compile_expr(e, ctx) for e, _ in order_by]
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        for i, k in enumerate(kernels):
+            arr = _as_array(k(t), t.num_rows)
+            marker = pc.cast(pc.is_valid(arr), pa.int8())
+            d = _null_default(arr.type)
+            filled = pc.fill_null(arr, d) if d is not None else arr
+            t = t.append_column(f"__obm{i}", marker)
+            t = t.append_column(f"__ob{i}", filled)
+        return t
+
+    sort_cols: list = []
+    sort_desc: list = []
+    for i, (_, desc) in enumerate(order_by):
+        sort_cols.append(f"__obm{i}")  # nulls (0) first
+        sort_desc.append(False)
+        sort_cols.append(f"__ob{i}")
+        sort_desc.append(bool(desc))
+    temp = [f"__obm{i}" for i in range(len(order_by))] + [
+        f"__ob{i}" for i in range(len(order_by))
+    ]
+    return (
+        ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(sort_cols, descending=sort_desc)
+        .map_batches(
+            lambda t: t.drop_columns([c for c in temp if c in t.column_names]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
 def run_select(
     ds: "ray.data.Dataset",
     plan: SelectPlan,
@@ -263,6 +304,7 @@ def run_select(
 
     if plan.distinct:
         ds = _distinct(ds)
+    ds = _apply_order(ds, getattr(plan, "order_by", ()), ctx)
     if plan.limit is not None:
         ds = ds.limit(plan.limit)  # streaming executor early-stops upstream
     return ds
@@ -422,6 +464,7 @@ def run_aggregate(
         # carries its unique group-key tuple (the reference only dedups in a
         # having-branch quirk, aggregate_execution.rs:292-310); skipping it
         # preserves the sorted output order
+        agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx)
         if plan.limit is not None:
             agged = agged.limit(plan.limit)
         return agged
@@ -482,6 +525,7 @@ def run_aggregate(
             _restore_keys(key_names), batch_format="pyarrow", zero_copy_batch=True
         )
     # DISTINCT after aggregation: no-op (unique group keys per row; see above)
+    agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx)
     if plan.limit is not None:
         agged = agged.limit(plan.limit)
     return agged

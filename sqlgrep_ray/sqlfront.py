@@ -437,6 +437,20 @@ class Parser:
 
         having = self.parse_expr() if self.eat_kw("having") else None
 
+        # ORDER BY: engine extension (the reference dialect has none,
+        # SURVEY §2.7) — sort keys over the OUTPUT columns, NULLs first
+        order_by: list[tuple] = []
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            while True:
+                e = self.parse_expr()
+                desc = bool(self.eat_kw("desc"))
+                if not desc:
+                    self.eat_kw("asc")
+                order_by.append((e, desc))
+                if not self.eat_op(","):
+                    break
+
         limit = None
         if self.eat_kw("limit"):
             t = self.next()
@@ -444,7 +458,10 @@ class Parser:
                 raise SqlError(f"expected integer LIMIT, got {t}")
             limit = int(t.value)
 
-        plan = convert_query(projections, where, group_by, having, distinct, limit)
+        plan = convert_query(
+            projections, where, group_by, having, distinct, limit,
+            order_by=tuple(order_by),
+        )
         return Query(
             plan=plan,
             table=table,
@@ -744,6 +761,7 @@ def convert_query(
     having: Optional[Expr],
     distinct: bool,
     limit: Optional[int],
+    order_by: tuple = (),
 ) -> Plan:
     is_agg = bool(group_by) or (
         projections is not None and any(_contains_agg(e) for _, e in projections)
@@ -758,7 +776,8 @@ def convert_query(
                 for i, (alias, e) in enumerate(projections)
             )
         return SelectPlan(
-            projections=projs, where=where, distinct=distinct, limit=limit
+            projections=projs, where=where, distinct=distinct, limit=limit,
+            order_by=order_by,
         )
 
     # aggregate statement
@@ -841,6 +860,7 @@ def convert_query(
         having=having_expr,
         distinct=distinct,
         limit=limit,
+        order_by=order_by,
     )
 
 

@@ -126,3 +126,40 @@ def test_user_registered_function_through_sql(ray_session):
         assert rows == [{"r": "olleh"}]
     finally:
         _FUNCS.pop(name, None)
+
+
+def test_order_by_extension(ray_session):
+    """ORDER BY (engine extension; the reference dialect has none):
+    asc/desc, expression keys, NULLs first, applied before LIMIT."""
+    from sqlgrep_ray import Tables
+
+    t = Tables()
+    t.add_tables(
+        r"CREATE TABLE kv(line = '(\\w+)=(\\d+)', line[1] => k TEXT, line[2] => v INT);"
+    )
+    lines = ["b=2", "a=3", "c=1", "d=3"]
+    rows = t.execute_query_rows("SELECT k, v FROM kv ORDER BY v DESC, k", source=lines)
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 3), ("d", 3), ("b", 2), ("c", 1)]
+    rows = t.execute_query_rows(
+        "SELECT k, v FROM kv ORDER BY v * -1, k LIMIT 2", source=lines
+    )
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 3), ("d", 3)]
+    # aggregate path: explicit order overrides the group-key default
+    rows = t.execute_query_rows(
+        "SELECT k, COUNT() AS n FROM kv GROUP BY k ORDER BY k DESC LIMIT 2",
+        source=lines + ["a=9"],
+    )
+    assert [r["k"] for r in rows] == ["d", "c"]
+
+
+def test_order_by_nulls_first(ray_session):
+    from sqlgrep_ray import Tables
+
+    t = Tables()
+    t.add_tables(
+        r"CREATE TABLE kv(line = '(\\w+)=(\\d+)?', line[1] => k TEXT, line[2] => v INT);"
+    )
+    rows = t.execute_query_rows(
+        "SELECT k, v FROM kv ORDER BY v, k", source=["a=2", "b=", "c=1"]
+    )
+    assert [(r["k"], r["v"]) for r in rows] == [("b", None), ("c", 1), ("a", 2)]
