@@ -26,6 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 _EOW = "</w>"  # end-of-word marker, standard BPE
 
 
@@ -135,7 +137,7 @@ def bpe_token_counts(
         filled = pc.fill_null(col, "")
         if lower:
             filled = pc.utf8_lower(filled)
-        splits = pc.utf8_split_whitespace(filled)
+        splits = split_whitespace(filled)
         if isinstance(splits, pa.ChunkedArray):
             splits = splits.combine_chunks()
         flat = splits.flatten()

@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 
 def _norm_tokens(text: str) -> list[str]:
     from sqlgrep_ray.stages.textnorm import arrow_lower, arrow_split
@@ -70,7 +72,7 @@ def _doc_grams(
     ``0 < n_tokens < k`` contribute their whole token sequence as one gram.
     """
     n = len(filled)
-    splits = pc.utf8_split_whitespace(filled)
+    splits = split_whitespace(filled)
     if isinstance(splits, pa.ChunkedArray):
         splits = splits.combine_chunks()
     flat = splits.flatten()

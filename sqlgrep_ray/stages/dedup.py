@@ -32,6 +32,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 # Above this many candidate rows the single-task verify path is replaced by
 # the distributed shuffle path automatically (see ``_hot_bucket_verify``).
 AUTO_DISTRIBUTED_THRESHOLD = 200_000
@@ -608,7 +610,7 @@ class SimHasher:
             col = col.combine_chunks()
         filled = pc.fill_null(col, "")
         n = len(filled)
-        splits = pc.utf8_split_whitespace(filled)
+        splits = split_whitespace(filled)
         if isinstance(splits, pa.ChunkedArray):
             splits = splits.combine_chunks()
         flat = splits.flatten()

@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 
 def build_inverted_index(
     ds: "ray.data.Dataset",
@@ -47,7 +49,7 @@ def build_inverted_index(
         filled = pc.fill_null(col, "")
         if lower:
             filled = pc.utf8_lower(filled)
-        splits = pc.utf8_split_whitespace(filled)
+        splits = split_whitespace(filled)
         if isinstance(splits, pa.ChunkedArray):
             splits = splits.combine_chunks()
         flat = splits.flatten()

@@ -27,6 +27,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 _ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
 
 
@@ -181,7 +183,7 @@ def heavy_tokens(
         filled = pc.fill_null(c, "")
         if lower:
             filled = pc.utf8_lower(filled)
-        flat = pc.list_flatten(pc.utf8_split_whitespace(filled))
+        flat = pc.list_flatten(split_whitespace(filled))
         flat = flat.filter(pc.not_equal(flat, ""))
         return pa.table({"token": flat})
 

@@ -27,6 +27,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 # BPE-ish piece splitter: word-with-leading-space pieces, numbers, punct runs
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
 # re2 variant for Arrow kernels: re2's \s is ASCII-only, python's is unicode —
@@ -245,7 +247,7 @@ class TextStats:
             # utf8_split_whitespace splits on unicode whitespace (python
             # str.split semantics modulo empty pieces, masked below) and is
             # ~4× faster than split_pattern_regex(r"\s+")
-            splits = pc.utf8_split_whitespace(filled)
+            splits = split_whitespace(filled)
             if isinstance(splits, pa.ChunkedArray):
                 splits = splits.combine_chunks()
             flat = splits.flatten()

@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from sqlgrep_ray.stages.textnorm import split_whitespace
 from ray.data.aggregate import Sum
 
 
@@ -43,7 +45,7 @@ def token_frequencies(
         filled = pc.fill_null(col, "")
         if lower:
             filled = pc.utf8_lower(filled)
-        flat = pc.list_flatten(pc.utf8_split_whitespace(filled))
+        flat = pc.list_flatten(split_whitespace(filled))
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = pc.value_counts(flat)
         return pa.table(

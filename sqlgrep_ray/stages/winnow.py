@@ -26,6 +26,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from sqlgrep_ray.stages.textnorm import split_whitespace
+
 _B = np.uint64(1_000_003)  # polynomial base
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -86,7 +88,7 @@ def _winnow_batch(
     n = len(filled)
     # normalization parity with `" ".join(text.split()).lower()`: unicode
     # whitespace split, empty pieces dropped, single-space join, lower
-    splits = pc.utf8_split_whitespace(filled)
+    splits = split_whitespace(filled)
     if isinstance(splits, pa.ChunkedArray):
         splits = splits.combine_chunks()
     flat = splits.flatten()
