@@ -244,9 +244,8 @@ class TextStats:
             # stopword ratio (no per-row Python). Empty pieces from
             # leading/trailing/multiple whitespace are masked out, matching
             # python's str.split().
-            # utf8_split_whitespace splits on unicode whitespace (python
-            # str.split semantics modulo empty pieces, masked below) and is
-            # ~4× faster than split_pattern_regex(r"\s+")
+            # canonical whitespace split (textnorm.py): unicode semantics,
+            # deterministic (pyarrow's utf8_split_whitespace is not)
             splits = split_whitespace(filled)
             if isinstance(splits, pa.ChunkedArray):
                 splits = splits.combine_chunks()
