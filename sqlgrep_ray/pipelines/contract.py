@@ -1942,6 +1942,32 @@ def q_bpe_counts(sf_dir: str) -> Result:
     return bpe_token_counts(docs, merges)
 
 
+def q_ranked_search(sf_dir: str) -> Result:
+    """Integer-ranked retrieval over the term-frequency index
+    (stages/index.ranked_search): top-15 docs by (matched terms desc,
+    summed tf desc, doc asc). Integer-only ranking → the top-k SET is
+    hash-exact against the SQL replay."""
+    from sqlgrep_ray.stages.index import ranked_search, token_doc_tf
+
+    tt = token_doc_tf(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return ranked_search(tt, ["spark", "hash", "window"], k=15)
+
+
+SQL_RANKED_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(
+           {_SQL_WSNORM.format(c='lower(text)')}, ' ')) AS token
+  FROM documents WHERE {_SQL_WSNORM.format(c='lower(text)')} <> ''
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+  WHERE token IN ('spark', 'hash', 'window') GROUP BY doc_id, token
+)
+SELECT doc_id, count(*)::BIGINT AS n_matched, SUM(tf)::BIGINT AS sum_tf
+FROM tf GROUP BY doc_id
+ORDER BY n_matched DESC, sum_tf DESC, doc_id ASC LIMIT 15
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> Result:
     """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
     fixed-size-sketch scale path (registers, not values, move). Estimate is
@@ -2045,6 +2071,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "dsir_weights": q_dsir_weights,
     "inverted_df": q_inverted_df,
     "index_search": q_index_search,
+    "ranked_search": q_ranked_search,
     "bpe_counts": q_bpe_counts,
     "grouped_sample": q_grouped_sample,
     "connected_components": q_connected_components,
@@ -2117,6 +2144,7 @@ ORACLES: dict[str, str] = {
     "lm_oov_docs": SQL_LM_OOV_DOCS,
     "inverted_df": SQL_INVERTED_DF,
     "index_search": SQL_INDEX_SEARCH,
+    "ranked_search": SQL_RANKED_SEARCH,
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /

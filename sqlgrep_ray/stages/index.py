@@ -65,15 +65,23 @@ def build_inverted_index(
                 id_col: pa.array(ids[row_of[mask]]),
             }
         )
-        # per-block dedup: one posting per (token, doc) no matter how often
-        # the token repeats inside the document
-        return out.group_by(["token", id_col]).aggregate([])
+        # per-block combine: one posting per (token, doc) with its term
+        # frequency (occurrences inside the document)
+        return (
+            pa.TableGroupBy(out, ["token", id_col])
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", id_col, "tf"])
+        )
 
     tok_doc = ds.select_columns([id_col, text_col]).map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True
     )
     agg = salted_array_agg(
-        tok_doc, keys=["token"], col=id_col, alias="postings", salt=salt
+        tok_doc.select_columns(["token", id_col]),
+        keys=["token"],
+        col=id_col,
+        alias="postings",
+        salt=salt,
     )
 
     def add_df(t: pa.Table) -> pa.Table:
@@ -82,6 +90,82 @@ def build_inverted_index(
         )
 
     return agg.map_batches(add_df, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_doc_tf(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+) -> "ray.data.Dataset":
+    """(token, doc, tf) triples — the searchable form of the index (each
+    doc lives in one block, so the per-block combine IS the global term
+    frequency; no shuffle)."""
+    # reuse build_inverted_index's pairs stage without the posting-list
+    # packing: same tokenization, one combine per block
+    from sqlgrep_ray.stages.textnorm import split_whitespace as _sw  # noqa: F401
+
+    def pairs(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        if lower:
+            filled = pc.utf8_lower(filled)
+        splits = split_whitespace(filled)
+        flat = splits.flatten()
+        offsets = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        row_of = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), offsets[1:] - offsets[:-1]
+        )
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "token": flat.filter(pa.array(mask)),
+                id_col: pa.array(ids[row_of[mask]]),
+            }
+        )
+        return (
+            pa.TableGroupBy(out, ["token", id_col])
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", id_col, "tf"])
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ranked_search(
+    tok_tf: "ray.data.Dataset",
+    terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Top-``k`` docs for the term set, ranked by (matched terms desc,
+    summed term frequency desc, doc id asc) — an integer-only ranking
+    (deterministic and oracle-comparable, unlike float tf-idf scores).
+    Distributed: filter to the term rows, one groupby(doc) aggregate,
+    sort + limit."""
+    from ray.data.aggregate import Count, Sum
+
+    term_set = pa.array(sorted(set(terms)))
+
+    def hit(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["token"], value_set=term_set))
+
+    per_doc = (
+        tok_tf.map_batches(hit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(
+            Count(alias_name="n_matched"),
+            Sum("tf", alias_name="sum_tf", ignore_nulls=True),
+        )
+    )
+    return per_doc.sort(
+        ["n_matched", "sum_tf", id_col], descending=[True, True, False]
+    ).limit(k)
 
 
 def search_index(

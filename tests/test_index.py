@@ -55,3 +55,18 @@ def test_search_index_and_or(ray_session):
 
     with pytest.raises(ValueError):
         search_index(idx, ["x"], mode="xor")
+
+
+def test_ranked_search(ray_session):
+    from sqlgrep_ray.stages.index import ranked_search, token_doc_tf
+
+    tt = token_doc_tf(_docs())
+    rows = token_doc_tf(_docs()).take_all()
+    assert {(r["token"], r["doc_id"], r["tf"]) for r in rows} >= {
+        ("hash", 0, 1), ("hash", 1, 2), ("spark", 0, 1), ("spark", 2, 1),
+    }
+    top = ranked_search(tt, ["spark", "hash"], k=3).take_all()
+    # doc 0 matches both terms; docs 1 and 2 match one each (doc 1 tf=2)
+    assert [(r["doc_id"], r["n_matched"], r["sum_tf"]) for r in top] == [
+        (0, 2, 2), (1, 1, 2), (2, 1, 1),
+    ]
