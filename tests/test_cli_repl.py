@@ -187,3 +187,16 @@ def test_library_parity_surface(ray_session, tmp_path):
 
     with _pytest.raises(StopIteration):
         next(it)
+
+
+def test_samples_example_runs():
+    """samples/example.py (the reference's sample walkthrough) runs clean."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "samples/example.py"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "callback saw" in p.stdout
