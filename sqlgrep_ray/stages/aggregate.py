@@ -257,8 +257,12 @@ def _finalize_one(batch: pa.Table, i: int, a: AggItem) -> pa.Array:
         sq = _chunk(batch[f"{v}sq_sum"]).cast(pa.float64())
         n = _chunk(batch[f"{v}_count"]).cast(pa.float64())
         var = pc.divide(pc.subtract(sq, pc.divide(pc.multiply(s, s), n)), n)
-        # clamp tiny negative fp residue
-        var = pc.max_element_wise(var, pa.scalar(0.0))
+        # clamp tiny negative fp residue; skip_nulls=False keeps the NULL of
+        # an all-null group (default max_element_wise would coerce it to 0.0
+        # — caught by the aggregate property suite)
+        var = pc.max_element_wise(
+            var, pa.scalar(0.0), options=pc.ElementWiseAggregateOptions(skip_nulls=False)
+        )
         return pc.sqrt(var) if f == "stddev" else var
     raise ValueError(f"{f} not associative")
 

@@ -1,0 +1,90 @@
+"""Hypothesis: the aggregate engine's two physical paths (single-block
+merge vs distributed shuffle) both match an independent per-group Python
+reference of the documented semantics — COUNT/COUNT(col)/MIN/MAX/SUM,
+AVG with INTEGER division for int columns, population STDDEV — over random
+grouped data with NULL keys and NULL values."""
+
+import math
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sqlgrep_ray.functions.exprs import Col
+from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
+from sqlgrep_ray.pipelines.runner import run_plan
+
+_key = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+_val = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
+
+
+@st.composite
+def grouped_data(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    keys = draw(st.lists(_key, min_size=n, max_size=n))
+    vals = draw(st.lists(_val, min_size=n, max_size=n))
+    return keys, vals
+
+
+def _ref(keys, vals):
+    groups: dict = {}
+    for k, v in zip(keys, vals):
+        groups.setdefault(k, []).append(v)
+    out = {}
+    for k, vs in groups.items():
+        present = [v for v in vs if v is not None]
+        row = {"n": len(vs), "nv": len(present)}
+        row["mn"] = min(present) if present else None
+        row["mx"] = max(present) if present else None
+        row["sm"] = sum(present) if present else None
+        if present:
+            s = sum(present)
+            # AVG over ints = truncating integer division (reference parity)
+            q = abs(s) // len(present)
+            row["av"] = q if s >= 0 else -q
+            m = s / len(present)
+            row["sd"] = math.sqrt(sum((v - m) ** 2 for v in present) / len(present))
+        else:
+            row["av"] = None
+            row["sd"] = None
+        out[k] = row
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(grouped_data(), st.booleans())
+def test_aggregate_paths_match_reference(ray_session, data, small):
+    import ray.data
+
+    keys, vals = data
+    t = pa.table(
+        {
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    plan = AggregatePlan(
+        group_by=(GroupKey("k", Col("k")),),
+        aggs=(
+            AggItem("n", "count_star"),
+            AggItem("nv", "count", Col("v")),
+            AggItem("mn", "min", Col("v")),
+            AggItem("mx", "max", Col("v")),
+            AggItem("sm", "sum", Col("v")),
+            AggItem("av", "avg", Col("v")),
+            AggItem("sd", "stddev", Col("v")),
+        ),
+        small_result=small,
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = {r["k"]: r for r in run_plan(ds, plan).take_all()}
+    want = _ref(keys, vals)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for f in ("n", "nv", "mn", "mx", "sm", "av"):
+            assert g[f] == w[f], (k, f, g[f], w[f], small)
+        if w["sd"] is None:
+            assert g["sd"] is None
+        else:
+            assert abs(g["sd"] - w["sd"]) < 1e-9, (k, g["sd"], w["sd"])
