@@ -71,18 +71,35 @@ def winnow_doc(text: str, k: int = 25, w: int = 16) -> np.ndarray:
     return np.unique(sel.astype(np.int64))
 
 
+def _sliding_min(x: np.ndarray, w: int) -> np.ndarray:
+    """Trailing-window minimum (pandas ``rolling(w).min()`` alignment:
+    ``out[i] = min(x[i-w+1 : i+1])`` for ``i ≥ w-1``; earlier entries are
+    undefined and never read by the caller). Van Herk/Gil-Werman two-pass
+    block minima — O(n) integer ops, no float conversion."""
+    n = len(x)
+    nb = -(-n // w)
+    pad = nb * w - n
+    xp = np.concatenate([x, np.full(pad, np.iinfo(x.dtype).max, dtype=x.dtype)])
+    blocks = xp.reshape(nb, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    out = np.empty(n, dtype=x.dtype)
+    i = np.arange(w - 1, n)
+    out[w - 1 :] = np.minimum(suff[i - w + 1], pref[i])
+    return out
+
+
 def _winnow_batch(
     filled: pa.Array, k: int, w: int
 ) -> "tuple[np.ndarray, np.ndarray]":
     """Vectorized :func:`winnow_doc` over a null-free string array.
 
     Returns ``(rows, fps)`` — one entry per (doc, unique selected
-    fingerprint). One Karp-Rabin pass and ONE pandas rolling-min run over
+    fingerprint). One Karp-Rabin pass and ONE integer sliding-min run over
     the whole concatenated normalized buffer; windows crossing a document
     boundary are simply never selected (their positions fall outside the
     per-doc valid ranges), so results are exact-equivalent per doc.
     """
-    import pandas as pd
     import pyarrow.compute as pc
 
     n = len(filled)
@@ -122,22 +139,27 @@ def _winnow_batch(
             # itself, so the explicit mask of the scalar path is redundant
             np.multiply(h, _B, out=h)
             np.add(h, b[j : total - k + 1 + j], out=h)
-        h53 = (h >> np.uint64(11)).astype(np.float64)
+        # 53-bit fingerprints, kept in uint64: winnow_doc's float64 rolling
+        # min selects exactly the same VALUES (53-bit ints are float-exact),
+        # so an integer sliding-min is equivalence-preserving and skips two
+        # 240 MB float conversions
+        np.right_shift(h, np.uint64(11), out=h)
+        h53 = h
         # docs with 1..w hashes: plain min over their hash segment,
         # computed in ≤ w vectorized passes
         small = np.flatnonzero((nh >= 1) & (nh <= w))
         if len(small):
             s_hs, s_he = hs[small], he[small]
-            m = h53[s_hs]
+            m = h53[s_hs].copy()
             for j in range(1, w):
-                m = np.minimum(m, h53[np.minimum(s_hs + j, s_he - 1)])
+                np.minimum(m, h53[np.minimum(s_hs + j, s_he - 1)], out=m)
             rows_out.append(small.astype(np.int64))
             fps_out.append(m.astype(np.int64))
         # docs with > w hashes: one global rolling-min, positions clipped
         # to each doc's in-bounds windows
         big = np.flatnonzero(nh > w)
         if len(big):
-            roll = pd.Series(h53).rolling(w).min().to_numpy()
+            roll = _sliding_min(h53, w)
             starts2 = hs[big] + w - 1
             counts = he[big] - starts2
             cum0 = np.concatenate([[0], np.cumsum(counts)])
