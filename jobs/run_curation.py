@@ -253,9 +253,15 @@ def main() -> int:
 
             # training-sequence packing: deterministic per-block next-fit
             # over the stats-stage token counts (docs sharing a bin_id
-            # concatenate into one ≤ budget-token training sequence)
+            # concatenate into one ≤ budget-token training sequence).
+            # repartition to a FIXED block count after the sort so block
+            # boundaries — and therefore bin assignment — are reproducible
+            # across runs and cluster sizes (pack.py packs per block; at
+            # most PACK_BLOCKS-1 boundary bins are under-filled)
+            PACK_BLOCKS = 16
             kept = pack_sequences(
-                kept.sort("doc_id"), budget=args.pack_budget,
+                kept.sort("doc_id").repartition(PACK_BLOCKS),
+                budget=args.pack_budget,
                 tokens_col="n_tokens_ws",
             )
         kept.write_parquet(final_dir, partition_cols=["lang_pred"])

@@ -81,6 +81,7 @@ def connected_components(
     n_labels = labels.count()
     np_ = max(1, min(join_partitions(None), n_labels // 65536 + 1))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neigh = und.join(
             labels, join_type="inner", on=("n",), num_partitions=np_
@@ -99,8 +100,21 @@ def connected_components(
         s = merged.aggregate(Sum("component", alias_name="s", ignore_nulls=True))["s"]
         labels = merged
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break  # labels only decrease: equal sum == fixpoint
         prev_sum = s
+    if not converged:
+        # a component with diameter > max_iter still carries >1 label;
+        # downstream cluster-exact dedup would keep >1 survivor per cluster
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} iterations (component diameter exceeds max_iter); "
+            f"labels are an upper bound, raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow",

@@ -38,44 +38,52 @@ from sqlgrep_ray.stages.textnorm import split_whitespace
 # the distributed shuffle path automatically (see ``_hot_bucket_verify``).
 AUTO_DISTRIBUTED_THRESHOLD = 200_000
 
+# Above this many DISTINCT hot buckets the broadcast-array membership filter
+# is replaced by a distributed semi-join on ``bucket`` — the hot set never
+# has to exist as one in-memory array (dup-heavy corpora: O(rows × bands)
+# distinct buckets would OOM both the merge task and the ray.put broadcast).
+HOT_BROADCAST_MAX = 2_000_000
 
-def _bucket_stats(bucketed: "ray.data.Dataset") -> tuple[pa.Array, int]:
-    """(hot bucket keys, total candidate rows) — buckets with ≥2 members.
 
-    Per-block combiner counts (vectorized ``pa.TableGroupBy``) → one small
-    merge block; only (bucket, count) partials move, never payloads."""
+def _hot_buckets(
+    bucketed: "ray.data.Dataset",
+) -> tuple["ray.data.Dataset", int, int]:
+    """Distributed hot-bucket stats: ``(hot, n_hot, n_cand)`` where ``hot``
+    is a materialized Dataset of (bucket, n) rows with n ≥ 2.
+
+    Per-block combiner counts (vectorized ``pa.TableGroupBy``) so only
+    (bucket, partial-count) rows ride the ONE hash shuffle; the merge is a
+    ``groupby(bucket)`` — per-worker memory is buckets/partitions, never
+    the full distinct-bucket set in one task (the round-2 ``repartition(1)``
+    scale-killer)."""
+    from ray.data.aggregate import Sum
 
     def partial_counts(t: pa.Table) -> pa.Table:
         return pa.TableGroupBy(t.select(["bucket"]), ["bucket"]).aggregate(
             [([], "count_all")]
         )
 
-    partials = bucketed.map_batches(
-        partial_counts, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(1)
-
-    def hot_of(t: pa.Table) -> pa.Table:
-        merged = pa.TableGroupBy(t, ["bucket"]).aggregate([("count_all", "sum")])
-        mask = pc.greater_equal(merged["count_all_sum"], 2)
-        return merged.filter(mask)
-
-    hot_tbl = pa.concat_tables(
-        list(
-            partials.map_batches(hot_of, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
+    def hot_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            # groupby can emit empty schemaless blocks — pin the layout
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
             )
+        return t.filter(pc.greater_equal(t["n"], 2))
+
+    hot = (
+        bucketed.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True
         )
-        or [
-            pa.table(
-                {
-                    "bucket": pa.array([], pa.int64()),
-                    "count_all_sum": pa.array([], pa.int64()),
-                }
-            )
-        ]
+        .groupby("bucket")
+        .aggregate(Sum("count_all", alias_name="n", ignore_nulls=True))
+        .map_batches(hot_only, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
     )
-    n_cand = int(pc.sum(hot_tbl["count_all_sum"]).as_py() or 0)
-    return hot_tbl["bucket"].combine_chunks(), n_cand
+    n_hot = hot.count()
+    n_cand = int(hot.sum("n") or 0) if n_hot else 0
+    return hot, n_hot, n_cand
 
 
 def _filter_hot(ds: "ray.data.Dataset", hot: pa.Array) -> "ray.data.Dataset":
@@ -91,6 +99,133 @@ def _filter_hot(ds: "ray.data.Dataset", hot: pa.Array) -> "ray.data.Dataset":
         f, fn_kwargs=dict(hot_ref=hot_ref), batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _collect_buckets(hot: "ray.data.Dataset") -> pa.Array:
+    """Hot bucket keys as one driver-side array — callers gate on
+    ``n_hot <= HOT_BROADCAST_MAX`` first."""
+    tbls = list(
+        hot.select_columns(["bucket"]).iter_batches(batch_format="pyarrow")
+    )
+    if not tbls:
+        return pa.array([], pa.int64())
+    return pa.concat_tables(tbls)["bucket"].combine_chunks()
+
+
+def _semi_join_hot(
+    bucketed: "ray.data.Dataset", hot: "ray.data.Dataset", n_hot: int
+) -> "ray.data.Dataset":
+    """Candidate rows (members of a hot bucket): broadcast membership filter
+    while the hot set is small, else a distributed inner join on ``bucket``
+    (hot has one row per bucket, so inner == semi). Acero rejects
+    list-typed non-key columns, so list columns (embedding vectors) ride
+    the join as binary and are unpacked after (cf. semdedup's anti-join)."""
+    if n_hot <= HOT_BROADCAST_MAX:
+        return _filter_hot(bucketed, _collect_buckets(hot))
+    from sqlgrep_ray.stages.enrich import join_partitions
+
+    schema = bucketed.schema().base_schema
+    list_cols = {
+        f.name: f.type
+        for f in schema
+        if pa.types.is_list(f.type) or pa.types.is_fixed_size_list(f.type)
+    }
+
+    def pack_lists(t: pa.Table) -> pa.Table:
+        for name in list_cols:
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.to_numpy(zero_copy_only=False)
+            packed = pa.array([np.asarray(v).tobytes() for v in vals], pa.binary())
+            t = t.set_column(t.schema.get_field_index(name), name, packed)
+        return t
+
+    def unpack_lists(t: pa.Table) -> pa.Table:
+        for name, typ in list_cols.items():
+            dtype = typ.value_type.to_pandas_dtype()
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrs = [np.frombuffer(b, dtype=dtype) for b in col.to_pylist()]
+            t = t.set_column(t.schema.get_field_index(name), name, pa.array(arrs))
+        return t
+
+    left = bucketed
+    if list_cols:
+        left = left.map_batches(
+            pack_lists, batch_format="pyarrow", zero_copy_batch=True
+        )
+    joined = left.join(
+        hot.select_columns(["bucket"]),
+        join_type="inner",
+        on=("bucket",),
+        num_partitions=join_partitions(),
+    )
+    if list_cols:
+        joined = joined.map_batches(
+            unpack_lists, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return joined
+
+
+def _chunked_verify(
+    verify_small: "Callable[[pa.Table], pa.Table]",
+    empty: pa.Table,
+    max_bucket: int,
+    sort_keys: "list[tuple[str, str]]",
+    metrics=None,
+):
+    """Wrap a capacity-bounded pairwise verifier so buckets of ANY size are
+    verified — an oversized bucket is sorted by ``sort_keys`` (content
+    locality: identical/near-identical rows become adjacent) and verified in
+    overlapping chunks of ``max_bucket`` rows (one-row overlap chains a run
+    of duplicates across chunk boundaries, so duplicate CLUSTERS stay
+    connected even though the O(m²) cross-chunk pair listing is elided).
+    Nothing is dropped; oversized buckets are counted into ``metrics``
+    (``dedup.oversized_buckets`` / ``dedup.oversized_rows``) and
+    ``dedup.dropped_rows`` stays 0 by construction."""
+    actor = metrics.actor if metrics is not None else None
+
+    def verify(group: pa.Table) -> pa.Table:
+        m = group.num_rows
+        if m < 2:
+            return empty
+        if m <= max_bucket:
+            return verify_small(group)
+        if actor is not None:
+            actor.incr.remote("dedup.oversized_buckets", 1)
+            actor.incr.remote("dedup.oversized_rows", m)
+        g = group.take(pc.sort_indices(group, sort_keys))
+        pieces = []
+        step = max_bucket - 1  # one-row overlap between consecutive chunks
+        for s in range(0, m - 1, step):
+            chunk = g.slice(s, min(max_bucket, m - s))
+            if chunk.num_rows >= 2:
+                out = verify_small(chunk)
+                if out.num_rows:
+                    pieces.append(out)
+        if not pieces:
+            return empty
+        all_pairs = pa.concat_tables(pieces)
+        return _pair_dedup_tbl(all_pairs)
+
+    return verify
+
+
+def _pair_dedup_tbl(t: pa.Table) -> pa.Table:
+    """In-task pair dedup keyed on (id_a, id_b) ONLY — never on the score
+    columns: the same pair verified in two different buckets can yield
+    last-bit-different floats (BLAS matmul summation order depends on the
+    bucket's shape), so an all-columns group_by would keep both rows."""
+    if t.num_rows == 0:
+        return t
+    extras = [c for c in t.column_names if c not in ("id_a", "id_b")]
+    agg = t.group_by(["id_a", "id_b"]).aggregate([(c, "max") for c in extras])
+    cols = {"id_a": agg["id_a"], "id_b": agg["id_b"]}
+    for c in extras:
+        cols[c] = agg[f"{c}_max"]
+    return pa.table(cols)
 
 
 def _distinct_pairs(pairs: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dataset":
@@ -132,7 +267,7 @@ def _verify_one_block(
         if not pieces:
             return empty
         all_pairs = pa.concat_tables(pieces)
-        return all_pairs.group_by(all_pairs.column_names).aggregate([])
+        return _pair_dedup_tbl(all_pairs)
 
     return cands.repartition(1).map_batches(verify_all, batch_format="pyarrow")
 
@@ -147,26 +282,29 @@ def _hot_bucket_verify(
     """Run ``verify`` over every bucket that has ≥2 members.
 
     ``bucketed`` must carry every column ``verify`` needs plus ``bucket``.
-    Candidate counts are computed first (combiner + one merge block); the
-    path is then chosen from them:
+    Hot-bucket stats are computed DISTRIBUTED (combiner + one groupby
+    shuffle, ``_hot_buckets``); the path is then chosen from them:
 
-    * local (small candidate set): broadcast the hot-bucket set, filter,
-      coalesce to ONE task, loop buckets vectorized — no shuffle at all;
+    * local (small candidate set): membership-filter to candidates,
+      coalesce to ONE task, loop buckets vectorized — no further shuffle;
     * distributed (``distributed=True`` or candidate rows > auto_threshold):
       hash-shuffle candidates on ``bucket``, verify per group, then ONE
       vectorized pair-dedup aggregate — bounded per-worker memory on
       near-dup-heavy corpora where the collision set would OOM one task.
+
+    ``verify`` itself must handle buckets of any size (see
+    ``_chunked_verify``) — oversized buckets are sub-split, never dropped.
     """
     # two consumers (count pass + candidate filter) — pin the bucketed set
     # (narrow: ids + fixed-width signatures, never document text) once
     bucketed = bucketed.materialize()
-    hot, n_cand = _bucket_stats(bucketed)
-    if len(hot) == 0:
+    hot, n_hot, n_cand = _hot_buckets(bucketed)
+    if n_hot == 0:
         return ray.data.from_arrow(empty)
     if distributed is None:
         distributed = n_cand > auto_threshold
 
-    cands = _filter_hot(bucketed, hot)
+    cands = _semi_join_hot(bucketed, hot, n_hot)
     if distributed:
         def per_group(g: pa.Table) -> pa.Table:
             return verify(g) if g.num_rows >= 2 else empty
@@ -376,6 +514,7 @@ def minhash_lsh_dedup(
     max_bucket: int = 512,
     distributed: Optional[bool] = None,
     auto_threshold: int = AUTO_DISTRIBUTED_THRESHOLD,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Near-duplicate PAIRS (id_a < id_b, jaccard ≥ threshold).
 
@@ -390,7 +529,10 @@ def minhash_lsh_dedup(
       ``groupby(bucket)`` verify per group — bounded per-worker memory.
 
     The pinned intermediate is (id:int64, bucket:int64) — 16 bytes × rows ×
-    bands, not the corpus.
+    bands, not the corpus. Hot-bucket stats are distributed
+    (``_hot_buckets``); a bucket over ``max_bucket`` rows is sub-split by
+    content order, never dropped (``_chunked_verify``; ``metrics`` counts
+    oversized buckets).
     """
     import ray
 
@@ -439,10 +581,10 @@ def minhash_lsh_dedup(
         explode_bands, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify_small(group: pa.Table) -> pa.Table:
         m = group.num_rows
         a_out, b_out, j_out = [], [], []
-        if 2 <= m <= max_bucket:
+        if m >= 2:
             ids = group[id_col].to_pylist()
             texts = group[text_col].to_pylist()
             order = np.argsort(ids)
@@ -471,18 +613,24 @@ def minhash_lsh_dedup(
             "jaccard": pa.array([], pa.float64()),
         }
     )
+    # oversized buckets sort by text so identical/near-identical docs are
+    # adjacent before chunking
+    verify = _chunked_verify(
+        verify_small, empty, max_bucket,
+        [(text_col, "ascending"), (id_col, "ascending")], metrics,
+    )
 
     # two consumers (count pass + hot filter) — pin the NARROW (id, bucket)
     # set; at 10^9 docs × 16 bands this is ~256 GB spread over the cluster's
     # object store, vs terabytes if text rode along (the round-1 bug)
     exploded = exploded.materialize()
-    hot, n_cand = _bucket_stats(exploded)
-    if len(hot) == 0:
+    hot, n_hot, n_cand = _hot_buckets(exploded)
+    if n_hot == 0:
         return ray.data.from_arrow(empty)
     if distributed is None:
         distributed = n_cand > auto_threshold
 
-    cands = _filter_hot(exploded, hot)  # (id, bucket) pairs, hot only
+    cands = _semi_join_hot(exploded, hot, n_hot)  # (id, bucket), hot only
 
     if distributed:
         # attach text by a hash join on id (narrow left side), then shuffle
@@ -543,7 +691,7 @@ def minhash_lsh_dedup(
         if not pieces:
             return empty
         all_pairs = pa.concat_tables(pieces)
-        return all_pairs.group_by(all_pairs.column_names).aggregate([])
+        return _pair_dedup_tbl(all_pairs)
 
     return cand_docs.repartition(1).map_batches(
         verify_all, fn_kwargs=dict(pairs_ref=pairs_ref), batch_format="pyarrow"
@@ -674,12 +822,16 @@ def simhash_dedup(
     n_tables: int = 4,
     distributed: Optional[bool] = None,
     exact_confirm: bool = False,
+    max_bucket: int = 1024,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: bucket on each of ``n_tables`` 16-bit
     chunks (any pair within Hamming ≤3 of a 64-bit hash shares at least one
     of 4 chunks — pigeonhole), verify Hamming within bucket. Only
     (id, simhash, bucket) ever shuffles; ``distributed`` as in
-    :func:`_hot_bucket_verify` (None = auto from candidate count).
+    :func:`_hot_bucket_verify` (None = auto from candidate count). A bucket
+    over ``max_bucket`` rows is sub-split in simhash order (near hashes
+    adjacent), never dropped.
 
     ``exact_confirm=True`` runs simhash as the CANDIDATE generator and
     confirms each surviving pair by token-multiset equality (a 64-bit
@@ -716,10 +868,10 @@ def simhash_dedup(
 
     buckets = sigged.map_batches(explode, batch_format="pyarrow")
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify_small(group: pa.Table) -> pa.Table:
         m = group.num_rows
         a_out, b_out, d_out = [], [], []
-        if 2 <= m <= 1024:
+        if m >= 2:
             ids = group[id_col].to_pylist()
             hs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
             fps = (
@@ -755,6 +907,14 @@ def simhash_dedup(
             "hamming": pa.array([], pa.int64()),
         }
     )
+    # oversized buckets: multiset-fp order (exact_confirm: equal multisets
+    # adjacent) else simhash order (Hamming-close hashes numerically near)
+    sort_keys = (
+        [("msfp", "ascending"), (id_col, "ascending")]
+        if exact_confirm
+        else [("simhash", "ascending"), (id_col, "ascending")]
+    )
+    verify = _chunked_verify(verify_small, empty, max_bucket, sort_keys, metrics)
     return _hot_bucket_verify(buckets, verify, empty, distributed=distributed)
 
 
@@ -768,22 +928,42 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    n_buckets: int = 32,
+    n_tables: int = 4,
+    bits: Optional[int] = None,
+    n_buckets: Optional[int] = None,
     seed: int = 11,
+    max_bucket: int = 4096,
     distributed: Optional[bool] = None,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by embedding cosine ≥ threshold.
 
-    LSH via random-hyperplane sign bits: bucket on the first ``b`` sign bits
-    (high-cosine pairs collide with high probability), exact cosine verify
-    within bucket. Recall is probabilistic (documented) — raise bands or use
-    multiple rotations for higher recall at scale.
+    Multi-table random-hyperplane LSH (banding, mirroring the minhash band
+    structure): ``n_tables`` independent tables, each bucketing on ``bits``
+    sign bits; a pair is a candidate if it collides in ANY table, and exact
+    cosine verifies within the bucket. ``bits`` scales with corpus size
+    (``None`` = one cheap ``count()`` then target ~``max_bucket``/16 rows
+    per bucket) so buckets stay verifiable at any corpus size — the
+    round-2 fixed 32-bucket design saturated past ~130k vectors. Recall is
+    tunable: P[miss] = (1 − p_agree^bits)^n_tables with p_agree =
+    1 − angle/π; raise ``n_tables`` for higher recall. Oversized buckets
+    sub-split in projection order (``_chunked_verify``), never dropped.
+
+    ``n_buckets`` is the legacy single-table knob: if given, it sets
+    ``bits = log2(n_buckets)`` (rounded up).
     """
-    bits = int(np.ceil(np.log2(n_buckets)))
+    if bits is None and n_buckets is not None:
+        bits = max(1, int(np.ceil(np.log2(n_buckets))))
+    if bits is None:
+        # target mean bucket population well under the verify chunk size;
+        # count() on the narrow projection is metadata-cheap for parquet
+        n_rows = ds.count()
+        target = max(max_bucket // 16, 16)
+        bits = int(np.clip(np.ceil(np.log2(max(n_rows, 1) / target + 1)), 5, 24))
 
     class Bucketer:
         def __init__(self) -> None:
-            self.planes: Optional[np.ndarray] = None
+            self.planes: Optional[np.ndarray] = None  # (d, n_tables*bits)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             emb = np.asarray(t[emb_col].combine_chunks().flatten()).reshape(
@@ -791,12 +971,30 @@ def embedding_dup_pairs(
             )
             if self.planes is None:
                 rng = np.random.RandomState(seed)
-                self.planes = rng.randn(emb.shape[1], bits)
-            signs = (emb @ self.planes) > 0
-            key = np.zeros(t.num_rows, dtype=np.int64)
-            for i in range(bits):
-                key |= signs[:, i].astype(np.int64) << i
-            return t.append_column("bucket", pa.array(key))
+                self.planes = rng.randn(emb.shape[1], n_tables * bits)
+            proj = emb @ self.planes
+            signs = proj > 0
+            ids = t[id_col]
+            parts = []
+            w = np.int64(1) << np.arange(bits, dtype=np.int64)
+            for ti in range(n_tables):
+                s = signs[:, ti * bits : (ti + 1) * bits]
+                key = (s.astype(np.int64) * w).sum(axis=1)
+                # disjoint keyspace per table: low bits carry the table id
+                key = (key << 3) | ti
+                parts.append(
+                    pa.table(
+                        {
+                            id_col: ids,
+                            emb_col: t[emb_col],
+                            # locality scalar for oversized-bucket chunking:
+                            # near-identical vectors project near-identically
+                            "proj": pa.array(proj[:, ti * bits]),
+                            "bucket": pa.array(key),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
 
     _bucketer = Bucketer()  # planes derive lazily on first batch per worker
 
@@ -804,10 +1002,10 @@ def embedding_dup_pairs(
         _bucketer, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify_small(group: pa.Table) -> pa.Table:
         m = group.num_rows
         out_a, out_b, out_c = [], [], []
-        if 2 <= m <= 4096:
+        if m >= 2:
             ids = np.array(group[id_col].to_pylist())
             emb = np.asarray(group[emb_col].combine_chunks().flatten()).reshape(m, -1)
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
@@ -836,5 +1034,9 @@ def embedding_dup_pairs(
             "id_b": pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64()),
         }
+    )
+    verify = _chunked_verify(
+        verify_small, empty, max_bucket,
+        [("proj", "ascending"), (id_col, "ascending")], metrics,
     )
     return _hot_bucket_verify(bucketed, verify, empty, distributed=distributed)

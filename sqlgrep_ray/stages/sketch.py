@@ -83,6 +83,12 @@ def approx_count_distinct(
         return pa.table({"regs": pa.array([_block_registers(c, p).tobytes()])})
 
     def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty block (e.g. repartition of an empty dataset): all-zero
+            # registers are the HLL identity element
+            return pa.table(
+                {"regs": pa.array([np.zeros(1 << p, dtype=np.uint8).tobytes()])}
+            )
         stacked = np.stack(
             [np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist()]
         )
@@ -95,7 +101,10 @@ def approx_count_distinct(
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow")
     )
-    final = partials.take_all()[0]["regs"]
+    rows = partials.take_all()
+    if not rows:  # zero input blocks: nothing ever ran
+        return 0
+    final = rows[0]["regs"]
     return _estimate(np.frombuffer(final, dtype=np.uint8), p)
 
 

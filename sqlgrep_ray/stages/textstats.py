@@ -106,6 +106,9 @@ def _build_lang_tables():
                 masks3[code] = masks3.get(code, 0) | (1 << li)
             else:
                 wide.append((b, 1 << li))
+    # the uint8 bitmask hard-caps the profile table at 8 languages; a 9th
+    # must widen the LUT dtype to uint16 — fail loudly, not by overflow
+    assert len(_LANGS) <= 8, "uint8 LUT bitmask supports at most 8 languages"
     codes = np.array(sorted(masks3), dtype=np.int32)  # 24-bit codes
     # direct-mapped LUT over the whole 24-bit code space (16 MiB uint8,
     # one per worker process): LUT[code] = language bitmask, 0 = no match.
