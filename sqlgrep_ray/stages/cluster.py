@@ -12,8 +12,9 @@ step). No reference analogue. Lloyd's algorithm, Ray-Data-first:
   centroids. No shuffle at any point;
 * the final pass appends ``cluster_id`` per row.
 
-Deterministic: init = the k rows with the smallest ``id_col`` (explicit
-sort, not block order); ties in assignment break to the lowest centroid
+Deterministic: init = the k rows with the smallest ``id_col``, found by a
+per-block min-k combine + one reduce level (never a corpus-wide sort —
+order is independent of block layout); ties in assignment break to the lowest centroid
 index via argmin. Iterations are fixed-count (``n_iter``) — convergence
 checking would add a driver round-trip per iteration for little gain at
 scale.
@@ -49,7 +50,28 @@ def kmeans(
 ) -> tuple["ray.data.Dataset", np.ndarray]:
     """Cluster rows of ``vec_col`` into ``k`` groups. Returns
     ``(ds + cluster_id column, centroids (k × d))``."""
-    seed = ds.select_columns([id_col, vec_col]).sort(id_col).limit(k).take_all()
+    # seed = the k smallest-id rows, found WITHOUT a corpus sort: each block
+    # keeps its own k smallest (vectorized take of sort_indices over ≤ block
+    # rows), so the merge sees ≤ k × blocks narrow rows — the round-2 full
+    # ds.sort(id_col) shuffled every block for k seed vectors
+    def block_min_k(t: pa.Table) -> pa.Table:
+        if t.num_rows > k:
+            idx = pa.compute.sort_indices(t, [(id_col, "ascending")])[:k]
+            t = t.take(idx)
+        return t
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        block_min_k, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # one reduce level bounds the driver read at k × 32 rows even when the
+    # corpus has millions of blocks (k rows ride per block after the map)
+    seed_rows = (
+        partials.repartition(32)
+        .map_batches(block_min_k, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    seed_rows.sort(key=lambda r: r[id_col])
+    seed = seed_rows[:k]
     cents = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seed])
     if len(cents) < k:
         raise ValueError(f"need ≥ {k} rows to seed {k} centroids")

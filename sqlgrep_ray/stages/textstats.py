@@ -195,17 +195,62 @@ def detect_language_batch(filled: pa.Array) -> pa.Array:
     return pa.array(out.tolist(), pa.string())
 
 
+def fingerprint64_batch(filled: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized 64-bit content fingerprints of a (null-free) string array.
+
+    Normalization — lowercase, collapse whitespace runs to one space, strip
+    edges — is pure Arrow kernels (utf8proc lowercase + the textnorm
+    whitespace class); the only per-row work is one blake2b call over a
+    zero-copy slice of the joined array's contiguous UTF-8 buffer. No
+    Python string ever materializes."""
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    splits = split_whitespace(pc.utf8_lower(filled))
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    flat = splits.flatten()
+    offsets = splits.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # drop the empty pieces regex-split leaves at whitespace edges, then
+    # re-join with a single space (str.split()/join semantics, vectorized)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    cum = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array(cum[offsets], pa.int32()), flat.filter(pa.array(nonempty))
+        ),
+        " ",
+    )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    bufs = joined.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        joined.offset : joined.offset + len(joined) + 1
+    ]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    blake = hashlib.blake2b
+    from_bytes = int.from_bytes
+    out = np.empty(len(joined), dtype=np.int64)
+    for i in range(len(joined)):
+        out[i] = from_bytes(
+            blake(data[off[i] : off[i + 1]], digest_size=8).digest(),
+            "little",
+            signed=True,
+        )
+    return pa.array(out, pa.int64())
+
+
 def fingerprint64(text: Optional[str]) -> int:
     """Deterministic 64-bit fingerprint of whitespace-normalized text.
 
     SIGNED int64 (the same 8 hash bytes viewed as two's-complement): Ray's
     groupby converts group-key values through Python ints, and values above
     2^63-1 overflow C long → per-block pickle fallback. Signed keys stay on
-    the Arrow-native path."""
-    norm = " ".join((text or "").split()).lower().encode()
-    return int.from_bytes(
-        hashlib.blake2b(norm, digest_size=8).digest(), "little", signed=True
-    )
+    the Arrow-native path.
+
+    Runs the SAME Arrow normalization kernels as the batch path
+    (``fingerprint64_batch``) one row at a time, so scalar and vectorized
+    fingerprints are bit-identical by construction."""
+    return fingerprint64_batch(pa.array([text or ""], pa.string()))[0].as_py()
 
 
 class TextStats:
@@ -328,11 +373,7 @@ class TextStats:
             batch = batch.append_column("lang_pred", detect_language_batch(filled))
 
         if self.fingerprint:
-            texts = filled.to_pylist()
-            fps = np.fromiter(
-                (fingerprint64(t) for t in texts), dtype=np.int64, count=n
-            )
-            batch = batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+            batch = batch.append_column("fingerprint", fingerprint64_batch(filled))
         return batch
 
 

@@ -255,3 +255,33 @@ def test_textstats_counts_columns(ray_session):
     r2 = rows[2]
     assert r2["n_stopwords"] == 3  # the, and, the ("hat." strips to hat)
     assert r2["n_tokens_ws"] == 5
+
+
+def test_kmeans_seeding_never_sorts(ray_session, monkeypatch):
+    """Seed selection is a per-block min-k combine, not a corpus-wide
+    ds.sort — the round-2 full shuffle for k seed rows is gone. Seeds are
+    deterministic under any block layout: same centroids from a 1-block
+    and an 8-block copy of the same (shuffled) data."""
+    import ray.data
+
+    from sqlgrep_ray.stages.cluster import kmeans
+
+    monkeypatch.setattr(
+        ray.data.Dataset,
+        "sort",
+        lambda self, *a, **k: (_ for _ in ()).throw(
+            AssertionError("kmeans must not sort the corpus")
+        ),
+    )
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(64, 4)).astype(np.float32)
+    order = rng.permutation(64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(order.astype(np.int64)),
+            "embedding": pa.array(list(pts[order])),
+        }
+    )
+    _, c1 = kmeans(ray.data.from_arrow(t), k=4, n_iter=2)
+    _, c8 = kmeans(ray.data.from_arrow(t).repartition(8), k=4, n_iter=2)
+    np.testing.assert_allclose(c1, c8)

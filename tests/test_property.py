@@ -147,3 +147,50 @@ def test_parse_re2_path_matches_python_path(pattern, lines):
     assert m_re2.to_pylist() == m_py.to_pylist(), pattern
     for g in range(1, cp.n_groups + 1):
         assert g_re2[g].to_pylist() == g_py[g].to_pylist(), (pattern, g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_docs)
+def test_fingerprint_batch_matches_scalar(texts):
+    """fingerprint64_batch over a multi-row array == the scalar reference
+    per row (pins the offsets/buffer-slicing logic of the vectorized
+    normalize-then-hash path), and both match the classic Python
+    `" ".join(t.split()).lower()` blake2b on this ASCII-ish alphabet."""
+    import hashlib
+
+    from sqlgrep_ray.stages.textstats import fingerprint64, fingerprint64_batch
+
+    batch = fingerprint64_batch(_arr(texts)).to_pylist()
+    assert batch == [fingerprint64(t) for t in texts]
+
+    def python_ref(t):
+        norm = " ".join(t.split()).lower().encode()
+        return int.from_bytes(
+            hashlib.blake2b(norm, digest_size=8).digest(), "little", signed=True
+        )
+
+    from sqlgrep_ray.stages.textnorm import arrow_lower
+
+    for t, fp in zip(texts, batch):
+        # utf8proc's SIMPLE case mapping diverges from python's full
+        # mapping on a few codepoints (e.g. 'İ' → 'i' vs 'i̇') — the
+        # fingerprint is an opaque key, so only cross-check rows where the
+        # two lowercase semantics agree
+        if t.lower() == arrow_lower(t):
+            assert fp == python_ref(t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_docs)
+def test_fingerprint_batch_sliced_and_chunked(texts):
+    """Zero-copy slices and multi-chunk inputs hash identically — the
+    buffer-offset arithmetic must respect array offsets."""
+    from sqlgrep_ray.stages.textstats import fingerprint64_batch
+
+    arr = _arr(texts)
+    whole = fingerprint64_batch(arr).to_pylist()
+    if len(arr) > 1:
+        lo = fingerprint64_batch(arr.slice(1)).to_pylist()
+        assert lo == whole[1:]
+    chunked = pa.chunked_array([arr, arr])
+    assert fingerprint64_batch(chunked).to_pylist() == whole + whole
