@@ -903,16 +903,19 @@ FROM documents
 
 
 def q_percentile_global(sf_dir: str) -> Result:
-    """Distributed EXACT global percentile (stages/quantile.py): sample →
-    bracket → bounded collect, never the whole column on one worker — the
-    scale path for the holistic plan percentile. Value is an element of the
-    data (no float arithmetic), so it hashes identically cross-engine."""
-    from sqlgrep_ray.stages.quantile import distributed_percentile
+    """Distributed EXACT global percentile THROUGH THE PLAN PATH: a keyless
+    all-percentile plan auto-routes to stages/quantile.py (sample → bracket
+    → bounded collect, never the whole column on one worker,
+    runner._global_percentile). Value is an element of the data (no float
+    arithmetic), so it hashes identically cross-engine."""
+    from sqlgrep_ray.functions.exprs import Col
+    from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan
+    from sqlgrep_ray.pipelines.runner import run_plan
 
-    v = distributed_percentile(
-        _t(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", 0.95
+    plan = AggregatePlan(
+        aggs=(AggItem("p95", "percentile", Col("l_extendedprice"), extra=0.95),)
     )
-    return pa.table({"p95": pa.array([v], pa.float64())})
+    return run_plan(_t(sf_dir, "lineitem", ["l_extendedprice"]), plan)
 
 
 SQL_PERCENTILE_GLOBAL = """
@@ -1117,15 +1120,32 @@ FROM grams JOIN tot USING (g) GROUP BY doc_id
 
 def q_winnow_pairs(sf_dir: str) -> Result:
     """Winnowing rolling-hash fingerprint collisions (stages/winnow.py —
-    MOSS-style partial-copy detection). Hash-selection makes the pair set
-    non-SQL-expressible → rows-only; the planted exact copies guarantee
-    nonzero results and pytest pins the span-sharing guarantee."""
+    MOSS-style partial-copy detection), held to an EXACT oracle via the
+    algorithm's recall guarantee: identical text ⇒ identical selected
+    fingerprint sets (winnowing is deterministic), so every planted copy
+    (id + 100000) MUST pair with its original at min_shared=1. Restricting
+    the output to the planted id-offset (id_b − id_a = 100000 can only
+    arise from a planted copy) makes the expected set exactly the n_dups
+    planted pairs — SQL-expressible. Precision / partial-overlap pairs stay
+    pinned by pytest's span-sharing property (tests/test_winnow.py)."""
     from sqlgrep_ray.stages.winnow import shared_fingerprint_pairs
 
-    out = shared_fingerprint_pairs(
-        _planted_docs(sf_dir, n_dups=15), min_shared=5
-    )
-    return out.select_columns(["id_a", "id_b"])
+    out = shared_fingerprint_pairs(_planted_docs(sf_dir, n_dups=15), min_shared=1)
+
+    def planted_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(pc.subtract(t["id_b"], t["id_a"]), 100000))
+
+    return out.map_batches(
+        planted_only, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["id_a", "id_b"])
+
+
+SQL_WINNOW_PAIRS = """
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+FROM documents WHERE doc_id < 15
+"""
 
 
 def q_minhash_pairs_dist(sf_dir: str) -> Result:
@@ -1154,13 +1174,20 @@ def q_embedding_dups_dist(sf_dir: str) -> Result:
 
 
 def q_knn_ivf(sf_dir: str) -> Result:
+    """IVF kNN at n_probe = n_centroids: every inverted list is probed, so
+    the candidate set is the whole corpus and the result is EXACTLY the
+    brute-force top-k — which makes the IVF plumbing (centroid fit, list
+    assignment, probe masking, global merge) oracle-checkable against the
+    same SQL as knn_top5. The recall-vs-n_probe approximation regime stays
+    covered by pytest (tests/test_newops.py)."""
     emb = _pat(sf_dir, "embeddings")
     import pyarrow.compute as pc
 
     q = emb.filter(pc.less(emb["vec_id"], 3)).select(["vec_id", "embedding"])
     q = q.rename_columns(["query_id", "embedding"])
     out = knn_ivf(
-        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5, n_centroids=8, n_probe=4
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5,
+        n_centroids=8, n_probe=8,
     )
     return out.select_columns(["query_id", "vec_id"])
 
@@ -2147,6 +2174,9 @@ ORACLES: dict[str, str] = {
     "ranked_search": SQL_RANKED_SEARCH,
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
-    # knn_ivf / lang_quality / multimodal_features / approx_distinct_users /
-    # kmeans_clusters: probabilistic, heuristic, or iterative — rows-only
+    "winnow_pairs": SQL_WINNOW_PAIRS,
+    "knn_ivf": SQL_KNN_TOP5,  # probe-all IVF == brute force (q_knn_ivf doc)
+    # lang_quality / multimodal_features / approx_distinct_users /
+    # kmeans_clusters / dsir_weights / bpe_counts: probabilistic, heuristic,
+    # or iterative — rows-only
 }

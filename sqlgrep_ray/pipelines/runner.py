@@ -415,6 +415,31 @@ def _count_distinct_two_stage(
     return merged2.map_batches(final, batch_format="pyarrow")
 
 
+def _global_percentile(
+    ds: "ray.data.Dataset",
+    plan: AggregatePlan,
+    ctx: Optional[CompileCtx],
+) -> "Optional[ray.data.Dataset]":
+    """One-row result of a keyless all-percentile plan via the distributed
+    exact percentile, or ``None`` on empty input (caller falls back to the
+    map_groups path, which emits zero rows — reference parity)."""
+    from sqlgrep_ray.stages.quantile import distributed_percentile
+
+    evaluated = ds.map_batches(
+        GroupEvaluator(plan, ctx), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # one bracket pipeline per percentile agg reads it
+    if evaluated.count() == 0:
+        return None
+    schema = evaluated.schema().base_schema
+    cols: dict = {}
+    for i, a in enumerate(plan.aggs):
+        col = f"__a{i}"
+        v = distributed_percentile(evaluated, col, a.extra)
+        cols[a.name] = pa.array([v], schema.field(col).type)
+    out = apply_transforms(pa.table(cols), plan, ctx)
+    return ray.data.from_arrow(out)
+
+
 def run_aggregate(
     ds: "ray.data.Dataset",
     plan: AggregatePlan,
@@ -468,6 +493,27 @@ def run_aggregate(
         if plan.limit is not None:
             agged = agged.limit(plan.limit)
         return agged
+
+    if (
+        is_holistic(plan)
+        and not key_names
+        and plan.having is None
+        and plan.aggs
+        and all(a.func == "percentile" for a in plan.aggs)
+    ):
+        # GLOBAL percentile: the grouped holistic contract (whole group on
+        # one worker, reference aggregate_execution.rs:540-543) is an OOM
+        # when the "group" is the entire corpus. Route through the exact
+        # distributed percentile (stages/quantile.py: count → sample →
+        # bracket → bounded collect) — same value, bounded per-worker
+        # memory. Falls back to the map_groups path on empty input (zero
+        # output rows, reference parity).
+        agged = _global_percentile(ds, plan, ctx)
+        if agged is not None:
+            agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx)
+            if plan.limit is not None:
+                agged = agged.limit(plan.limit)
+            return agged
 
     if is_holistic(plan) and _cd_two_stage_eligible(plan):
         agged = _count_distinct_two_stage(ds, plan, ctx, key_names, markers)

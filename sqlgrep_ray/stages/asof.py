@@ -77,8 +77,14 @@ def _probe(
     take = pa.array(np.where(found, match, 0))
     null_mask = pa.array(~found)
     for c in value_cols:
-        col = values[c].take(take)
-        col = pc.if_else(null_mask, pa.scalar(None, col.type), col)
+        vals = values[c]
+        if len(vals) == 0:
+            # empty right side (possible per bucket in the shuffled path):
+            # every left row misses; take([0]) on an empty array throws
+            col = pa.nulls(n, vals.type)
+        else:
+            col = vals.take(take)
+            col = pc.if_else(null_mask, pa.scalar(None, col.type), col)
         out = out.append_column(c, col)
     if how == "inner":
         out = out.filter(pa.array(found))
@@ -147,6 +153,60 @@ def asof_join(
     )
     return left.map_batches(
         prober, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# broadcast budget for the right side: the per-key sorted index lives once
+# per worker process, so rows × value width must stay a small fraction of
+# worker heap (same contract as the dedup hot-set / top-k auto dispatch)
+BROADCAST_MAX_RIGHT_ROWS = 2_000_000
+
+
+def asof_join_auto(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset | pa.Table",
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "inner",
+    broadcast_max_rows: int = BROADCAST_MAX_RIGHT_ROWS,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Size-aware as-of join: broadcast-probe while the right side is small
+    (one ``ray.put``, zero shuffles), else the shuffle-both-sides bucketed
+    path — the caller no longer has to know which side of the broadcast
+    budget the dimension falls on. ``right`` may be an in-memory Arrow
+    table or a Dataset; only ``count()`` (metadata-cheap on parquet) is
+    spent deciding."""
+    needed = list(dict.fromkeys([right_key, right_ts, *value_cols]))
+    if isinstance(right, pa.Table):
+        if right.num_rows <= broadcast_max_rows:
+            return asof_join(
+                left, right.select(needed), left_key, left_ts,
+                right_key, right_ts, value_cols, how,
+            )
+        right = ray.data.from_arrow(right)
+    elif right.count() <= broadcast_max_rows:
+        batches = list(
+            right.select_columns(needed).iter_batches(batch_format="pyarrow")
+        )
+        tbl = (
+            pa.concat_tables(batches, promote_options="default")
+            if batches
+            else pa.table(
+                {f.name: pa.array([], f.type)
+                 for f in right.schema().base_schema
+                 if f.name in needed}
+            )
+        )
+        return asof_join(
+            left, tbl, left_key, left_ts, right_key, right_ts, value_cols, how
+        )
+    return asof_join_large(
+        left, right, left_key, left_ts, right_key, right_ts, value_cols,
+        how, num_buckets,
     )
 
 

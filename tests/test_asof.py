@@ -80,3 +80,30 @@ def test_asof_left_outer_nulls(ray_session):
     assert len(out) == 5
     misses = out[out["val"].isna()]
     assert sorted(misses["k"]) == [1, 3]  # before-all and unknown key
+
+
+def test_asof_auto_dispatch_equivalence(ray_session):
+    """asof_join_auto picks broadcast below the budget and the bucketed
+    shuffle above it, and both give identical rows."""
+    import ray.data
+
+    from sqlgrep_ray.stages.asof import asof_join_auto
+
+    left = ray.data.from_arrow(_left()).repartition(2)
+    right_ds = ray.data.from_arrow(_right())
+
+    def rows(ds):
+        out = ds.to_pandas()
+        return sorted(zip(out["k"], out["ts"], out["val"]))
+
+    kw = dict(
+        left_key="k", left_ts="ts", right_key="k", right_ts="eff",
+        value_cols=["val"], how="inner",
+    )
+    broadcast = rows(asof_join_auto(left, right_ds, **kw))
+    shuffled = rows(
+        asof_join_auto(left, right_ds, broadcast_max_rows=0, num_buckets=4, **kw)
+    )
+    table_side = rows(asof_join_auto(left, _right(), **kw))
+    assert broadcast == shuffled == table_side
+    assert len(broadcast) == 3

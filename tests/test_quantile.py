@@ -55,3 +55,64 @@ def test_distributed_percentile_matches_plan_path(ray_session):
         bracket_budget=1000,
     )
     assert dist == hol
+
+
+def test_plan_path_routes_global_percentile_distributed(ray_session, monkeypatch):
+    """A keyless all-percentile plan runs through distributed_percentile
+    (never ships the column to one map_groups worker), including multiple
+    percentile aggs, $value transforms, and NULL args; grouped and empty
+    inputs keep the holistic path."""
+    import ray.data
+
+    import sqlgrep_ray.stages.quantile as q
+    from sqlgrep_ray.functions.exprs import Bin, Col, Lit
+    from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    calls = []
+    real = q.distributed_percentile
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(q, "distributed_percentile", spy)
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 1000, 4000).astype(float)
+    vals[::7] = np.nan
+    xs = pa.array([None if np.isnan(v) else v for v in vals], pa.float64())
+    t = pa.table({"x": xs})
+    ds = ray.data.from_arrow(t).repartition(4)
+    plan = AggregatePlan(
+        aggs=(
+            AggItem("p50", "percentile", Col("x"), extra=0.5),
+            AggItem(
+                "p90x2", "percentile", Col("x"), extra=0.9,
+                transform=Bin("mul", Col("$value"), Lit(2.0)),
+            ),
+        )
+    )
+    rows = run_plan(ds, plan).take_all()
+    assert len(calls) == 2
+    clean = sorted(v for v in vals if not np.isnan(v))
+    assert rows[0]["p50"] == clean[int(0.5 * len(clean))]
+    assert rows[0]["p90x2"] == clean[int(0.9 * len(clean))] * 2.0
+
+    # empty input: zero rows (reference parity), no crash
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert run_plan(empty, plan).take_all() == []
+
+    # grouped percentile keeps the holistic path (no new spy calls)
+    n_calls = len(calls)
+    gt = pa.table(
+        {"g": pa.array([1, 1, 2, 2], pa.int64()),
+         "x": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())}
+    )
+    gplan = AggregatePlan(
+        group_by=(GroupKey("g", Col("g")),),
+        aggs=(AggItem("p0", "percentile", Col("x"), extra=0.0),),
+    )
+    grows = run_plan(ray.data.from_arrow(gt), gplan).take_all()
+    assert [(r["g"], r["p0"]) for r in grows] == [(1, 1.0), (2, 3.0)]
+    assert len(calls) == n_calls
