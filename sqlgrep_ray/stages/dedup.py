@@ -44,39 +44,64 @@ AUTO_DISTRIBUTED_THRESHOLD = 200_000
 # distinct buckets would OOM both the merge task and the ray.put broadcast).
 HOT_BROADCAST_MAX = 2_000_000
 
+# Above this many (bucket, partial-count) rows, hot-bucket stats merge via a
+# distributed groupby shuffle instead of one vectorized driver-side merge
+# (below it, the shuffle is pure task overhead; above it, one task OOMs).
+HOT_STATS_SMALL_MAX = 2_000_000
+
+_EMPTY_HOT = pa.table(
+    {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+)
+
 
 def _hot_buckets(
     bucketed: "ray.data.Dataset",
 ) -> tuple["ray.data.Dataset", int, int]:
-    """Distributed hot-bucket stats: ``(hot, n_hot, n_cand)`` where ``hot``
-    is a materialized Dataset of (bucket, n) rows with n ≥ 2.
+    """Hot-bucket stats, size-aware: ``(hot, n_hot, n_cand)`` where ``hot``
+    is a Dataset of (bucket, n) rows with n ≥ 2.
 
-    Per-block combiner counts (vectorized ``pa.TableGroupBy``) so only
-    (bucket, partial-count) rows ride the ONE hash shuffle; the merge is a
-    ``groupby(bucket)`` — per-worker memory is buckets/partitions, never
-    the full distinct-bucket set in one task (the round-2 ``repartition(1)``
-    scale-killer)."""
-    from ray.data.aggregate import Sum
+    Per-block combiner counts first (vectorized ``pa.TableGroupBy``), so
+    only (bucket, partial-count) rows move — never payloads. The merge path
+    is then chosen from the MATERIALIZED partial row count (the same AUTO
+    pattern as the aggregate engine's merge-path choice, ``runner.py``):
+
+    * partials ≤ ``HOT_STATS_SMALL_MAX``: one vectorized driver-side merge
+      (tens of MB of narrow ints — a Ray groupby shuffle here costs seconds
+      of pure task overhead at small scale);
+    * above: a distributed ``groupby(bucket)`` shuffle — per-worker memory
+      is buckets/partitions, never the full distinct-bucket set in one task
+      (the round-2 ``repartition(1)`` scale-killer)."""
 
     def partial_counts(t: pa.Table) -> pa.Table:
         return pa.TableGroupBy(t.select(["bucket"]), ["bucket"]).aggregate(
             [([], "count_all")]
         )
 
+    partials = bucketed.map_batches(
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if partials.count() <= HOT_STATS_SMALL_MAX:
+        tbls = list(partials.iter_batches(batch_format="pyarrow"))
+        if not tbls:
+            return ray.data.from_arrow(_EMPTY_HOT), 0, 0
+        merged = pa.TableGroupBy(
+            pa.concat_tables(tbls), ["bucket"]
+        ).aggregate([("count_all", "sum")])
+        hot_tbl = merged.filter(pc.greater_equal(merged["count_all_sum"], 2))
+        hot_tbl = hot_tbl.rename_columns(["bucket", "n"])
+        n_cand = int(pc.sum(hot_tbl["n"]).as_py() or 0)
+        return ray.data.from_arrow(hot_tbl), hot_tbl.num_rows, n_cand
+
+    from ray.data.aggregate import Sum
+
     def hot_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "n" not in t.column_names:
             # groupby can emit empty schemaless blocks — pin the layout
-            return pa.table(
-                {"bucket": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}
-            )
+            return _EMPTY_HOT
         return t.filter(pc.greater_equal(t["n"], 2))
 
     hot = (
-        bucketed.map_batches(
-            partial_counts, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("bucket")
+        partials.groupby("bucket")
         .aggregate(Sum("count_all", alias_name="n", ignore_nulls=True))
         .map_batches(hot_only, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
@@ -170,7 +195,7 @@ def _semi_join_hot(
 
 
 def _chunked_verify(
-    verify_small: "Callable[[pa.Table], pa.Table]",
+    verify_small: "Callable[[pa.Table, Any], pa.Table]",
     empty: pa.Table,
     max_bucket: int,
     sort_keys: "list[tuple[str, str]]",
@@ -184,25 +209,36 @@ def _chunked_verify(
     connected even though the O(m²) cross-chunk pair listing is elided).
     Nothing is dropped; oversized buckets are counted into ``metrics``
     (``dedup.oversized_buckets`` / ``dedup.oversized_rows``) and
-    ``dedup.dropped_rows`` stays 0 by construction."""
+    ``dedup.dropped_rows`` stays 0 by construction.
+
+    ``verify_small(group, aux)``: ``aux`` is the per-row prepared payload
+    slice (row-aligned list, e.g. shingle sets) or None — see the
+    ``prepare`` hook on the verify drivers."""
     actor = metrics.actor if metrics is not None else None
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify(group: pa.Table, aux=None) -> pa.Table:
         m = group.num_rows
         if m < 2:
             return empty
         if m <= max_bucket:
-            return verify_small(group)
+            return verify_small(group, aux)
         if actor is not None:
             actor.incr.remote("dedup.oversized_buckets", 1)
             actor.incr.remote("dedup.oversized_rows", m)
-        g = group.take(pc.sort_indices(group, sort_keys))
+        idx = pc.sort_indices(group, sort_keys)
+        g = group.take(idx)
+        if aux is not None:
+            order = idx.to_numpy(zero_copy_only=False)
+            aux = [aux[i] for i in order]
         pieces = []
         step = max_bucket - 1  # one-row overlap between consecutive chunks
         for s in range(0, m - 1, step):
-            chunk = g.slice(s, min(max_bucket, m - s))
+            ln = min(max_bucket, m - s)
+            chunk = g.slice(s, ln)
             if chunk.num_rows >= 2:
-                out = verify_small(chunk)
+                out = verify_small(
+                    chunk, aux[s : s + ln] if aux is not None else None
+                )
                 if out.num_rows:
                     pieces.append(out)
         if not pieces:
@@ -228,6 +264,87 @@ def _pair_dedup_tbl(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _shingle_sets_batch(
+    filled: "pa.Array | pa.ChunkedArray", k: int
+) -> "list[set[int]]":
+    """Per-row token-shingle hash sets, one VECTORIZED pass for the whole
+    batch (the shared gram kernel + one blake2b per unique shingle) —
+    exact-equivalent to calling ``_token_shingles`` per row, without the
+    per-call single-row Arrow kernel invocations that made per-pair
+    ``jaccard_tokens`` the verify bottleneck."""
+    from sqlgrep_ray.stages.decontam import _doc_grams
+
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    n = len(filled)
+    sets: list[set[int]] = [set() for _ in range(n)]
+    grams, rows, _ntok = _doc_grams(filled, k)
+    if len(grams):
+        enc = pc.dictionary_encode(grams)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uh = np.fromiter(
+            (_hash64(u.encode()) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64,
+            count=len(enc.dictionary),
+        )
+        h = uh[codes]
+        for r, hv in zip(rows.tolist(), h.tolist()):
+            sets[r].add(hv)
+    return sets
+
+
+# bucket-verify shuffle width: candidates shuffle to num_parts partitions
+# (bucket & (P-1)), each task loops its buckets vectorized — per-bucket
+# ``map_groups`` pays Ray group dispatch per bucket, ruinous at millions of
+# tiny buckets
+VERIFY_PARTS = 64
+
+
+def _grouped_verify(
+    cands: "ray.data.Dataset",
+    verify: "Callable[[pa.Table, Any], pa.Table]",
+    empty: pa.Table,
+    num_parts: int = VERIFY_PARTS,
+    prepare=None,
+) -> "ray.data.Dataset":
+    """Run ``verify`` over every bucket of ``cands`` with ONE hash shuffle
+    to ``num_parts`` partitions: sort each partition by bucket in-task and
+    walk the bucket runs — same result as ``groupby("bucket").map_groups``
+    with per-group dispatch amortized away.
+
+    ``prepare(sorted_table) -> list`` (optional) computes a per-row payload
+    ONCE per task (e.g. shingle sets — 10× cheaper than per-bucket
+    recompute); each bucket's verify receives its row-aligned slice."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(t["bucket"], num_parts - 1)
+        return t.append_column("__part", pc.cast(part, pa.int64()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        g = g.take(pc.sort_indices(g, [("bucket", "ascending")]))
+        aux = prepare(g) if prepare is not None else None
+        b = g["bucket"].to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
+        pieces = []
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            if e - s >= 2:
+                out = verify(
+                    g.slice(s, e - s), aux[s:e] if aux is not None else None
+                )
+                if out.num_rows:
+                    pieces.append(out)
+        return pa.concat_tables(pieces) if pieces else empty
+
+    return (
+        cands.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def _distinct_pairs(pairs: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dataset":
     """Distributed pair dedup: the same (id_a, id_b) surfaces once per
     colliding band/table — ONE vectorized hash-aggregate shuffle keyed on the
@@ -244,24 +361,29 @@ def _distinct_pairs(pairs: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dat
 
 def _verify_one_block(
     cands: "ray.data.Dataset",
-    verify: "Callable[[pa.Table], pa.Table]",
+    verify: "Callable[[pa.Table, Any], pa.Table]",
     empty: pa.Table,
+    prepare=None,
 ) -> "ray.data.Dataset":
     """Single-task verify for SMALL candidate sets: coalesce, sort by bucket,
     vectorized slice per bucket, in-task pair dedup. Avoids
     ``groupby().map_groups`` whose per-group Python call over mostly-singleton
-    buckets dominated the stage (~0.1 ms × |buckets|)."""
+    buckets dominated the stage (~0.1 ms × |buckets|). ``prepare`` as in
+    :func:`_grouped_verify`."""
 
     def verify_all(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
         t = t.take(pc.sort_indices(t, [("bucket", "ascending")]))
+        aux = prepare(t) if prepare is not None else None
         b = t["bucket"].to_numpy(zero_copy_only=False)
         cuts = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
         pieces = []
         for s, e in zip(cuts[:-1], cuts[1:]):
             if e - s >= 2:
-                out = verify(t.slice(s, e - s))
+                out = verify(
+                    t.slice(s, e - s), aux[s:e] if aux is not None else None
+                )
                 if out.num_rows:
                     pieces.append(out)
         if not pieces:
@@ -306,12 +428,7 @@ def _hot_bucket_verify(
 
     cands = _semi_join_hot(bucketed, hot, n_hot)
     if distributed:
-        def per_group(g: pa.Table) -> pa.Table:
-            return verify(g) if g.num_rows >= 2 else empty
-
-        pairs = cands.groupby("bucket").map_groups(
-            per_group, batch_format="pyarrow"
-        )
+        pairs = _grouped_verify(cands, verify, empty)
         return _distinct_pairs(pairs, empty)
     return _verify_one_block(cands, verify, empty)
 
@@ -581,19 +698,35 @@ def minhash_lsh_dedup(
         explode_bands, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def verify_small(group: pa.Table) -> pa.Table:
+    def prepare_sets(t: pa.Table):
+        """Per-task bulk shingle pass (the ``prepare`` hook): one vectorized
+        gram kernel call for ALL rows of the task's sorted candidate table —
+        ~10× cheaper than re-running it per 2-row bucket."""
+        return _shingle_sets_batch(pc.fill_null(t[text_col], ""), shingle_k)
+
+    def verify_small(group: pa.Table, sets=None) -> pa.Table:
         m = group.num_rows
         a_out, b_out, j_out = [], [], []
         if m >= 2:
             ids = group[id_col].to_pylist()
-            texts = group[text_col].to_pylist()
+            if sets is None:
+                # no prepared payload (direct caller): one vectorized
+                # shingle pass for the bucket
+                sets = _shingle_sets_batch(
+                    pc.fill_null(group[text_col], ""), shingle_k
+                )
             order = np.argsort(ids)
             for x in range(m):
                 for y in range(x + 1, m):
                     i, j = order[x], order[y]
                     if ids[i] == ids[j]:
                         continue
-                    jac = jaccard_tokens(texts[i], texts[j], shingle_k)
+                    sa, sb = sets[i], sets[j]
+                    if not sa and not sb:
+                        jac = 1.0
+                    else:
+                        inter = len(sa & sb)
+                        jac = inter / (len(sa) + len(sb) - inter)
                     if jac >= threshold:
                         a_out.append(ids[i])
                         b_out.append(ids[j])
@@ -637,17 +770,36 @@ def minhash_lsh_dedup(
         # candidates to their buckets and verify per group
         from sqlgrep_ray.stages.enrich import join_partitions
 
+        if n_cand <= HOT_BROADCAST_MAX:
+            # the join shuffles BOTH sides — pre-filter the docs side to
+            # candidate ids (broadcast set) so only colliding texts move,
+            # not the whole corpus
+            cid_tbls = list(
+                cands.select_columns([id_col]).iter_batches(batch_format="pyarrow")
+            )
+            cand_id_arr = pc.unique(
+                pa.concat_tables(cid_tbls)[id_col].combine_chunks()
+            )
+            ids_ref = ray.put(cand_id_arr)
+
+            def keep_cand_docs(t: pa.Table, ids_ref=None) -> pa.Table:
+                ids = (
+                    ray.get(ids_ref)
+                    if isinstance(ids_ref, ray.ObjectRef)
+                    else ids_ref
+                )
+                return t.filter(pc.is_in(t[id_col], value_set=ids))
+
+            docs = docs.map_batches(
+                keep_cand_docs, fn_kwargs=dict(ids_ref=ids_ref),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
         joined = cands.join(
             docs, join_type="inner", on=(id_col,),
             num_partitions=join_partitions(),
         )
 
-        def per_group(g: pa.Table) -> pa.Table:
-            return verify(g) if g.num_rows >= 2 else empty
-
-        pairs = joined.groupby("bucket").map_groups(
-            per_group, batch_format="pyarrow"
-        )
+        pairs = _grouped_verify(joined, verify, empty, prepare=prepare_sets)
         return _distinct_pairs(pairs, empty)
 
     # local path: the candidate (id, bucket) pair set is small by
@@ -680,12 +832,13 @@ def minhash_lsh_dedup(
         if t.num_rows == 0:
             return empty
         t = t.take(pc.sort_indices(t, [("bucket", "ascending")]))
+        aux = prepare_sets(t)
         b = t["bucket"].to_numpy(zero_copy_only=False)
         cuts = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
         pieces = []
         for s, e in zip(cuts[:-1], cuts[1:]):
             if e - s >= 2:
-                out = verify(t.slice(s, e - s))
+                out = verify(t.slice(s, e - s), aux[s:e])
                 if out.num_rows:
                     pieces.append(out)
         if not pieces:
@@ -868,7 +1021,7 @@ def simhash_dedup(
 
     buckets = sigged.map_batches(explode, batch_format="pyarrow")
 
-    def verify_small(group: pa.Table) -> pa.Table:
+    def verify_small(group: pa.Table, aux=None) -> pa.Table:
         m = group.num_rows
         a_out, b_out, d_out = [], [], []
         if m >= 2:
@@ -1002,7 +1155,7 @@ def embedding_dup_pairs(
         _bucketer, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def verify_small(group: pa.Table) -> pa.Table:
+    def verify_small(group: pa.Table, aux=None) -> pa.Table:
         m = group.num_rows
         out_a, out_b, out_c = [], [], []
         if m >= 2:

@@ -165,3 +165,17 @@ def test_embedding_lsh_scales_to_200k(ray_session):
     # multi-table banding: miss probability per planted pair is tiny;
     # require ≥ 18/20 to keep the test robust to the fixed-seed planes
     assert found >= 18, f"only {found}/20 planted pairs found"
+
+
+def test_hot_stats_groupby_path_equivalence(ray_session, monkeypatch):
+    """Forcing the distributed groupby stats merge (HOT_STATS_SMALL_MAX=0)
+    must give the same pairs as the driver-side small merge."""
+    import ray.data
+
+    ds = ray.data.from_arrow(_identical_corpus(30))
+    base = dd.minhash_lsh_dedup(ds, threshold=0.9).to_pandas()
+    monkeypatch.setattr(dd, "HOT_STATS_SMALL_MAX", 0)
+    big = dd.minhash_lsh_dedup(ds, threshold=0.9).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
+    assert key(base) == key(big)
+    assert len(base) == 30 * 29 // 2
