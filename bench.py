@@ -104,6 +104,21 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     q_top_tokens_docs(sf_dir).count()
     timings["top_tokens"] = time.time() - t0
 
+    # near-dup SCALE path: 200k-doc synthetic corpus (40x the sf0.1
+    # documents table) with the distributed verify FORCED — measures the
+    # 100-TB dataflow (hash-partitioned stats, bucket-shuffled verify),
+    # not the small-corpus local path. Corpus generation is deterministic
+    # and cached under /tmp (one-off ~10 s).
+    from sqlgrep_ray.sources.synth import ensure_documents
+    from sqlgrep_ray.stages.dedup import minhash_lsh_dedup
+
+    docs_dir = ensure_documents(200_000)
+    t0 = time.time()
+    minhash_lsh_dedup(
+        ray.data.read_parquet(docs_dir), threshold=0.8, distributed=True
+    ).count()
+    timings["minhash_dist_200k"] = time.time() - t0
+
     return timings, turns
 
 

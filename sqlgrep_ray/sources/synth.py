@@ -223,6 +223,88 @@ def ensure_transcripts(
     return out_dir
 
 
+def generate_documents(
+    n_docs: int, dup_frac: float = 0.08, seed: int = SEED
+) -> pa.Table:
+    """Deterministic large documents corpus for the near-dup SCALE bench.
+
+    Same shape as ``/root/testdata/sf*/documents.parquet`` (doc_id:int64,
+    text:string, lang:string, source:string, n_chars:int64), but sized for
+    the distributed dedup path: ``dup_frac`` of docs are planted near-copies
+    of an earlier doc (original text + a 2-token suffix ⇒ jaccard far above
+    0.8 at shingle_k=3 for 30-80-token docs), the rest are independent
+    zipf-ish samples from a 4k-word vocabulary so accidental collisions are
+    negligible. Fully vectorized: one categorical gather + Arrow
+    ``binary_join_element_wise``-free list join for all rows.
+    """
+    import pyarrow.compute as pc
+
+    rng = np.random.RandomState(seed)
+    vocab = np.array([f"tok{i:04d}" for i in range(4000)])
+    # zipf-ish: quadratic skew toward low indices (hot tokens)
+    lens = rng.randint(30, 81, n_docs).astype(np.int64)
+    total = int(lens.sum())
+    u = rng.rand(total)
+    word_idx = (u * u * len(vocab)).astype(np.int64)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    values = pa.array(vocab[word_idx], pa.string())
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+    texts = pc.binary_join(lists, " ")
+
+    # plant near-dups: each dup doc d copies doc src(d) < d and appends a
+    # short unique suffix (keeps jaccard ≈ (L-2)/L ≥ 0.9 > threshold)
+    n_dup = int(n_docs * dup_frac)
+    dup_ids = rng.choice(np.arange(1, n_docs), size=n_dup, replace=False)
+    src_ids = (rng.rand(n_dup) * dup_ids).astype(np.int64)
+    texts_np = texts.to_numpy(zero_copy_only=False).astype(object)
+    texts_np[dup_ids] = [
+        f"{texts_np[s]} xsuf{i:06d} ysuf{i:06d}"
+        for i, s in enumerate(src_ids.tolist())
+    ]
+    text_arr = pa.array(texts_np, pa.string())
+    langs = np.array(["en", "de", "fr", "es", "pt"])[rng.randint(0, 5, n_docs)]
+    sources = np.array(["web", "code", "chat", "wiki"])[rng.randint(0, 4, n_docs)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": text_arr,
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pc.utf8_length(text_arr).cast(pa.int64()),
+        }
+    )
+
+
+def ensure_documents(
+    n_docs: int,
+    dup_frac: float = 0.08,
+    root: str = CACHE_ROOT,
+    seed: int = SEED,
+    force: bool = False,
+) -> str:
+    """Idempotently materialize the big documents corpus (sharded parquet)."""
+    out_dir = os.path.join(root, f"docs_{n_docs}_{dup_frac:g}")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done) and not force:
+        return out_dir
+    tbl = generate_documents(n_docs, dup_frac, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    shard_rows = 25_000
+    n_shards = max(1, (n_docs + shard_rows - 1) // shard_rows)
+    for i in range(n_shards):
+        pq.write_table(
+            tbl.slice(i * shard_rows, shard_rows),
+            os.path.join(out_dir, f"shard-{i:05d}.parquet"),
+            row_group_size=8_192,
+        )
+    with open(done, "w") as f:
+        f.write(f"docs={n_docs} dup_frac={dup_frac} seed={seed}\n")
+    return out_dir
+
+
 def sf_of_dir(sf_dir: str) -> float:
     """Map a ``/root/testdata/sf0.01``-style path to its scale factor."""
     name = os.path.basename(os.path.normpath(sf_dir))

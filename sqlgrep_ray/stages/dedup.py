@@ -45,9 +45,17 @@ AUTO_DISTRIBUTED_THRESHOLD = 200_000
 HOT_BROADCAST_MAX = 2_000_000
 
 # Above this many (bucket, partial-count) rows, hot-bucket stats merge via a
-# distributed groupby shuffle instead of one vectorized driver-side merge
-# (below it, the shuffle is pure task overhead; above it, one task OOMs).
-HOT_STATS_SMALL_MAX = 2_000_000
+# distributed hash-partitioned shuffle instead of one vectorized driver-side
+# merge (below it, the shuffle is pure task overhead; above it, one task
+# OOMs). Rows are 16 bytes (bucket, count) so the ceiling is ~256 MB of
+# driver heap — measured: the driver merge is 4x faster than the Ray
+# shuffle at 3.2M partials (200k docs x 16 bands), so keep it generous.
+HOT_STATS_SMALL_MAX = 16_000_000
+
+# Candidate-doc payloads (id, text) smaller than this broadcast to every
+# verify task instead of riding a hash join — at 200k docs the join shuffle
+# was ~6 s of pure exchange for a ~20 MB candidate text set.
+TEXT_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 _EMPTY_HOT = pa.table(
     {"bucket": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
@@ -92,18 +100,31 @@ def _hot_buckets(
         n_cand = int(pc.sum(hot_tbl["n"]).as_py() or 0)
         return ray.data.from_arrow(hot_tbl), hot_tbl.num_rows, n_cand
 
-    from ray.data.aggregate import Sum
+    # distributed merge: hash-partition the narrow partials and merge each
+    # partition vectorized in-task (``pa.TableGroupBy`` + filter >= 2) —
+    # same result as ``groupby("bucket").aggregate(Sum)`` but the per-key
+    # aggregate machinery is amortized into one kernel call per partition
+    # (the ``_grouped_verify`` pattern); per-worker memory is
+    # distinct-buckets / partitions
+    def add_part(t: pa.Table) -> pa.Table:
+        part = pc.bit_wise_and(t["bucket"], VERIFY_PARTS - 1)
+        return t.append_column("__part", pc.cast(part, pa.int64()))
 
-    def hot_only(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "n" not in t.column_names:
-            # groupby can emit empty schemaless blocks — pin the layout
+    def merge_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return _EMPTY_HOT
-        return t.filter(pc.greater_equal(t["n"], 2))
+        merged = pa.TableGroupBy(
+            g.select(["bucket", "count_all"]), ["bucket"]
+        ).aggregate([("count_all", "sum")])
+        hot_t = merged.filter(pc.greater_equal(merged["count_all_sum"], 2))
+        return hot_t.rename_columns(["bucket", "n"])
 
     hot = (
-        partials.groupby("bucket")
-        .aggregate(Sum("count_all", alias_name="n", ignore_nulls=True))
-        .map_batches(hot_only, batch_format="pyarrow", zero_copy_batch=True)
+        partials.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(merge_part, batch_format="pyarrow")
         .materialize()
     )
     n_hot = hot.count()
@@ -277,8 +298,17 @@ def _shingle_sets_batch(
     if isinstance(filled, pa.ChunkedArray):
         filled = filled.combine_chunks()
     n = len(filled)
-    sets: list[set[int]] = [set() for _ in range(n)]
-    grams, rows, _ntok = _doc_grams(filled, k)
+    # shingle once per UNIQUE text: band explosion hands the verify the
+    # same doc once per colliding band (x bands copies) and oversized
+    # identical-text buckets repeat one text m times — dict-encode the
+    # texts and share the set object across equal rows (read-only use)
+    tenc = pc.dictionary_encode(filled)
+    if isinstance(tenc, pa.ChunkedArray):
+        tenc = tenc.combine_chunks()
+    tcodes = tenc.indices.to_numpy(zero_copy_only=False)
+    uniq = tenc.dictionary
+    usets: list[set[int]] = [set() for _ in range(len(uniq))]
+    grams, rows, _ntok = _doc_grams(uniq, k)
     if len(grams):
         enc = pc.dictionary_encode(grams)
         if isinstance(enc, pa.ChunkedArray):
@@ -291,8 +321,8 @@ def _shingle_sets_batch(
         )
         h = uh[codes]
         for r, hv in zip(rows.tolist(), h.tolist()):
-            sets[r].add(hv)
-    return sets
+            usets[r].add(hv)
+    return [usets[c] for c in tcodes.tolist()]
 
 
 # bucket-verify shuffle width: candidates shuffle to num_parts partitions
@@ -794,10 +824,49 @@ def minhash_lsh_dedup(
                 keep_cand_docs, fn_kwargs=dict(ids_ref=ids_ref),
                 batch_format="pyarrow", zero_copy_batch=True,
             )
-        joined = cands.join(
-            docs, join_type="inner", on=(id_col,),
-            num_partitions=join_partitions(),
-        )
+            # the candidate TEXT payload is usually far smaller than the
+            # corpus (only colliding docs) — when it fits the broadcast
+            # budget, ship it to every verify task once (ray.put) and
+            # attach by vectorized searchsorted instead of paying a full
+            # hash-join exchange (~6 s of pure shuffle at 200k docs)
+            cdocs = docs.materialize()
+            if cdocs.size_bytes() <= TEXT_BROADCAST_MAX_BYTES:
+                doc_tbls = list(cdocs.iter_batches(batch_format="pyarrow"))
+                if not doc_tbls:
+                    return ray.data.from_arrow(empty)
+                doc_tbl = pa.concat_tables(doc_tbls).combine_chunks()
+                order = pc.sort_indices(doc_tbl[id_col])
+                doc_tbl = doc_tbl.take(order)
+                texts_ref = ray.put(doc_tbl)
+
+                def attach_text(t: pa.Table, texts_ref=None) -> pa.Table:
+                    dt = (
+                        ray.get(texts_ref)
+                        if isinstance(texts_ref, ray.ObjectRef)
+                        else texts_ref
+                    )
+                    sorted_ids = dt[id_col].to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(
+                        sorted_ids, t[id_col].to_numpy(zero_copy_only=False)
+                    )
+                    return t.append_column(
+                        text_col, dt[text_col].take(pa.array(pos))
+                    )
+
+                joined = cands.map_batches(
+                    attach_text, fn_kwargs=dict(texts_ref=texts_ref),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+            else:
+                joined = cands.join(
+                    cdocs, join_type="inner", on=(id_col,),
+                    num_partitions=join_partitions(),
+                )
+        else:
+            joined = cands.join(
+                docs, join_type="inner", on=(id_col,),
+                num_partitions=join_partitions(),
+            )
 
         pairs = _grouped_verify(joined, verify, empty, prepare=prepare_sets)
         return _distinct_pairs(pairs, empty)

@@ -179,3 +179,28 @@ def test_hot_stats_groupby_path_equivalence(ray_session, monkeypatch):
     key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
     assert key(base) == key(big)
     assert len(base) == 30 * 29 // 2
+
+
+def test_text_broadcast_vs_join_equivalence(ray_session, monkeypatch):
+    """The distributed verify attaches candidate text by broadcast +
+    searchsorted when it fits the budget; forcing the hash-join fallback
+    (TEXT_BROADCAST_MAX_BYTES=0) must give identical pairs."""
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(80)]
+    texts = [" ".join(rng.choice(words, 15)) for _ in range(60)]
+    texts += [texts[i] + " tail" for i in range(10)]  # planted near-dups
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    bcast = dd.minhash_lsh_dedup(ds, threshold=0.8, distributed=True).to_pandas()
+    monkeypatch.setattr(dd, "TEXT_BROADCAST_MAX_BYTES", 0)
+    joined = dd.minhash_lsh_dedup(ds, threshold=0.8, distributed=True).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"]))
+    assert key(bcast) == key(joined)
+    assert all((i, 60 + i) in key(bcast) for i in range(10))
