@@ -158,6 +158,45 @@ def _collect_buckets(hot: "ray.data.Dataset") -> pa.Array:
     return pa.concat_tables(tbls)["bucket"].combine_chunks()
 
 
+def _list_cols_of(ds: "ray.data.Dataset") -> dict:
+    """list / fixed-size-list columns of a Dataset (Acero joins reject them
+    as non-key columns, so they ride joins packed to binary)."""
+    schema = ds.schema().base_schema
+    return {
+        f.name: f.type
+        for f in schema
+        if pa.types.is_list(f.type) or pa.types.is_fixed_size_list(f.type)
+    }
+
+
+def _pack_lists_fn(list_cols: dict):
+    def pack_lists(t: pa.Table) -> pa.Table:
+        for name in list_cols:
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.to_numpy(zero_copy_only=False)
+            packed = pa.array([np.asarray(v).tobytes() for v in vals], pa.binary())
+            t = t.set_column(t.schema.get_field_index(name), name, packed)
+        return t
+
+    return pack_lists
+
+
+def _unpack_lists_fn(list_cols: dict):
+    def unpack_lists(t: pa.Table) -> pa.Table:
+        for name, typ in list_cols.items():
+            dtype = typ.value_type.to_pandas_dtype()
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrs = [np.frombuffer(b, dtype=dtype) for b in col.to_pylist()]
+            t = t.set_column(t.schema.get_field_index(name), name, pa.array(arrs))
+        return t
+
+    return unpack_lists
+
+
 def _semi_join_hot(
     bucketed: "ray.data.Dataset", hot: "ray.data.Dataset", n_hot: int
 ) -> "ray.data.Dataset":
@@ -170,37 +209,12 @@ def _semi_join_hot(
         return _filter_hot(bucketed, _collect_buckets(hot))
     from sqlgrep_ray.stages.enrich import join_partitions
 
-    schema = bucketed.schema().base_schema
-    list_cols = {
-        f.name: f.type
-        for f in schema
-        if pa.types.is_list(f.type) or pa.types.is_fixed_size_list(f.type)
-    }
-
-    def pack_lists(t: pa.Table) -> pa.Table:
-        for name in list_cols:
-            col = t[name]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            vals = col.to_numpy(zero_copy_only=False)
-            packed = pa.array([np.asarray(v).tobytes() for v in vals], pa.binary())
-            t = t.set_column(t.schema.get_field_index(name), name, packed)
-        return t
-
-    def unpack_lists(t: pa.Table) -> pa.Table:
-        for name, typ in list_cols.items():
-            dtype = typ.value_type.to_pandas_dtype()
-            col = t[name]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            arrs = [np.frombuffer(b, dtype=dtype) for b in col.to_pylist()]
-            t = t.set_column(t.schema.get_field_index(name), name, pa.array(arrs))
-        return t
-
+    list_cols = _list_cols_of(bucketed)
     left = bucketed
     if list_cols:
         left = left.map_batches(
-            pack_lists, batch_format="pyarrow", zero_copy_batch=True
+            _pack_lists_fn(list_cols), batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     joined = left.join(
         hot.select_columns(["bucket"]),
@@ -210,7 +224,8 @@ def _semi_join_hot(
     )
     if list_cols:
         joined = joined.map_batches(
-            unpack_lists, batch_format="pyarrow", zero_copy_batch=True
+            _unpack_lists_fn(list_cols), batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     return joined
 
@@ -387,6 +402,106 @@ def _distinct_pairs(pairs: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dat
         *[Max(c, alias_name=c, ignore_nulls=True) for c in extra]
     )
     return merged
+
+
+def _attach_payload(
+    cands: "ray.data.Dataset",
+    payload: "ray.data.Dataset",
+    id_col: str,
+    n_cand: int,
+) -> "Optional[ray.data.Dataset]":
+    """Attach per-id payload columns (document text / embedding vectors) to
+    candidate rows, size-aware — payloads never ride the band explosion or
+    the hot-stats shuffle; they are fetched once per colliding id here:
+
+    * ``n_cand`` ≤ ``HOT_BROADCAST_MAX``: broadcast the candidate id set,
+      filter the payload side to colliding ids only; if the filtered
+      payload then fits ``TEXT_BROADCAST_MAX_BYTES``, ship it to every task
+      (``ray.put``) and attach by vectorized searchsorted — no join
+      exchange at all;
+    * otherwise: hash join on ``id_col`` (list-typed payload columns packed
+      to binary for Acero and unpacked after).
+
+    Returns None when there are no candidate rows. ``id_col`` values must
+    be unique in ``payload`` (they are document keys)."""
+    import ray
+
+    # consumed twice on the broadcast path (id collection + attach) — pin
+    cands = cands.materialize()
+    filtered = payload
+    if n_cand <= HOT_BROADCAST_MAX:
+        cid_tbls = list(
+            cands.select_columns([id_col]).iter_batches(batch_format="pyarrow")
+        )
+        if not cid_tbls:
+            return None
+        cand_id_arr = pc.unique(
+            pa.concat_tables(cid_tbls)[id_col].combine_chunks()
+        )
+        ids_ref = ray.put(cand_id_arr)
+
+        def keep_cand(t: pa.Table, ids_ref=None) -> pa.Table:
+            ids = (
+                ray.get(ids_ref)
+                if isinstance(ids_ref, ray.ObjectRef)
+                else ids_ref
+            )
+            return t.filter(pc.is_in(t[id_col], value_set=ids))
+
+        filtered = payload.map_batches(
+            keep_cand, fn_kwargs=dict(ids_ref=ids_ref),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        if filtered.size_bytes() <= TEXT_BROADCAST_MAX_BYTES:
+            tbls = list(filtered.iter_batches(batch_format="pyarrow"))
+            if not tbls:
+                return None
+            ptbl = pa.concat_tables(tbls).combine_chunks()
+            ptbl = ptbl.take(pc.sort_indices(ptbl[id_col]))
+            pref = ray.put(ptbl)
+            pcols = [c for c in ptbl.column_names if c != id_col]
+
+            def attach(t: pa.Table, pref=None) -> pa.Table:
+                dt = (
+                    ray.get(pref) if isinstance(pref, ray.ObjectRef) else pref
+                )
+                pos = pa.array(
+                    np.searchsorted(
+                        dt[id_col].to_numpy(zero_copy_only=False),
+                        t[id_col].to_numpy(zero_copy_only=False),
+                    )
+                )
+                for c in pcols:
+                    col = dt[c]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    t = t.append_column(c, col.take(pos))
+                return t
+
+            return cands.map_batches(
+                attach, fn_kwargs=dict(pref=pref),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+
+    from sqlgrep_ray.stages.enrich import join_partitions
+
+    list_cols = _list_cols_of(filtered)
+    right = filtered
+    if list_cols:
+        right = right.map_batches(
+            _pack_lists_fn(list_cols), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    joined = cands.join(
+        right, join_type="inner", on=(id_col,),
+        num_partitions=join_partitions(),
+    )
+    if list_cols:
+        joined = joined.map_batches(
+            _unpack_lists_fn(list_cols), batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return joined
 
 
 def _verify_one_block(
@@ -796,78 +911,12 @@ def minhash_lsh_dedup(
     cands = _semi_join_hot(exploded, hot, n_hot)  # (id, bucket), hot only
 
     if distributed:
-        # attach text by a hash join on id (narrow left side), then shuffle
-        # candidates to their buckets and verify per group
-        from sqlgrep_ray.stages.enrich import join_partitions
-
-        if n_cand <= HOT_BROADCAST_MAX:
-            # the join shuffles BOTH sides — pre-filter the docs side to
-            # candidate ids (broadcast set) so only colliding texts move,
-            # not the whole corpus
-            cid_tbls = list(
-                cands.select_columns([id_col]).iter_batches(batch_format="pyarrow")
-            )
-            cand_id_arr = pc.unique(
-                pa.concat_tables(cid_tbls)[id_col].combine_chunks()
-            )
-            ids_ref = ray.put(cand_id_arr)
-
-            def keep_cand_docs(t: pa.Table, ids_ref=None) -> pa.Table:
-                ids = (
-                    ray.get(ids_ref)
-                    if isinstance(ids_ref, ray.ObjectRef)
-                    else ids_ref
-                )
-                return t.filter(pc.is_in(t[id_col], value_set=ids))
-
-            docs = docs.map_batches(
-                keep_cand_docs, fn_kwargs=dict(ids_ref=ids_ref),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            # the candidate TEXT payload is usually far smaller than the
-            # corpus (only colliding docs) — when it fits the broadcast
-            # budget, ship it to every verify task once (ray.put) and
-            # attach by vectorized searchsorted instead of paying a full
-            # hash-join exchange (~6 s of pure shuffle at 200k docs)
-            cdocs = docs.materialize()
-            if cdocs.size_bytes() <= TEXT_BROADCAST_MAX_BYTES:
-                doc_tbls = list(cdocs.iter_batches(batch_format="pyarrow"))
-                if not doc_tbls:
-                    return ray.data.from_arrow(empty)
-                doc_tbl = pa.concat_tables(doc_tbls).combine_chunks()
-                order = pc.sort_indices(doc_tbl[id_col])
-                doc_tbl = doc_tbl.take(order)
-                texts_ref = ray.put(doc_tbl)
-
-                def attach_text(t: pa.Table, texts_ref=None) -> pa.Table:
-                    dt = (
-                        ray.get(texts_ref)
-                        if isinstance(texts_ref, ray.ObjectRef)
-                        else texts_ref
-                    )
-                    sorted_ids = dt[id_col].to_numpy(zero_copy_only=False)
-                    pos = np.searchsorted(
-                        sorted_ids, t[id_col].to_numpy(zero_copy_only=False)
-                    )
-                    return t.append_column(
-                        text_col, dt[text_col].take(pa.array(pos))
-                    )
-
-                joined = cands.map_batches(
-                    attach_text, fn_kwargs=dict(texts_ref=texts_ref),
-                    batch_format="pyarrow", zero_copy_batch=True,
-                )
-            else:
-                joined = cands.join(
-                    cdocs, join_type="inner", on=(id_col,),
-                    num_partitions=join_partitions(),
-                )
-        else:
-            joined = cands.join(
-                docs, join_type="inner", on=(id_col,),
-                num_partitions=join_partitions(),
-            )
-
+        # attach text size-aware (broadcast filtered payload or hash join —
+        # ``_attach_payload``), then shuffle candidates to their buckets
+        # and verify per group
+        joined = _attach_payload(cands, docs, id_col, n_cand)
+        if joined is None:
+            return ray.data.from_arrow(empty)
         pairs = _grouped_verify(joined, verify, empty, prepare=prepare_sets)
         return _distinct_pairs(pairs, empty)
 
@@ -1204,11 +1253,13 @@ def embedding_dup_pairs(
                 key = (s.astype(np.int64) * w).sum(axis=1)
                 # disjoint keyspace per table: low bits carry the table id
                 key = (key << 3) | ti
+                # NARROW explosion — vectors do NOT ride the x n_tables
+                # fan-out or the hot-stats shuffle; they are re-attached
+                # for colliding ids only (``_attach_payload``)
                 parts.append(
                     pa.table(
                         {
                             id_col: ids,
-                            emb_col: t[emb_col],
                             # locality scalar for oversized-bucket chunking:
                             # near-identical vectors project near-identically
                             "proj": pa.array(proj[:, ti * bits]),
@@ -1261,4 +1312,26 @@ def embedding_dup_pairs(
         verify_small, empty, max_bucket,
         [("proj", "ascending"), (id_col, "ascending")], metrics,
     )
-    return _hot_bucket_verify(bucketed, verify, empty, distributed=distributed)
+
+    # mirror the minhash dataflow: narrow (id, proj, bucket) rows drive the
+    # hot-bucket stats and candidate filter; embeddings are attached
+    # size-aware for colliding ids only, then verified per bucket
+    import ray
+
+    bucketed = bucketed.materialize()
+    hot, n_hot, n_cand = _hot_buckets(bucketed)
+    if n_hot == 0:
+        return ray.data.from_arrow(empty)
+    if distributed is None:
+        distributed = n_cand > AUTO_DISTRIBUTED_THRESHOLD
+
+    cands = _semi_join_hot(bucketed, hot, n_hot)
+    joined = _attach_payload(
+        cands, ds.select_columns([id_col, emb_col]), id_col, n_cand
+    )
+    if joined is None:
+        return ray.data.from_arrow(empty)
+    if distributed:
+        pairs = _grouped_verify(joined, verify, empty)
+        return _distinct_pairs(pairs, empty)
+    return _verify_one_block(joined, verify, empty)
