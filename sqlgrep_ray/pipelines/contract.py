@@ -2023,6 +2023,54 @@ def q_kmeans_clusters(sf_dir: str) -> Result:
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_repetition_docs(sf_dir: str) -> Result:
+    """Gopher-style within-doc repetition signals as exact int64 counts
+    (stages/repetition.py) — single streaming map_batches, no shuffle;
+    hash-exact vs the unnest/window oracle."""
+    from sqlgrep_ray.stages.repetition import repetition_stats
+
+    return repetition_stats(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_REPETITION_DOCS = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         unnest(range(1, len(ts) + 1)) AS pos
+  FROM base
+), uni AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         count(DISTINCT tok) AS n_distinct_tokens
+  FROM flat GROUP BY doc_id
+), maxc AS (
+  SELECT doc_id, max(c) AS max_token_count FROM (
+    SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+), big AS (
+  SELECT doc_id, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM flat
+), bi AS (
+  SELECT doc_id,
+         count(*) AS n_2grams,
+         count(DISTINCT tok || ' ' || nxt) AS n_distinct_2grams
+  FROM big WHERE nxt IS NOT NULL GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens,
+       CAST(u.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       CAST(m.max_token_count AS BIGINT) AS max_token_count,
+       CAST(COALESCE(b.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(COALESCE(b.n_distinct_2grams, 0) AS BIGINT) AS n_distinct_2grams
+FROM uni u
+JOIN maxc m USING (doc_id)
+LEFT JOIN bi b USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[str], Result]] = {
     "select_where_project": q_select_where_project,
     "orderby_topn": q_orderby_topn,
@@ -2102,6 +2150,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "bpe_counts": q_bpe_counts,
     "grouped_sample": q_grouped_sample,
     "connected_components": q_connected_components,
+    "repetition_docs": q_repetition_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2174,6 +2223,7 @@ ORACLES: dict[str, str] = {
     "ranked_search": SQL_RANKED_SEARCH,
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "repetition_docs": SQL_REPETITION_DOCS,
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "knn_ivf": SQL_KNN_TOP5,  # probe-all IVF == brute force (q_knn_ivf doc)
     # lang_quality / multimodal_features / approx_distinct_users /
