@@ -28,6 +28,13 @@ import ray.data
 from sqlgrep_ray.stages.textnorm import split_whitespace
 from ray.data.aggregate import Sum
 
+# (token, partial-count) rows below this merge vectorized on the driver
+# (~100 MB of short strings + int64 at the ceiling); above it the merge is
+# the distributed groupby shuffle — the AUTO pattern shared with the
+# aggregate engine and dedup hot-stats (a Ray all-to-all costs seconds of
+# fixed overhead, ruinous when the vocabulary fits one table)
+VOCAB_SMALL_MAX = 4_000_000
+
 
 def token_frequencies(
     ds: "ray.data.Dataset",
@@ -55,12 +62,26 @@ def token_frequencies(
             }
         )
 
-    counts = (
-        ds.select_columns([text_col])
-        .map_batches(block_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("count", alias_name="count", ignore_nulls=True))
-    )
+    partials = ds.select_columns([text_col]).map_batches(
+        block_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if partials.count() <= VOCAB_SMALL_MAX:
+        tbls = list(partials.iter_batches(batch_format="pyarrow"))
+        if not tbls:
+            merged = pa.table(
+                {"token": pa.array([], pa.string()),
+                 "count": pa.array([], pa.int64())}
+            )
+        else:
+            g = pa.TableGroupBy(
+                pa.concat_tables(tbls), ["token"]
+            ).aggregate([("count", "sum")])
+            merged = g.rename_columns(["token", "count"])
+        counts = ray.data.from_arrow(merged)
+    else:
+        counts = partials.groupby("token").aggregate(
+            Sum("count", alias_name="count", ignore_nulls=True)
+        )
     if min_count > 1:
         counts = counts.map_batches(
             lambda t: t.filter(pc.greater_equal(t["count"], min_count)),
