@@ -21,10 +21,20 @@ but with a shuffle per round because state is per-NODE, not global):
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min, Sum
+
+# Edge lists at or below this many (directed) rows collapse to one
+# vectorized driver-side min-label pass (numpy minimum.at + pointer
+# doubling): two int64 columns -> ~128 MB at the ceiling, converges in
+# O(log diameter) passes with NO per-round Join/Aggregate all-to-all
+# (each distributed round costs ~2 s of fixed shuffle overhead). Above it,
+# the distributed label-propagation rounds run as before — the AUTO
+# pattern shared with the aggregate/vocab/dedup merge paths.
+CC_LOCAL_MAX = 8_000_000
 
 
 def connected_components(
@@ -67,6 +77,41 @@ def connected_components(
         .map_batches(undirect, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()  # reused every round
     )
+    if und.count() <= CC_LOCAL_MAX:
+        tbls = list(und.iter_batches(batch_format="pyarrow"))
+        if not tbls:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "component": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        t = pa.concat_tables(tbls)
+        n_arr = _flat(t["n"]).to_numpy(zero_copy_only=False)
+        m_arr = _flat(t["m"]).to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([n_arr, m_arr]), return_inverse=True)
+        half = len(n_arr)
+        ui, vi = inv[:half], inv[half:]
+        # min-label propagation with pointer doubling; ``nodes`` is sorted,
+        # so the min dense index of a component IS its min node id — the
+        # exact result the distributed rounds converge to
+        comp = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            before = comp.sum()
+            np.minimum.at(comp, ui, comp[vi])
+            comp = np.minimum(comp, comp[comp])
+            if comp.sum() == before:
+                break
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "component": pa.array(nodes[comp], pa.int64()),
+                }
+            )
+        )
     labels = (
         und.select_columns(["n"])
         .groupby("n")

@@ -93,3 +93,39 @@ def test_curate_cluster_exact(ray_session):
         ).take_all()
     }
     assert kept == {0, 1, 2}
+
+
+def test_local_vs_distributed_equivalence(ray_session, monkeypatch):
+    """Forcing the distributed label-propagation rounds (CC_LOCAL_MAX=0)
+    must give the same (node, component) map as the driver union-find."""
+    import numpy as np
+
+    import sqlgrep_ray.stages.cc as cc
+
+    rng = np.random.RandomState(13)
+    # random graph: 300 nodes, 250 edges -> many components, some chains
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, 300, (250, 2))
+        if a != b
+    ]
+    local = cc.connected_components(_edges(pairs)).to_pandas()
+    monkeypatch.setattr(cc, "CC_LOCAL_MAX", 0)
+    dist = cc.connected_components(_edges(pairs)).to_pandas()
+    key = lambda df: sorted(zip(df["node"], df["component"]))
+    assert key(local) == key(dist)
+
+
+def test_local_path_long_chain(ray_session):
+    """Pointer doubling converges on a 5000-node path graph (diameter far
+    beyond the distributed max_iter guard) without warnings."""
+    import warnings
+
+    from sqlgrep_ray.stages.cc import connected_components
+
+    pairs = [(i, i + 1) for i in range(5000)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        comp = connected_components(_edges(pairs)).to_pandas()
+    assert (comp["component"] == 0).all()
+    assert len(comp) == 5001
