@@ -35,6 +35,12 @@ import ray.data
 
 from sqlgrep_ray.stages.enrich import join_partitions
 
+# (gram, doc, count) partial rows at or below this merge on the driver
+# (three int64 columns -> ~192 MB at the ceiling); above it the
+# distributed groupby/join dataflow runs. Same AUTO pattern as the
+# aggregate engine, vocab, and connected components.
+TEXTDUP_SMALL_MAX = 8_000_000
+
 
 def _gram_hashes(text: str, k: int) -> np.ndarray:
     """64-bit hashes of each token k-gram occurrence (with multiplicity).
@@ -121,7 +127,50 @@ def duplicate_ngram_stats(
 
     pairs = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+
+    # size-aware AUTO (the aggregate/vocab/cc pattern): the whole dataflow
+    # below is three narrow-int hash aggregates + one join — at small
+    # partial counts that is 4 all-to-alls of pure fixed overhead for
+    # milliseconds of actual work, so merge on the driver instead
+    if pairs.count() <= TEXTDUP_SMALL_MAX:
+        tbls = list(pairs.iter_batches(batch_format="pyarrow"))
+        if not tbls:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "dup_grams": pa.array([], pa.int64()),
+                        "total_grams": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        t = pa.concat_tables(tbls)
+        per_doc_t = (
+            pa.TableGroupBy(t, ["gram", id_col])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["gram", id_col, "cnt"])
+        )
+        totals_t = (
+            pa.TableGroupBy(per_doc_t.select(["gram", "cnt"]), ["gram"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["gram", "total"])
+        )
+        pos = pc.index_in(per_doc_t["gram"], value_set=totals_t["gram"])
+        total = totals_t["total"].take(pos)
+        dup = pc.if_else(
+            pc.greater_equal(total, 2),
+            per_doc_t["cnt"],
+            pa.scalar(0, pa.int64()),
+        )
+        per_doc_t = per_doc_t.append_column("dup", dup)
+        out_t = (
+            pa.TableGroupBy(per_doc_t.select([id_col, "dup", "cnt"]), [id_col])
+            .aggregate([("dup", "sum"), ("cnt", "sum")])
+            .rename_columns([id_col, "dup_grams", "total_grams"])
+        )
+        return ray.data.from_arrow(out_t)
+
     # global per-(gram, doc) counts — ONE vectorized hash shuffle; pin for
     # the two consumers below (narrow: three int64 columns)
     per_doc = (

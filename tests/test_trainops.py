@@ -300,3 +300,19 @@ def test_duplicate_ngram_stats(ray_session):
     assert out.loc[5, "dup_grams"] == 0
     # short doc (< k tokens) contributes exactly one whole-sequence gram
     assert out.loc[4, "total_grams"] == 1
+
+
+def test_duplicate_ngram_stats_path_equivalence(ray_session, monkeypatch):
+    """Forcing the distributed groupby/join dataflow (TEXTDUP_SMALL_MAX=0)
+    must match the driver-side merge exactly."""
+    import ray.data
+    import sqlgrep_ray.stages.textdup as td
+
+    ds = ray.data.from_arrow(_doc_table())
+    local = td.duplicate_ngram_stats(ds, k=3).to_pandas()
+    monkeypatch.setattr(td, "TEXTDUP_SMALL_MAX", 0)
+    dist = td.duplicate_ngram_stats(ds, k=3).to_pandas()
+    key = lambda df: sorted(
+        map(tuple, df[["doc_id", "dup_grams", "total_grams"]].itertuples(index=False))
+    )
+    assert key(local) == key(dist)
