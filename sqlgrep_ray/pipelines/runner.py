@@ -244,12 +244,21 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return deduped.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ORDER BY + LIMIT n at or below this runs combiner-first (per-block local
+# top-n, one-block sorted merge of <= n x blocks candidate rows) instead of
+# a distributed Sort all-to-all — a full sort to keep n rows is the classic
+# scale anti-pattern, and Ray's Sort costs seconds of fixed overhead even
+# on tiny data
+TOPN_LIMIT_MAX = 100_000
+
+
 def _apply_order(
-    ds: "ray.data.Dataset", order_by, ctx: Optional[CompileCtx]
+    ds: "ray.data.Dataset", order_by, ctx: Optional[CompileCtx], limit=None
 ) -> "ray.data.Dataset":
     """ORDER BY (engine extension): append compiled sort-key columns
     (plus a 0/1 null marker per key so Ray's sort never compares NULLs —
-    NULLs order first), ``Dataset.sort``, strip the temp columns."""
+    NULLs order first), ``Dataset.sort``, strip the temp columns. With a
+    small ``limit``, top-n combiner-first instead of the full sort."""
     if not order_by:
         return ds
     kernels = [compile_expr(e, ctx) for e, _ in order_by]
@@ -274,14 +283,36 @@ def _apply_order(
     temp = [f"__obm{i}" for i in range(len(order_by))] + [
         f"__ob{i}" for i in range(len(order_by))
     ]
+    sort_spec = [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(sort_cols, sort_desc)
+    ]
+
+    def drop_temp(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in temp if c in t.column_names])
+
+    if limit is not None and limit <= TOPN_LIMIT_MAX:
+        def local_topn(t: pa.Table) -> pa.Table:
+            if t.num_rows <= limit:
+                return t
+            idx = pc.sort_indices(t, sort_spec)
+            return t.take(idx.slice(0, limit))
+
+        def final_topn(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(t, sort_spec)
+            return drop_temp(t.take(idx.slice(0, min(limit, t.num_rows))))
+
+        return (
+            ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(local_topn, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final_topn, batch_format="pyarrow")
+        )
+
     return (
         ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
         .sort(sort_cols, descending=sort_desc)
-        .map_batches(
-            lambda t: t.drop_columns([c for c in temp if c in t.column_names]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+        .map_batches(drop_temp, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -304,7 +335,7 @@ def run_select(
 
     if plan.distinct:
         ds = _distinct(ds)
-    ds = _apply_order(ds, getattr(plan, "order_by", ()), ctx)
+    ds = _apply_order(ds, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
     if plan.limit is not None:
         ds = ds.limit(plan.limit)  # streaming executor early-stops upstream
     return ds
@@ -489,7 +520,7 @@ def run_aggregate(
         # carries its unique group-key tuple (the reference only dedups in a
         # having-branch quirk, aggregate_execution.rs:292-310); skipping it
         # preserves the sorted output order
-        agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx)
+        agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
         if plan.limit is not None:
             agged = agged.limit(plan.limit)
         return agged
@@ -510,7 +541,7 @@ def run_aggregate(
         # output rows, reference parity).
         agged = _global_percentile(ds, plan, ctx)
         if agged is not None:
-            agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx)
+            agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
             if plan.limit is not None:
                 agged = agged.limit(plan.limit)
             return agged
@@ -571,7 +602,7 @@ def run_aggregate(
             _restore_keys(key_names), batch_format="pyarrow", zero_copy_batch=True
         )
     # DISTINCT after aggregation: no-op (unique group keys per row; see above)
-    agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx)
+    agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
     if plan.limit is not None:
         agged = agged.limit(plan.limit)
     return agged

@@ -163,3 +163,23 @@ def test_order_by_nulls_first(ray_session):
         "SELECT k, v FROM kv ORDER BY v, k", source=["a=2", "b=", "c=1"]
     )
     assert [(r["k"], r["v"]) for r in rows] == [("b", None), ("c", 1), ("a", 2)]
+
+
+def test_order_by_topn_vs_full_sort(ray_session, monkeypatch):
+    """ORDER BY + small LIMIT runs combiner-first top-n; forcing the full
+    distributed Sort (TOPN_LIMIT_MAX=-1) must give the same rows in the
+    same order, including NULLs-first and tie-free ordering."""
+    import sqlgrep_ray.pipelines.runner as rn
+    from sqlgrep_ray import Tables
+
+    t = Tables()
+    t.add_tables(
+        r"CREATE TABLE kv(line = '(\\w+)=(\\d+)?', line[1] => k TEXT, line[2] => v INT);"
+    )
+    lines = [f"k{i:03d}={(i * 37) % 100}" for i in range(200)] + ["znull="]
+    q = "SELECT k, v FROM kv ORDER BY v DESC, k LIMIT 7"
+    topn = t.execute_query_rows(q, source=lines)
+    monkeypatch.setattr(rn, "TOPN_LIMIT_MAX", -1)
+    full = t.execute_query_rows(q, source=lines)
+    assert topn == full
+    assert len(topn) == 7
