@@ -2071,6 +2071,43 @@ LEFT JOIN bi b USING (doc_id)
 """
 
 
+def q_segment_dedup_docs(sf_dir: str) -> Result:
+    """Segment-level corpus dedup (stages/segdedup.py) instantiated at
+    token granularity (sep=' '): corpus-frequent tokens (>= 50 occurrences)
+    are scrubbed from every document. Cleaned text is a pure string
+    function of the input -> hash-exact vs the unnest/string_agg oracle."""
+    from sqlgrep_ray.stages.segdedup import segment_dedup
+
+    return segment_dedup(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        sep=" ",
+        join_str=" ",
+        min_count=50,
+    )
+
+
+SQL_SEGMENT_DEDUP_DOCS = """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS ss FROM documents
+), flat AS (
+  SELECT doc_id, unnest(ss) AS seg,
+         unnest(range(1, len(ss) + 1)) AS pos
+  FROM base
+), counts AS (
+  SELECT seg, count(*) AS c FROM flat GROUP BY seg
+)
+SELECT f.doc_id,
+       COALESCE(
+         string_agg(CASE WHEN c.c < 50 THEN f.seg END, ' ' ORDER BY f.pos),
+         ''
+       ) AS text,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE c.c >= 50) AS BIGINT) AS n_removed
+FROM flat f JOIN counts c USING (seg)
+GROUP BY f.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], Result]] = {
     "select_where_project": q_select_where_project,
     "orderby_topn": q_orderby_topn,
@@ -2151,6 +2188,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "grouped_sample": q_grouped_sample,
     "connected_components": q_connected_components,
     "repetition_docs": q_repetition_docs,
+    "segment_dedup_docs": q_segment_dedup_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2224,6 +2262,7 @@ ORACLES: dict[str, str] = {
     "grouped_sample": SQL_GROUPED_SAMPLE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "repetition_docs": SQL_REPETITION_DOCS,
+    "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "knn_ivf": SQL_KNN_TOP5,  # probe-all IVF == brute force (q_knn_ivf doc)
     # lang_quality / multimodal_features / approx_distinct_users /
