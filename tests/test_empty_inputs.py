@@ -1,0 +1,99 @@
+"""Empty-input robustness: every operator must handle a zero-row corpus
+without crashing (the ADVICE-r2 HLL IndexError class of bug). An empty
+dataset is what a filter chain legitimately produces on a shard with no
+matches — operators sit mid-pipeline and cannot assume rows exist."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _empty_docs():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+
+
+def _empty_vecs(d=8):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float32()), d
+                ),
+            }
+        )
+    )
+
+
+def test_dedup_family_empty(ray_session):
+    from sqlgrep_ray.stages import dedup as dd
+
+    assert dd.minhash_lsh_dedup(_empty_docs()).count() == 0
+    assert dd.simhash_dedup(_empty_docs()).count() == 0
+    assert dd.exact_dedup(_empty_docs(), key="text", id_col="doc_id").count() == 0
+    assert (
+        dd.embedding_dup_pairs(
+            _empty_vecs(), id_col="vec_id", emb_col="embedding", bits=5
+        ).count()
+        == 0
+    )
+
+
+def test_text_ops_empty(ray_session):
+    from sqlgrep_ray.stages.repetition import repetition_stats
+    from sqlgrep_ray.stages.segdedup import segment_dedup
+    from sqlgrep_ray.stages.textdup import duplicate_ngram_stats
+    from sqlgrep_ray.stages.vocab import token_frequencies, top_tokens
+
+    assert repetition_stats(_empty_docs()).count() == 0
+    assert segment_dedup(_empty_docs()).count() == 0
+    assert duplicate_ngram_stats(_empty_docs()).count() == 0
+    assert token_frequencies(_empty_docs()).count() == 0
+    assert top_tokens(_empty_docs(), 5).count() == 0
+
+
+def test_sketch_cc_empty(ray_session):
+    from sqlgrep_ray.stages.cc import connected_components
+    from sqlgrep_ray.stages.sketch import approx_count_distinct
+
+    assert approx_count_distinct(_empty_docs(), "text") == 0
+    edges = _empty_docs().map_batches(
+        lambda t: pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    assert connected_components(edges).count() == 0
+
+
+def test_windows_sample_empty(ray_session):
+    from sqlgrep_ray.stages.sample import hash_sample
+    from sqlgrep_ray.stages.topk import grouped_topk
+    import ray.data
+
+    assert hash_sample(_empty_docs(), "doc_id", 0.5).count() == 0
+    t = pa.table(
+        {
+            "g": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()),
+        }
+    )
+    assert (
+        grouped_topk(
+            ray.data.from_arrow(t), keys=["g"], score_col="score",
+            tie_col="id", k=3,
+        ).count()
+        == 0
+    )
