@@ -88,7 +88,8 @@ def _hot_buckets(
     partials = bucketed.map_batches(
         partial_counts, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    if partials.count() <= HOT_STATS_SMALL_MAX:
+    n_partials = partials.count()
+    if n_partials <= HOT_STATS_SMALL_MAX:
         tbls = list(partials.iter_batches(batch_format="pyarrow"))
         if not tbls:
             return ray.data.from_arrow(_EMPTY_HOT), 0, 0
@@ -106,8 +107,10 @@ def _hot_buckets(
     # aggregate machinery is amortized into one kernel call per partition
     # (the ``_grouped_verify`` pattern); per-worker memory is
     # distinct-buckets / partitions
+    stats_parts = _auto_parts(n_partials)
+
     def add_part(t: pa.Table) -> pa.Table:
-        part = pc.bit_wise_and(t["bucket"], VERIFY_PARTS - 1)
+        part = pc.bit_wise_and(t["bucket"], stats_parts - 1)
         return t.append_column("__part", pc.cast(part, pa.int64()))
 
     def merge_part(g: pa.Table) -> pa.Table:
@@ -346,6 +349,19 @@ def _shingle_sets_batch(
 # tiny buckets
 VERIFY_PARTS = 64
 
+# per-partition row target for the bucket-hash shuffles: partitions scale
+# with volume (power of 2 for the bit-mask key) so per-worker memory stays
+# ~target x row width at ANY candidate count, instead of candidates/64
+VERIFY_PART_TARGET = 500_000
+VERIFY_PARTS_CAP = 4096
+
+
+def _auto_parts(n_rows: int) -> int:
+    p = VERIFY_PARTS
+    while p < VERIFY_PARTS_CAP and n_rows // p > VERIFY_PART_TARGET:
+        p *= 2
+    return p
+
 
 def _grouped_verify(
     cands: "ray.data.Dataset",
@@ -573,7 +589,7 @@ def _hot_bucket_verify(
 
     cands = _semi_join_hot(bucketed, hot, n_hot)
     if distributed:
-        pairs = _grouped_verify(cands, verify, empty)
+        pairs = _grouped_verify(cands, verify, empty, num_parts=_auto_parts(n_cand))
         return _distinct_pairs(pairs, empty)
     return _verify_one_block(cands, verify, empty)
 
@@ -917,7 +933,10 @@ def minhash_lsh_dedup(
         joined = _attach_payload(cands, docs, id_col, n_cand)
         if joined is None:
             return ray.data.from_arrow(empty)
-        pairs = _grouped_verify(joined, verify, empty, prepare=prepare_sets)
+        pairs = _grouped_verify(
+            joined, verify, empty, num_parts=_auto_parts(n_cand),
+            prepare=prepare_sets,
+        )
         return _distinct_pairs(pairs, empty)
 
     # local path: the candidate (id, bucket) pair set is small by
@@ -1332,6 +1351,6 @@ def embedding_dup_pairs(
     if joined is None:
         return ray.data.from_arrow(empty)
     if distributed:
-        pairs = _grouped_verify(joined, verify, empty)
+        pairs = _grouped_verify(joined, verify, empty, num_parts=_auto_parts(n_cand))
         return _distinct_pairs(pairs, empty)
     return _verify_one_block(joined, verify, empty)
