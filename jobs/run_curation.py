@@ -64,6 +64,32 @@ def main() -> int:
         help="redact URLs/emails/IPv4s in the surviving text",
     )
     ap.add_argument(
+        "--max-dup-token-frac",
+        type=float,
+        default=None,
+        help="drop docs whose within-doc duplicate-token fraction "
+        "(1 - distinct/total, Gopher repetition rule) exceeds this",
+    )
+    ap.add_argument(
+        "--scrub-boilerplate",
+        action="store_true",
+        help="remove corpus-repeated segments from surviving text "
+        "(segment-level dedup)",
+    )
+    ap.add_argument(
+        "--boiler-sep", default=r"\n",
+        help="segment separator regex for --scrub-boilerplate",
+    )
+    ap.add_argument(
+        "--boiler-min-count", type=int, default=2,
+        help="corpus occurrences at/above which a segment is boilerplate",
+    )
+    ap.add_argument(
+        "--boiler-join", default="\n",
+        help="string joining the surviving segments (the separator's "
+        "canonical form when the sep is a regex)",
+    )
+    ap.add_argument(
         "--pack-budget",
         type=int,
         default=None,
@@ -115,7 +141,21 @@ def main() -> int:
 
     def finish(name: str, t_start: float) -> None:
         timings[name] = round(time.time() - t_start, 2)
+        # an all-empty stage writes no files at all — pin the directory so
+        # resume checks and downstream reads see "empty", not "missing"
+        os.makedirs(os.path.join(args.out, _STAGE_DIRS[name]), exist_ok=True)
         open(_done(args.out, name), "w").write(str(time.time()))
+
+    def read_stage(path: str, schema: "dict[str, pa.DataType]"):
+        """Read a stage's parquet, or an empty typed Dataset when the stage
+        legitimately produced zero rows (e.g. no near-dup pairs)."""
+        import glob
+
+        if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            return rd.read_parquet(path)
+        return rd.from_arrow(
+            pa.table({k: pa.array([], v) for k, v in schema.items()})
+        )
 
     stats_dir = os.path.join(args.out, "stats")
     if stage("stats"):
@@ -126,6 +166,10 @@ def main() -> int:
             else pa.array(args.languages.split(","))
         )
         ds = text_stats(read_parquet_clean(args.input, columns=["doc_id", "text"]))
+        if args.max_dup_token_frac is not None:
+            from sqlgrep_ray.stages.repetition import with_repetition
+
+            ds = with_repetition(ds)
 
         def keep(tb: pa.Table) -> pa.Table:
             mask = pc.and_(
@@ -134,6 +178,17 @@ def main() -> int:
             )
             if langs is not None:
                 mask = pc.and_(pc.is_in(tb["lang_pred"], value_set=langs), mask)
+            if args.max_dup_token_frac is not None:
+                # Gopher repetition rule, integer-safe: duplicate-token
+                # fraction = (n_tokens - n_distinct) / n_tokens <= F
+                dup = pc.subtract(tb["n_tokens"], tb["n_distinct_tokens"])
+                cap = pc.multiply(
+                    tb["n_tokens"].cast(pa.float64()),
+                    pa.scalar(float(args.max_dup_token_frac)),
+                )
+                mask = pc.and_(
+                    pc.less_equal(dup.cast(pa.float64()), cap), mask
+                )
             return tb.filter(mask)
 
         ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
@@ -207,7 +262,10 @@ def main() -> int:
                 winners.select_columns(["doc_id"]), join_type="inner",
                 on=("doc_id",), num_partitions=np_,
             )
-        pairs = rd.read_parquet(pairs_dir)
+        pairs = read_stage(
+            pairs_dir,
+            {"id_a": pa.int64(), "id_b": pa.int64(), "jaccard": pa.float64()},
+        )
         losers_ds = pairs.map_batches(
             lambda tb: pa.table({"doc_id": tb["id_b"]}),
             batch_format="pyarrow", zero_copy_batch=True,
@@ -219,7 +277,11 @@ def main() -> int:
         elif n_losers:
             kept = _anti_join(kept, losers_ds, "doc_id", np_)
         # duplicate-gram fraction cap: broadcast the over-cap ids
-        dup = rd.read_parquet(dup_dir)
+        dup = read_stage(
+            dup_dir,
+            {"doc_id": pa.int64(), "dup_grams": pa.int64(),
+             "total_grams": pa.int64()},
+        )
 
         def over_cap(tb: pa.Table) -> pa.Table:
             frac = pc.divide(
@@ -235,7 +297,7 @@ def main() -> int:
         if len(bad_ids):
             kept = _semi_filter(kept, bad_ids, "doc_id", keep=False)
         if args.benchmark:
-            contaminated = rd.read_parquet(decon_dir)
+            contaminated = read_stage(decon_dir, {"doc_id": pa.int64()})
             n_bad = contaminated.count()
             if 0 < n_bad <= BROADCAST_IDS_MAX:
                 kept = _semi_filter(
@@ -243,6 +305,17 @@ def main() -> int:
                 )
             elif n_bad:
                 kept = _anti_join(kept, contaminated, "doc_id", np_)
+        if args.scrub_boilerplate:
+            from sqlgrep_ray.stages.segdedup import segment_dedup
+
+            # corpus-repeated segments removed from the surviving text;
+            # original columns (lang_pred partition key, stats) survive
+            kept = segment_dedup(
+                kept,
+                sep=args.boiler_sep,
+                join_str=args.boiler_join,
+                min_count=args.boiler_min_count,
+            )
         if args.scrub_pii:
             from sqlgrep_ray.stages.scrub import scrub_pii
 
@@ -267,7 +340,7 @@ def main() -> int:
         kept.write_parquet(final_dir, partition_cols=["lang_pred"])
         finish("final", t)
 
-    rows_out = rd.read_parquet(final_dir).count()
+    rows_out = read_stage(final_dir, {"doc_id": pa.int64()}).count()
     metrics = {
         "wall_s": round(time.time() - t0, 2),
         "rows_out": rows_out,

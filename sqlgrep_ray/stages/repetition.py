@@ -30,7 +30,9 @@ import pyarrow.compute as pc
 from sqlgrep_ray.stages.textnorm import split_whitespace
 
 
-def _repetition_batch(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+def _repetition_batch(
+    t: pa.Table, id_col: str, text_col: str, append: bool = False
+) -> pa.Table:
     col = t[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -83,16 +85,18 @@ def _repetition_batch(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
             ]
             n_distinct_2 = np.bincount(sr[new], minlength=n).astype(np.int64)
 
-    return pa.table(
-        {
-            id_col: t[id_col],
-            "n_tokens": pa.array(ntok, pa.int64()),
-            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
-            "max_token_count": pa.array(max_count, pa.int64()),
-            "n_2grams": pa.array(n_2grams, pa.int64()),
-            "n_distinct_2grams": pa.array(n_distinct_2, pa.int64()),
-        }
-    )
+    cols = {
+        "n_tokens": pa.array(ntok, pa.int64()),
+        "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+        "max_token_count": pa.array(max_count, pa.int64()),
+        "n_2grams": pa.array(n_2grams, pa.int64()),
+        "n_distinct_2grams": pa.array(n_distinct_2, pa.int64()),
+    }
+    if append:
+        for name, arr in cols.items():
+            t = t.append_column(name, arr)
+        return t
+    return pa.table({id_col: t[id_col], **cols})
 
 
 def repetition_stats(
@@ -110,5 +114,17 @@ def repetition_stats(
 
     def fn(t: pa.Table) -> pa.Table:
         return _repetition_batch(t, id_col, text_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_repetition(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Append the repetition-signal columns to the input rows (mid-pipeline
+    form: the original columns survive for downstream filters/sinks)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return _repetition_batch(t, id_col, text_col, append=True)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

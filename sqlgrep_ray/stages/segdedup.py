@@ -183,16 +183,13 @@ def segment_dedup(
             pa.array(new_off, pa.int32()), kept_flat
         )
         cleaned = pc.binary_join(kept_lists, join_str)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                text_col: cleaned,
-                "n_segments": pa.array(nseg, pa.int64()),
-                "n_removed": pa.array(removed, pa.int64()),
-            }
-        )
+        # carry every other column through (the stage slots mid-pipeline:
+        # downstream filters/partition columns must survive)
+        t = t.set_column(t.schema.get_field_index(text_col), text_col, cleaned)
+        t = t.append_column("n_segments", pa.array(nseg, pa.int64()))
+        return t.append_column("n_removed", pa.array(removed, pa.int64()))
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.map_batches(
         scrub, fn_kwargs=dict(hot_ref=hot_ref),
         batch_format="pyarrow", zero_copy_batch=True,
     )

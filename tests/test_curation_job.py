@@ -102,3 +102,50 @@ def test_curation_job_pack_budget(tmp_path):
     assert rows
     for _bin, tot, n in rows:
         assert tot <= 2000 or n == 1  # oversize docs overflow alone
+
+
+def test_curation_job_repetition_and_boilerplate(tmp_path):
+    """--max-dup-token-frac drops repetitive docs; --scrub-boilerplate
+    removes corpus-repeated segments from surviving text."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(9)
+    words = [f"tok{i}" for i in range(400)]
+    boiler = "standard legal disclaimer line shared by many documents"
+    texts = []
+    for i in range(40):
+        body = " ".join(rng.choice(words, 30, replace=False))
+        texts.append(f"{boiler}\n{body}")
+    texts.append("spam " * 50)  # one highly repetitive doc
+    src_path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        src_path,
+    )
+
+    out = str(tmp_path / "cur3")
+    p = subprocess.run(
+        [sys.executable, "jobs/run_curation.py",
+         "--input", src_path, "--out", out, "--languages", "all",
+         "--min-quality", "0.0", "--min-tokens", "1",
+         "--max-dup-token-frac", "0.5", "--scrub-boilerplate",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    m = json.loads(p.stdout.strip().splitlines()[-1])
+    assert m["rows_out"] == 40  # the spam doc (dup frac ~ 1) is gone
+
+    import pandas as pd
+
+    final = pd.read_parquet(os.path.join(out, "final"))
+    assert not final["text"].str.contains("disclaimer").any()
+    assert (final["n_removed"] >= 1).all()
+    assert final["text"].str.len().gt(0).all()  # unique bodies survived
