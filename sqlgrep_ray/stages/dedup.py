@@ -410,7 +410,15 @@ def _distinct_pairs(pairs: "ray.data.Dataset", empty: pa.Table) -> "ray.data.Dat
     """Distributed pair dedup: the same (id_a, id_b) surfaces once per
     colliding band/table — ONE vectorized hash-aggregate shuffle keyed on the
     pair (extra columns — jaccard/hamming/cosine — are identical across
-    duplicates; Max is a no-op merge). No per-group Python calls."""
+    duplicates; Max is a no-op merge). No per-group Python calls.
+
+    Measured note (r3): a driver-side small-path variant (materialize +
+    pull + one TableGroupBy) was TRIED and reverted — fetching the verify
+    stage's many small generator blocks to the driver cost ~15 s at 200k
+    docs, far more than the streamed groupby exchange. Unlike the stats /
+    vocab / textdup AUTO merges (whose partials are per-block combined and
+    few), the verify output arrives as many tiny blocks, and pulling them
+    serially to one process is the slow path."""
     from ray.data.aggregate import Max
 
     extra = [c for c in empty.column_names if c not in ("id_a", "id_b")]
