@@ -1550,6 +1550,67 @@ GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_turn_latency(sf_dir: str) -> Result:
+    """Per-turn response latency: ts minus the previous turn's ts within
+    the same conversation (LAG window function over (conv_id, turn_idx)) —
+    the generic per-partition shift operator, full-row output. NULL for
+    each conversation's first turn, microsecond int64 everywhere else:
+    hash-exact cross-engine."""
+    from sqlgrep_ray.stages.window import lag_shift
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "ts"]
+    )
+    ds = lag_shift(ds, "conv_id", "turn_idx", ["ts"], offset=1)
+
+    def latency(t: pa.Table) -> pa.Table:
+        cur = pc.cast(t["ts"], pa.int64())
+        prev = pc.cast(t["ts_lag1"], pa.int64())
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "latency_us": pc.subtract(cur, prev),
+            }
+        )
+
+    return ds.map_batches(latency, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TURN_LATENCY = f"""
+SELECT conv_id, turn_idx,
+       CAST(epoch_us(ts)
+            - epoch_us(LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+            AS BIGINT) AS latency_us
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
+def q_reassemble_convs(sf_dir: str) -> Result:
+    """Turns → documents bridge: every conversation collapsed to one
+    '{{role}}: {{text}}' newline-joined document in turn order, plus
+    n_turns. String-exact vs DuckDB's ordered string_agg — validates the
+    segment-join (one vectorized sort + binary_join per bucket) that feeds
+    the curation suite at conversation granularity."""
+    from sqlgrep_ray.stages.conversation import reassemble_conversations
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "role", "text"]
+    )
+    return reassemble_conversations(ds)
+
+
+SQL_REASSEMBLE_CONVS = f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+FROM read_parquet('{_TR_GLOB}')
+GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-2 additions: decontamination, vocabulary, PII scrub, sketches,
 # clustering, quality counts
@@ -2166,6 +2227,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
+    "turn_latency": q_turn_latency,
+    "reassemble_convs": q_reassemble_convs,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
@@ -2236,6 +2299,8 @@ ORACLES: dict[str, str] = {
     "conv_stats": SQL_CONV_STATS,
     "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,
     "hot_conv_roles": SQL_HOT_CONV_ROLES,
+    "turn_latency": SQL_TURN_LATENCY,
+    "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
     "flagship_sink_role_counts": SQL_FLAGSHIP_SINK_ROLE_COUNTS,
     "flagship_hour_histogram": SQL_FLAGSHIP_HOUR_HISTOGRAM,

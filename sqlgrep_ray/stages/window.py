@@ -359,3 +359,78 @@ def assign_sessions(
         .groupby("__b")
         .map_groups(label_bucket, batch_format="pyarrow")
     )
+
+
+def lag_shift(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    value_cols: Sequence[str],
+    offset: int = 1,
+    keep_cols: Sequence[str] = (),
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-partition LAG / LEAD: for every row, the value of each
+    ``value_cols`` entry from the row ``offset`` positions EARLIER
+    (``offset > 0``, SQL ``LAG(v, offset)``) or LATER (``offset < 0``,
+    ``LEAD(v, -offset)``) within the same ``key`` partition ordered by
+    ``order_col`` — NULL past the partition edge. Output columns are named
+    ``{col}_lag{offset}`` / ``{col}_lead{-offset}``.
+
+    Execution is the same key-hash bucket shuffle as
+    :func:`assign_sessions`: only (key, order, values, keep) columns move,
+    each bucket is sorted once and every shift is one vectorized
+    null-masked ``take`` — no per-key Python. Determinism contract: the
+    (key, order_col) pair must be unique per row (transcripts: conv_id +
+    turn_idx), else tie order is engine-defined. Partitioning assumption
+    (documented, same as sessionize): one key's rows fit one worker.
+    """
+    if offset == 0:
+        raise ValueError("offset must be nonzero (positive=lag, negative=lead)")
+    tag = f"lag{offset}" if offset > 0 else f"lead{-offset}"
+    cols = list(dict.fromkeys([key, order_col, *value_cols, *keep_cols]))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def shift_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            for c in value_cols:
+                g = g.append_column(
+                    f"{c}_{tag}", pa.array([], g.schema.field(c).type)
+                )
+            return g
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (order_col, "ascending")]
+        )
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        idx = np.arange(n, dtype=np.int64) - offset
+        valid = (idx >= 0) & (idx < n)
+        clipped = np.clip(idx, 0, n - 1)
+        same = pc.fill_null(
+            pc.equal(karr.take(pa.array(clipped)), karr), False
+        )
+        valid &= same.to_numpy(zero_copy_only=False).astype(bool)
+        take_idx = pa.array(clipped, mask=~valid)
+        for c in value_cols:
+            g = g.append_column(
+                f"{c}_{tag}", g[c].combine_chunks().take(take_idx)
+            )
+        return g
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(shift_bucket, batch_format="pyarrow")
+    )

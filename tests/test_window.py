@@ -207,3 +207,113 @@ def test_trailing_window_agg(ray_session):
         (1, 7): (1, 7),   # 45-30=15 > 10, window excludes the ties
         (2, 11): (1, 11),
     }
+
+
+def test_lag_shift_vs_pandas(ray_session):
+    """lag_shift == pandas groupby shift, for lag and lead, across
+    arbitrary block boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from sqlgrep_ray.stages.window import lag_shift
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": [f"k{c:02d}" for c in rng.randint(0, 23, n)],
+            "o": np.arange(n, dtype=np.int64),  # unique order key
+            "v": rng.randint(-100, 100, n).astype(np.int64),
+            "s": [f"s{r}" for r in rng.randint(0, 9, n)],
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    for off, col in [(1, "lag1"), (3, "lag3"), (-2, "lead2")]:
+        out = (
+            lag_shift(ds, "k", "o", ["v", "s"], offset=off)
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+        exp_v = ref.groupby("k")["v"].shift(off)
+        exp_s = ref.groupby("k")["s"].shift(off)
+        got_v = out[f"v_{col}"]
+        got_s = out[f"s_{col}"]
+        assert got_v.isna().equals(exp_v.isna())
+        assert (got_v.dropna().astype(np.int64) == exp_v.dropna().astype(np.int64)).all()
+        assert got_s.fillna("<N>").tolist() == exp_s.fillna("<N>").tolist()
+
+
+def test_lag_shift_zero_offset_rejected(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.window import lag_shift
+
+    ds = ray.data.from_arrow(_events())
+    try:
+        lag_shift(ds, "user_id", "ts", ["value"], offset=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_reassemble_conversations_vs_naive(ray_session):
+    """reassemble_conversations == sort + per-conv join, including
+    single-turn convs and arbitrary block boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from sqlgrep_ray.stages.conversation import reassemble_conversations
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{c:03d}" for c in rng.randint(0, 60, n)],
+            "turn_idx": np.arange(n, dtype=np.int64),
+            "role": [["user", "assistant", "tool"][r] for r in rng.randint(0, 3, n)],
+            "text": [f"msg {i}é中" for i in range(n)],  # multi-byte
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(9)
+    out = (
+        reassemble_conversations(ds)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["conv_id", "turn_idx"])
+    exp = (
+        ref.assign(line=ref.role + ": " + ref.text)
+        .groupby("conv_id")
+        .agg(n_turns=("line", "size"), doc=("line", "\n".join))
+        .reset_index()
+    )
+    assert out["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert out["n_turns"].tolist() == exp["n_turns"].tolist()
+    assert out["doc"].tolist() == exp["doc"].tolist()
+
+
+def test_reassemble_no_role(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.conversation import reassemble_conversations
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "b", "a"],
+            "turn_idx": pa.array([1, 0, 0], pa.int64()),
+            "text": ["second", "only", "first"],
+        }
+    )
+    out = (
+        reassemble_conversations(
+            ray.data.from_arrow(t), role_col=None, sep=" | "
+        )
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc"].tolist() == ["first | second", "only"]
+    assert out["n_turns"].tolist() == [2, 1]
