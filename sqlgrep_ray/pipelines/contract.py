@@ -1611,6 +1611,40 @@ GROUP BY conv_id
 """
 
 
+def q_kll_quantiles(sf_dir: str) -> Result:
+    """KLL quantile sketch in its EXACT regime (n=2000 part rows < k=4096,
+    no compaction ever fires): reproduces the engine's truncation-index
+    percentile bit-for-bit. Values are elements of the data (no float
+    arithmetic) so they hash identically cross-engine; accuracy past the
+    exact regime is pinned by pytest (rank error < 2/k at 200k values)."""
+    from sqlgrep_ray.stages.sketch import approx_quantiles
+
+    q50, q90, q99 = approx_quantiles(
+        _t(sf_dir, "part", ["p_retailprice"]),
+        "p_retailprice",
+        qs=(0.5, 0.9, 0.99),
+        k=4096,
+    )
+    return pa.table({"q50": [q50], "q90": [q90], "q99": [q99]})
+
+
+SQL_KLL_QUANTILES = """
+WITH ranked AS (
+  SELECT p_retailprice AS x,
+         row_number() OVER (ORDER BY p_retailprice) AS rn,
+         count(*) OVER () AS n
+  FROM part WHERE p_retailprice IS NOT NULL
+)
+SELECT
+  (SELECT x FROM ranked
+    WHERE rn = 1 + LEAST(CAST(FLOOR(0.5 * n) AS BIGINT), n - 1)) AS q50,
+  (SELECT x FROM ranked
+    WHERE rn = 1 + LEAST(CAST(FLOOR(0.9 * n) AS BIGINT), n - 1)) AS q90,
+  (SELECT x FROM ranked
+    WHERE rn = 1 + LEAST(CAST(FLOOR(0.99 * n) AS BIGINT), n - 1)) AS q99
+"""
+
+
 # ---------------------------------------------------------------------------
 # Round-2 additions: decontamination, vocabulary, PII scrub, sketches,
 # clustering, quality counts
@@ -2229,6 +2263,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "hot_conv_roles": q_hot_conv_roles,
     "turn_latency": q_turn_latency,
     "reassemble_convs": q_reassemble_convs,
+    "kll_quantiles": q_kll_quantiles,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
@@ -2301,6 +2336,7 @@ ORACLES: dict[str, str] = {
     "hot_conv_roles": SQL_HOT_CONV_ROLES,
     "turn_latency": SQL_TURN_LATENCY,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
+    "kll_quantiles": SQL_KLL_QUANTILES,
     "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
     "flagship_sink_role_counts": SQL_FLAGSHIP_SINK_ROLE_COUNTS,
     "flagship_hour_histogram": SQL_FLAGSHIP_HOUR_HISTOGRAM,

@@ -1,4 +1,7 @@
-"""HyperLogLog approximate COUNT(DISTINCT) — mergeable fixed-size sketch.
+"""Mergeable sketches: HyperLogLog distinct counts, Misra-Gries heavy
+hitters, KLL quantiles.
+
+HyperLogLog approximate COUNT(DISTINCT) — mergeable fixed-size sketch.
 
 The scale path for distinct counting: the exact paths
 (``aggregate.py`` holistic set, ``skew.salted_count_distinct``) shuffle
@@ -173,6 +176,127 @@ def heavy_hitters(
         .map_batches(merge, batch_format="pyarrow")
     )
     return out.sort(["count", "item"], descending=[True, False])
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch — mergeable approximate percentiles
+# ---------------------------------------------------------------------------
+
+
+def _kll_cap(k: int, level: int, top: int) -> int:
+    """Compactor capacity: k at the top level, decaying by 2/3 per level
+    below (Karnin-Lang-Liberty 2016). Floor of 8 keeps tiny levels sane."""
+    return max(8, int(np.ceil(k * (2.0 / 3.0) ** (top - level))))
+
+
+def _kll_compact(values: np.ndarray, levels: np.ndarray, k: int):
+    """Compaction cascade: any over-capacity level is sorted and every
+    other item is promoted one level up (weight doubles); the remainder is
+    dropped. An odd-length buffer retains its largest item at the level so
+    total weight is always preserved exactly. Parity of the kept lane is
+    derived deterministically from (buffer length, level) — reproducible
+    for a fixed merge order; approximation guarantees are empirical-grade
+    (tested), not adversarial-grade (the classic analysis randomizes the
+    parity coin)."""
+    while True:
+        top = int(levels.max()) if len(levels) else 0
+        done = True
+        for lvl in range(top + 1):
+            sel = levels == lvl
+            n_l = int(np.count_nonzero(sel))
+            if n_l <= _kll_cap(k, lvl, top):
+                continue
+            done = False
+            buf = np.sort(values[sel])
+            keep_values = [values[~sel]]
+            keep_levels = [levels[~sel]]
+            if n_l % 2 == 1:
+                keep_values.append(buf[-1:])
+                keep_levels.append(np.array([lvl], dtype=np.int8))
+                buf = buf[:-1]
+            parity = (len(buf) ^ lvl) & 1
+            promoted = buf[parity::2]
+            keep_values.append(promoted)
+            keep_levels.append(np.full(len(promoted), lvl + 1, dtype=np.int8))
+            values = np.concatenate(keep_values)
+            levels = np.concatenate(keep_levels).astype(np.int8)
+            break  # re-derive top before compacting further
+        if done:
+            return values, levels
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs=(0.5, 0.9, 0.99),
+    k: int = 2048,
+    merge_rows: int = 65536,
+) -> list[float]:
+    """Approximate quantiles of ``col`` via a mergeable KLL sketch.
+
+    The scale path for percentiles: the exact path
+    (``stages/quantile.distributed_percentile``) needs a sample pass plus a
+    bracket-collect pass over the data; a KLL sketch is one streaming pass
+    and O(k) state — at 100 TB the whole reduction moves a few thousand
+    (value, level) pairs per block. Rank error is O(1/k) of N in practice
+    (pytest pins < 2/k on uniform and zipf data).
+
+    Below ``k`` total values no compaction ever fires, so the sketch is
+    EXACT and reproduces the engine's truncation-index percentile
+    (0-based ``floor(q*N)``, the reference's PERCENTILE contract) — the
+    driver oracle runs in that regime; accuracy beyond it is pinned by
+    pytest. Weight bookkeeping is exact (sum of 2^level == N always).
+
+    Returns one float per entry of ``qs``; NaN-free input assumed, NULLs
+    dropped, empty input → empty list.
+    """
+
+    def block(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        v = c.drop_null().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        lv = np.zeros(len(v), dtype=np.int8)
+        v, lv = _kll_compact(v, lv, k)
+        return pa.table({"value": pa.array(v), "level": pa.array(lv)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "level": pa.array([], pa.int8()),
+                }
+            )
+        v = t["value"].to_numpy(zero_copy_only=False)
+        lv = t["level"].to_numpy(zero_copy_only=False).astype(np.int8)
+        v, lv = _kll_compact(v, lv, k)
+        return pa.table({"value": pa.array(v), "level": pa.array(lv)})
+
+    final = (
+        ds.select_columns([col])
+        .map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(merge, batch_format="pyarrow", batch_size=merge_rows)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    if not final:
+        return []
+    values = np.array([r["value"] for r in final])
+    weights = np.exp2([r["level"] for r in final]).astype(np.int64)
+    if len(values) == 0:
+        return []
+    order = np.argsort(values, kind="stable")
+    values, weights = values[order], weights[order]
+    cumw = np.cumsum(weights)
+    n = int(cumw[-1])
+    out = []
+    for q in qs:
+        t_pos = min(int(np.floor(q * n)), n - 1)
+        idx = min(int(np.searchsorted(cumw, t_pos, side="right")), len(values) - 1)
+        out.append(float(values[idx]))
+    return out
 
 
 def heavy_tokens(

@@ -311,3 +311,65 @@ def test_quantized_knn_recall(ray_session):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kll_exact_regime(ray_session):
+    """Below k values no compaction fires: sketch == truncation-index
+    percentile (0-based floor(q*n)) exactly."""
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, 1500).astype(np.float64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(5)
+    got = approx_quantiles(ds, "x", qs=(0.0, 0.25, 0.5, 0.95, 1.0), k=2048)
+    s = np.sort(vals)
+    n = len(s)
+    exp = [float(s[min(int(np.floor(q * n)), n - 1)]) for q in (0.0, 0.25, 0.5, 0.95, 1.0)]
+    assert got == exp
+
+
+def test_kll_accuracy_uniform_and_zipf(ray_session):
+    """Rank error stays within 2/k of N on 200k values, uniform and
+    heavy-tailed, across many blocks (forces compaction + merges)."""
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import approx_quantiles
+
+    rng = np.random.RandomState(9)
+    n, k = 200_000, 256
+    for vals in (
+        rng.rand(n),
+        rng.zipf(1.5, n).astype(np.float64),
+    ):
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(32)
+        qs = (0.1, 0.5, 0.9, 0.99)
+        got = approx_quantiles(ds, "x", qs=qs, k=k)
+        s = np.sort(vals)
+        for q, v in zip(qs, got):
+            # a tied value covers a rank interval; error is distance from
+            # the target rank to that interval
+            lo = np.searchsorted(s, v, side="left")
+            hi = np.searchsorted(s, v, side="right")
+            err = max(lo - q * n, q * n - hi, 0)
+            assert err <= 2 * n / k, (q, v, lo, hi)
+
+
+def test_kll_empty_and_null(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import approx_quantiles
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert approx_quantiles(empty, "x") == []
+    withnull = ray.data.from_arrow(
+        pa.table({"x": pa.array([None, 5.0, None, 1.0], pa.float64())})
+    )
+    got = approx_quantiles(withnull, "x", qs=(0.0, 0.5), k=64)
+    assert got == [1.0, 5.0]
