@@ -41,6 +41,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
         q_groupby_q1,
         q_lang_quality,
         q_minhash_pairs,
+        q_reassemble_convs,
         q_regex_extract_docs,
         q_scrub_pii_docs,
         q_sessionize_users,
@@ -78,6 +79,12 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     t0 = time.time()
     q_sessionize_users(sf_dir).count()
     timings["sessionize_users"] = time.time() - t0
+
+    # turns -> documents bridge: the full text payload through one key-hash
+    # bucket shuffle + vectorized segment join (~750k turns at sf0.1)
+    t0 = time.time()
+    q_reassemble_convs(sf_dir).count()
+    timings["reassemble_convs"] = time.time() - t0
 
     t0 = time.time()
     q_asof_join_orders(sf_dir).count()
