@@ -10,6 +10,9 @@ every stage writes its parquet output plus a ``_DONE.<stage>`` marker and a
 rerun skips completed stages (the standard staged-materialization pattern
 for all-to-all steps). Stages:
 
+0. ``reassemble`` — (with ``--from-transcripts``) collapse a transcript
+                  turn table into one document per conversation
+                  (stages/conversation.py); doc_id = hash64(conv_id)
 1. ``stats``    — text_stats + language/quality/token filter → stats parquet
 2. ``winners``  — exact-dedup surviving ids (fingerprint min-id)
 3. ``pairs``    — MinHash-LSH near-dup pairs above the threshold
@@ -46,6 +49,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet file/dir")
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--from-transcripts",
+        action="store_true",
+        help="input is a transcript turn table (conv_id, turn_idx, role, "
+        "text, ...); a reassemble stage collapses each conversation into "
+        "one document before curation",
+    )
     ap.add_argument("--languages", default="en", help="comma list; 'all' disables")
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--min-tokens", type=int, default=5)
@@ -121,8 +131,9 @@ def main() -> int:
     from sqlgrep_ray.stages.textstats import text_stats
 
     _STAGE_DIRS = {
-        "stats": "stats", "winners": "winners", "pairs": "pairs",
-        "dupgrams": "dupgrams", "decontam": "decontam", "final": "final",
+        "reassemble": "docs", "stats": "stats", "winners": "winners",
+        "pairs": "pairs", "dupgrams": "dupgrams", "decontam": "decontam",
+        "final": "final",
     }
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
@@ -157,6 +168,39 @@ def main() -> int:
             pa.table({k: pa.array([], v) for k, v in schema.items()})
         )
 
+    corpus_input = args.input
+    if args.from_transcripts:
+        # stage 0: turns -> documents. doc_id is a deterministic 64-bit
+        # hash of conv_id (collision odds ~n²/2^64 — negligible below
+        # ~10^9 conversations per job); conv_id rides along for lineage.
+        docs_dir = os.path.join(args.out, "docs")
+        if stage("reassemble"):
+            t = time.time()
+            import pandas as pd
+
+            from sqlgrep_ray.stages.conversation import reassemble_conversations
+
+            turns = read_parquet_clean(
+                args.input, columns=["conv_id", "turn_idx", "role", "text"]
+            )
+
+            def add_doc_id(tb: pa.Table) -> pa.Table:
+                h = pd.util.hash_pandas_object(
+                    tb.select(["conv_id"]).to_pandas(), index=False
+                ).to_numpy()
+                return tb.append_column(
+                    "doc_id", pa.array(h.astype("int64"))
+                ).rename_columns(
+                    [("text" if c == "doc" else c) for c in tb.column_names]
+                    + ["doc_id"]
+                )
+
+            reassemble_conversations(turns).map_batches(
+                add_doc_id, batch_format="pyarrow", zero_copy_batch=True
+            ).write_parquet(docs_dir)
+            finish("reassemble", t)
+        corpus_input = docs_dir
+
     stats_dir = os.path.join(args.out, "stats")
     if stage("stats"):
         t = time.time()
@@ -165,7 +209,10 @@ def main() -> int:
             if args.languages == "all"
             else pa.array(args.languages.split(","))
         )
-        ds = text_stats(read_parquet_clean(args.input, columns=["doc_id", "text"]))
+        stat_cols = ["doc_id", "text"] + (
+            ["conv_id"] if args.from_transcripts else []
+        )
+        ds = text_stats(read_parquet_clean(corpus_input, columns=stat_cols))
         if args.max_dup_token_frac is not None:
             from sqlgrep_ray.stages.repetition import with_repetition
 

@@ -149,3 +149,50 @@ def test_curation_job_repetition_and_boilerplate(tmp_path):
     assert not final["text"].str.contains("disclaimer").any()
     assert (final["n_removed"] >= 1).all()
     assert final["text"].str.len().gt(0).all()  # unique bodies survived
+
+
+def test_curation_job_from_transcripts(tmp_path):
+    """--from-transcripts reassembles conversations into documents first;
+    the whole curation suite then runs at conversation granularity."""
+    from sqlgrep_ray.sources.synth import ensure_transcripts
+
+    tr_dir = ensure_transcripts(0.001)
+    out = str(tmp_path / "cur_tr")
+    p = subprocess.run(
+        [sys.executable, "jobs/run_curation.py",
+         "--input", tr_dir, "--out", out, "--from-transcripts",
+         "--languages", "all", "--min-quality", "0.0", "--min-tokens", "1",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    m = json.loads(p.stdout.strip().splitlines()[-1])
+    assert "reassemble" in m["stages_run"]
+    assert m["rows_out"] > 0
+
+    import duckdb
+
+    # one output row per surviving conversation, with lineage back to it
+    n_convs = duckdb.sql(
+        f"SELECT count(DISTINCT conv_id) FROM read_parquet('{tr_dir}/*.parquet')"
+    ).fetchone()[0]
+    final = os.path.join(out, "final")
+    rows = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT conv_id), count(DISTINCT doc_id) "
+        f"FROM read_parquet('{final}/*/*.parquet')"
+    ).fetchone()
+    assert rows[0] == rows[1] == rows[2]  # one doc per conversation
+    assert 0 < rows[0] <= n_convs
+
+    # resume: only the final stage reruns; reassemble is skipped
+    os.remove(os.path.join(out, "_DONE.final"))
+    p2 = subprocess.run(
+        [sys.executable, "jobs/run_curation.py",
+         "--input", tr_dir, "--out", out, "--from-transcripts",
+         "--languages", "all", "--min-quality", "0.0", "--min-tokens", "1",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    m2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert "reassemble" in m2["stages_skipped_resume"]
+    assert m2["rows_out"] == m["rows_out"]
