@@ -97,3 +97,25 @@ def test_windows_sample_empty(ray_session):
         ).count()
         == 0
     )
+
+
+def test_lag_reassemble_kll_empty(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.conversation import reassemble_conversations
+    from sqlgrep_ray.stages.sketch import approx_quantiles
+    from sqlgrep_ray.stages.window import lag_shift
+
+    empty_turns = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert lag_shift(empty_turns, "conv_id", "turn_idx", ["text"]).count() == 0
+    assert reassemble_conversations(empty_turns).count() == 0
+    assert approx_quantiles(_empty_docs(), "doc_id") == []
