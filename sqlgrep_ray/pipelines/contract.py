@@ -1588,6 +1588,65 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_latency_quantiles(sf_dir: str) -> Result:
+    """Composed telemetry metric: p50/p95/p99 inter-turn response latency —
+    lag_shift (window function) → vectorized subtraction → KLL quantile
+    sketch, three operators in one streaming pipeline. k=131072 exceeds the
+    sf0.01 row count so the sketch runs in its exact regime (oracle-able);
+    at corpus scale the same pipeline degrades gracefully to the
+    pytest-pinned 2/k rank error. Latencies are integral microseconds —
+    cast to int64 both sides for hash-exact compare."""
+    from sqlgrep_ray.stages.sketch import approx_quantiles
+    from sqlgrep_ray.stages.window import lag_shift
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "ts"]
+    )
+    ds = lag_shift(ds, "conv_id", "turn_idx", ["ts"], offset=1)
+
+    def latency(t: pa.Table) -> pa.Table:
+        lat = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_lag1"], pa.int64())
+        )
+        return pa.table({"latency_us": lat.drop_null()})
+
+    lats = ds.map_batches(latency, batch_format="pyarrow", zero_copy_batch=True)
+    p50, p95, p99 = approx_quantiles(
+        lats, "latency_us", qs=(0.5, 0.95, 0.99), k=131072
+    )
+    return pa.table(
+        {
+            "p50": pa.array([int(p50)], pa.int64()),
+            "p95": pa.array([int(p95)], pa.int64()),
+            "p99": pa.array([int(p99)], pa.int64()),
+        }
+    )
+
+
+SQL_LATENCY_QUANTILES = f"""
+WITH lat AS (
+  SELECT CAST(epoch_us(ts)
+              - epoch_us(LAG(ts) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx))
+              AS BIGINT) AS l
+  FROM read_parquet('{_TR_GLOB}')
+), ranked AS (
+  SELECT l AS x, row_number() OVER (ORDER BY l) AS rn,
+         count(*) OVER () AS n
+  FROM lat WHERE l IS NOT NULL
+)
+SELECT
+  (SELECT x FROM ranked
+    WHERE rn = 1 + LEAST(CAST(FLOOR(0.5 * n) AS BIGINT), n - 1)) AS p50,
+  (SELECT x FROM ranked
+    WHERE rn = 1 + LEAST(CAST(FLOOR(0.95 * n) AS BIGINT), n - 1)) AS p95,
+  (SELECT x FROM ranked
+    WHERE rn = 1 + LEAST(CAST(FLOOR(0.99 * n) AS BIGINT), n - 1)) AS p99
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2264,6 +2323,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "turn_latency": q_turn_latency,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
+    "latency_quantiles": q_latency_quantiles,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
@@ -2337,6 +2397,7 @@ ORACLES: dict[str, str] = {
     "turn_latency": SQL_TURN_LATENCY,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
+    "latency_quantiles": SQL_LATENCY_QUANTILES,
     "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
     "flagship_sink_role_counts": SQL_FLAGSHIP_SINK_ROLE_COUNTS,
     "flagship_hour_histogram": SQL_FLAGSHIP_HOUR_HISTOGRAM,
