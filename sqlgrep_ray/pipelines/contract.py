@@ -1670,6 +1670,37 @@ GROUP BY conv_id
 """
 
 
+def q_mixture_sample_docs(sf_dir: str) -> Result:
+    """Corpus mixture construction: per-language target row counts turn
+    into deterministic hash-sample rates via one strata-cardinality count
+    — en downsampled to ~60, fr to ~25, de target above its size keeps the
+    whole stratum, unlisted languages drop. The oracle replays the same
+    integer-hash threshold with rates recomputed as target/count(*) in
+    SQL (single float64 division, IEEE-identical)."""
+    from sqlgrep_ray.stages.sample import mixture_sample
+
+    out, _rates = mixture_sample(
+        _t(sf_dir, "documents", ["doc_id", "lang"]),
+        id_col="doc_id",
+        stratum_col="lang",
+        targets={"en": 60, "de": 10_000, "fr": 25},
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+SQL_MIXTURE_SAMPLE_DOCS = """
+WITH n AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN n USING (lang)
+WHERE (d.lang = 'en' AND (d.doc_id * 2654435761) % 4294967296
+         < CAST(FLOOR(LEAST(1.0, 60.0 / n.c) * 4294967296.0) AS BIGINT))
+   OR (d.lang = 'de' AND (d.doc_id * 2654435761) % 4294967296
+         < CAST(FLOOR(LEAST(1.0, 10000.0 / n.c) * 4294967296.0) AS BIGINT))
+   OR (d.lang = 'fr' AND (d.doc_id * 2654435761) % 4294967296
+         < CAST(FLOOR(LEAST(1.0, 25.0 / n.c) * 4294967296.0) AS BIGINT))
+"""
+
+
 def q_kll_quantiles(sf_dir: str) -> Result:
     """KLL quantile sketch in its EXACT regime (n=2000 part rows < k=4096,
     no compaction ever fires): reproduces the engine's truncation-index
@@ -2324,6 +2355,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
+    "mixture_sample_docs": q_mixture_sample_docs,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
@@ -2398,6 +2430,7 @@ ORACLES: dict[str, str] = {
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,
+    "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
     "flagship_sink_role_counts": SQL_FLAGSHIP_SINK_ROLE_COUNTS,
     "flagship_hour_histogram": SQL_FLAGSHIP_HOUR_HISTOGRAM,

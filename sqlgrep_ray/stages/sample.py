@@ -80,6 +80,36 @@ def grouped_sample(
     )
 
 
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    stratum_col: str,
+    targets: Mapping[str, int],
+) -> tuple["ray.data.Dataset", Mapping[str, float]]:
+    """Corpus mixture construction: deterministically downsample each
+    stratum toward a target ROW COUNT (the domain-reweighting step of
+    recipes like DoReMi — "2 parts web, 1 part code" expressed as counts).
+
+    One tiny ``groupby(stratum).count()`` (output = strata cardinality,
+    never the corpus) yields per-stratum rates ``min(1, target/n)``; the
+    sample itself is the streaming :func:`stratified_sample` filter — the
+    payload never shuffles. Rates are single float64 divisions, so the
+    selection is expressible exactly in SQL (the driver oracle replays
+    ``target/count(*)`` per stratum). Hash-sampling variance makes hit
+    counts approximate (±O(√target)); strata absent from ``targets`` are
+    dropped, targets ≥ the stratum size keep the whole stratum.
+
+    Returns ``(sampled dataset, realized per-stratum rates)``.
+    """
+    counted = ds.groupby(stratum_col).count().take_all()
+    rates = {
+        r[stratum_col]: min(1.0, targets[r[stratum_col]] / r["count()"])
+        for r in counted
+        if r[stratum_col] in targets and r["count()"]
+    }
+    return stratified_sample(ds, id_col, stratum_col, rates), rates
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     id_col: str,

@@ -373,3 +373,38 @@ def test_kll_empty_and_null(ray_session):
     )
     got = approx_quantiles(withnull, "x", qs=(0.0, 0.5), k=64)
     assert got == [1.0, 5.0]
+
+
+def test_mixture_sample(ray_session):
+    """Targets turn into min(1, target/n) rates; output matches a manual
+    stratified_sample at those rates; hit counts land near targets."""
+    import ray.data
+
+    from sqlgrep_ray.stages.sample import mixture_sample, stratified_sample
+
+    rng = np.random.RandomState(5)
+    n = 6000
+    strata = np.array(["web", "code", "chat"])[rng.randint(0, 3, n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "src": pa.array(strata, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    targets = {"web": 400, "code": 100_000}  # chat unlisted -> dropped
+    out, rates = mixture_sample(ds, "doc_id", "src", targets)
+    df = out.to_pandas()
+    n_web = int((strata == "web").sum())
+    n_code = int((strata == "code").sum())
+    assert rates == {
+        "web": min(1.0, 400 / n_web),
+        "code": 1.0,
+    }
+    counts = df["src"].value_counts().to_dict()
+    assert counts.get("chat", 0) == 0
+    assert counts["code"] == n_code  # target above size keeps everything
+    assert abs(counts["web"] - 400) < 4 * np.sqrt(400)
+    # equal to the manual stratified filter at the same rates
+    manual = stratified_sample(ds, "doc_id", "src", rates).to_pandas()
+    assert sorted(df["doc_id"]) == sorted(manual["doc_id"])
