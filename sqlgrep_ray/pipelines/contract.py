@@ -1647,6 +1647,30 @@ SELECT
 """
 
 
+def q_sql_turn_latency(sf_dir: str) -> Result:
+    """The SQL-dialect surface of the window extension: LAG(ts) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx) parsed by sqlfront, lifted
+    into a WindowSpec, executed by lag_shift through run_plan — full-row
+    timestamp output, hash-exact vs DuckDB's own LAG."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, LAG(ts) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "ts"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_TURN_LATENCY = f"""
+SELECT conv_id, turn_idx,
+       LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2352,6 +2376,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
     "turn_latency": q_turn_latency,
+    "sql_turn_latency": q_sql_turn_latency,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
@@ -2427,6 +2452,7 @@ ORACLES: dict[str, str] = {
     "conv_distinct_tools": SQL_CONV_DISTINCT_TOOLS,
     "hot_conv_roles": SQL_HOT_CONV_ROLES,
     "turn_latency": SQL_TURN_LATENCY,
+    "sql_turn_latency": SQL_SQL_TURN_LATENCY,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,

@@ -43,8 +43,27 @@ class JoinSpec:
 
 
 @dataclass(frozen=True)
+class WindowSpec:
+    """ENGINE EXTENSION (the reference has no window functions): one
+    LAG/LEAD call lifted out of a projection. Executed by
+    ``stages/window.lag_shift`` (key-hash bucket shuffle, one vectorized
+    sort + null-masked take per bucket) BEFORE projections, after WHERE —
+    SQL window semantics. Restricted to plain columns for value, PARTITION
+    BY and ORDER BY keys (the lag_shift contract: unique (key, order) per
+    row for determinism)."""
+
+    out_col: str  # internal column the rewritten projection references
+    func: str  # "lag" | "lead"
+    value_col: str
+    key: str  # PARTITION BY column
+    order: str  # ORDER BY column
+    offset: int = 1
+
+
+@dataclass(frozen=True)
 class SelectPlan:
-    """SELECT path: filter → project (wildcard = all columns) → distinct → limit."""
+    """SELECT path: filter → [windows] → project (wildcard = all columns)
+    → distinct → limit."""
 
     projections: Optional[tuple[Projection, ...]] = None  # None ⇒ wildcard
     where: Optional[Expr] = None
@@ -55,6 +74,8 @@ class SelectPlan:
     # (expr, descending) pairs evaluated over the OUTPUT columns; NULLs
     # sort first. Applied before LIMIT (deterministic top-k).
     order_by: tuple = ()
+    # ENGINE EXTENSION: LAG/LEAD window stages (see WindowSpec)
+    windows: tuple = ()
 
 
 @dataclass(frozen=True)

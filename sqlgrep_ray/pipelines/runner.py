@@ -325,6 +325,27 @@ def run_select(
     ds = _apply_join(ds, plan.join, force_inner=False)
     ds = _apply_where(ds, plan.where, ctx)
 
+    windows = getattr(plan, "windows", ())
+    if windows:
+        from sqlgrep_ray.stages.window import lag_shift
+
+        # one bucket shuffle per distinct (key, order, signed offset) —
+        # specs sharing a frame shift together in a single pass
+        frames: dict[tuple, list] = {}
+        for w in windows:
+            off = w.offset if w.func == "lag" else -w.offset
+            frames.setdefault((w.key, w.order, off), []).append(w)
+        for (key, order, off), specs in frames.items():
+            ds = lag_shift(
+                ds,
+                key,
+                order,
+                [w.value_col for w in specs],
+                offset=off,
+                keep_cols=None,  # SQL window semantics: the row survives
+                names=[w.out_col for w in specs],
+            )
+
     if plan.projections is not None:
         kernels = [(p.name, compile_expr(p.expr, ctx)) for p in plan.projections]
 

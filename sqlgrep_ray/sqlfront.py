@@ -49,6 +49,7 @@ from sqlgrep_ray.pipelines.plan import (
     Plan,
     Projection,
     SelectPlan,
+    WindowSpec,
 )
 from sqlgrep_ray.schema import (
     BOOL,
@@ -623,6 +624,34 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op(")")
             fname = _FUNC_ALIASES.get(lname, lname)
+            if fname in ("lag", "lead"):
+                # ENGINE EXTENSION: LAG/LEAD(col[, offset]) OVER
+                # (PARTITION BY col ORDER BY col)
+                if distinct or star:
+                    raise SqlError(f"DISTINCT/* not valid in {fname}()")
+                if not args or not isinstance(args[0], Col):
+                    raise SqlError(f"{fname}() needs a plain column argument")
+                offset = 1
+                if len(args) == 2:
+                    if not isinstance(args[1], Lit) or not isinstance(
+                        args[1].value, int
+                    ) or args[1].value < 1:
+                        raise SqlError(
+                            f"{fname}() offset must be a positive integer literal"
+                        )
+                    offset = int(args[1].value)
+                elif len(args) > 2:
+                    raise SqlError(f"{fname}() takes (column[, offset])")
+                self.expect_kw("over")
+                self.expect_op("(")
+                self.expect_kw("partition")
+                self.expect_kw("by")
+                key = self.expect_ident()
+                self.expect_kw("order")
+                self.expect_kw("by")
+                order = self.expect_ident()
+                self.expect_op(")")
+                return WindowCall(fname, args[0].name, key, order, offset)
             if fname in AGGREGATE_FUNCS:
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:
@@ -655,6 +684,20 @@ class AggCall(Expr):
     args: tuple[Expr, ...]
     distinct: bool = False
     star: bool = False
+
+
+@dataclass(frozen=True)
+class WindowCall(Expr):
+    """A LAG/LEAD window call (pre-conversion only) — ENGINE EXTENSION,
+    the reference dialect has no window functions. Restricted to plain
+    columns (value, PARTITION BY, ORDER BY) and a literal offset; lifted
+    into a ``plan.WindowSpec`` by ``convert_query``."""
+
+    func: str  # "lag" | "lead"
+    value_col: str
+    key: str
+    order: str
+    offset: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -728,6 +771,15 @@ def _find_aggs(e: Expr) -> list[AggCall]:
     return out
 
 
+def _find_windows(e: Expr) -> list[WindowCall]:
+    out: list[WindowCall] = []
+    if isinstance(e, WindowCall):
+        out.append(e)
+    for c in _children(e):
+        out.extend(_find_windows(c))
+    return out
+
+
 def _agg_item_of(call: AggCall, name: str) -> AggItem:
     f = call.func
     if f == "count":
@@ -767,22 +819,39 @@ def convert_query(
         projections is not None and any(_contains_agg(e) for _, e in projections)
     ) or (having is not None)
     if not is_agg:
+        if where is not None and _find_windows(where):
+            raise SqlError("window functions are not allowed in WHERE")
+        specs: list[WindowSpec] = []
         projs = None
         if projections is not None:
-            projs = tuple(
-                Projection(
-                    alias or (e.name if isinstance(e, Col) else f"p{i}"), e
-                )
-                for i, (alias, e) in enumerate(projections)
-            )
+            rewritten: list[tuple[Optional[str], Expr, str]] = []
+            for i, (alias, e) in enumerate(projections):
+                # name resolved BEFORE the window rewrite so a bare
+                # LAG(...) projection defaults to p{i}, not the hidden col
+                name = alias or (e.name if isinstance(e, Col) else f"p{i}")
+                for wc in _find_windows(e):
+                    out = f"__win{len(specs)}"
+                    specs.append(
+                        WindowSpec(
+                            out, wc.func, wc.value_col, wc.key, wc.order,
+                            wc.offset,
+                        )
+                    )
+                    e = _replace(e, wc, Col(out))
+                rewritten.append((alias, e, name))
+            projs = tuple(Projection(n, e) for _, e, n in rewritten)
         return SelectPlan(
             projections=projs, where=where, distinct=distinct, limit=limit,
-            order_by=order_by,
+            order_by=order_by, windows=tuple(specs),
         )
 
     # aggregate statement
     if projections is None:
         raise SqlError("SELECT * not allowed with GROUP BY / aggregates")
+    if any(_find_windows(e) for _, e in projections) or (
+        having is not None and _find_windows(having)
+    ):
+        raise SqlError("window functions cannot be combined with aggregation")
     group_exprs = list(group_by or [])
     keys: list[GroupKey] = []
     aggs: list[AggItem] = []

@@ -367,15 +367,18 @@ def lag_shift(
     order_col: str,
     value_cols: Sequence[str],
     offset: int = 1,
-    keep_cols: Sequence[str] = (),
+    keep_cols: "Sequence[str] | None" = (),
     num_buckets: int = 64,
+    names: "Sequence[str] | None" = None,
 ) -> "ray.data.Dataset":
     """Per-partition LAG / LEAD: for every row, the value of each
     ``value_cols`` entry from the row ``offset`` positions EARLIER
     (``offset > 0``, SQL ``LAG(v, offset)``) or LATER (``offset < 0``,
     ``LEAD(v, -offset)``) within the same ``key`` partition ordered by
     ``order_col`` — NULL past the partition edge. Output columns are named
-    ``{col}_lag{offset}`` / ``{col}_lead{-offset}``.
+    ``{col}_lag{offset}`` / ``{col}_lead{-offset}`` unless ``names``
+    overrides them (one per value col). ``keep_cols=None`` keeps EVERY
+    input column (SQL window semantics; the whole row rides the shuffle).
 
     Execution is the same key-hash bucket shuffle as
     :func:`assign_sessions`: only (key, order, values, keep) columns move,
@@ -388,7 +391,16 @@ def lag_shift(
     if offset == 0:
         raise ValueError("offset must be nonzero (positive=lag, negative=lead)")
     tag = f"lag{offset}" if offset > 0 else f"lead{-offset}"
-    cols = list(dict.fromkeys([key, order_col, *value_cols, *keep_cols]))
+    out_names = (
+        list(names) if names is not None else [f"{c}_{tag}" for c in value_cols]
+    )
+    if len(out_names) != len(value_cols):
+        raise ValueError("names must match value_cols one-to-one")
+    cols = (
+        None
+        if keep_cols is None
+        else list(dict.fromkeys([key, order_col, *value_cols, *keep_cols]))
+    )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -404,9 +416,9 @@ def lag_shift(
         g = g.drop_columns(["__b"])
         n = g.num_rows
         if n == 0:
-            for c in value_cols:
+            for c, out in zip(value_cols, out_names):
                 g = g.append_column(
-                    f"{c}_{tag}", pa.array([], g.schema.field(c).type)
+                    out, pa.array([], g.schema.field(c).type)
                 )
             return g
         order = pc.sort_indices(
@@ -422,15 +434,16 @@ def lag_shift(
         )
         valid &= same.to_numpy(zero_copy_only=False).astype(bool)
         take_idx = pa.array(clipped, mask=~valid)
-        for c in value_cols:
+        for c, out in zip(value_cols, out_names):
             g = g.append_column(
-                f"{c}_{tag}", g[c].combine_chunks().take(take_idx)
+                out, g[c].combine_chunks().take(take_idx)
             )
         return g
 
+    if cols is not None:
+        ds = ds.select_columns(cols)
     return (
-        ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(shift_bucket, batch_format="pyarrow")
     )

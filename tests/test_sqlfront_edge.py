@@ -183,3 +183,80 @@ def test_order_by_topn_vs_full_sort(ray_session, monkeypatch):
     full = t.execute_query_rows(q, source=lines)
     assert topn == full
     assert len(topn) == 7
+
+
+# ---------------------------------------------------------------------------
+# window functions (engine extension)
+# ---------------------------------------------------------------------------
+
+
+def test_window_parse_and_plan():
+    plan = parse_query(
+        "SELECT conv_id, ts - LAG(ts) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx) AS latency FROM t"
+    ).plan
+    assert len(plan.windows) == 1
+    w = plan.windows[0]
+    assert (w.func, w.value_col, w.key, w.order, w.offset) == (
+        "lag", "ts", "conv_id", "turn_idx", 1
+    )
+    # projection rewritten to reference the hidden window column
+    lat = plan.projections[1]
+    assert lat.name == "latency"
+    assert isinstance(lat.expr, Bin) and lat.expr.right.name == w.out_col
+
+
+def test_window_lead_offset():
+    plan = parse_query(
+        "SELECT LEAD(v, 3) OVER (PARTITION BY k ORDER BY o) AS nxt FROM t"
+    ).plan
+    assert plan.windows[0].func == "lead"
+    assert plan.windows[0].offset == 3
+
+
+def test_window_errors():
+    with pytest.raises(SqlError):  # window + aggregation
+        parse_query(
+            "SELECT LAG(v) OVER (PARTITION BY k ORDER BY o), count(*) "
+            "FROM t GROUP BY k"
+        )
+    with pytest.raises(SqlError):  # window in WHERE
+        parse_query(
+            "SELECT v FROM t WHERE LAG(v) OVER (PARTITION BY k ORDER BY o) > 1"
+        )
+    with pytest.raises(SqlError):  # OVER required
+        parse_query("SELECT LAG(v) FROM t")
+    with pytest.raises(SqlError):  # literal positive offset required
+        parse_query("SELECT LAG(v, x) OVER (PARTITION BY k ORDER BY o) FROM t")
+
+
+def test_window_execution(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "a", "b", "b"],
+            "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int64()),
+            "ts": pa.array([10, 25, 31, 5, 9], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, ts - LAG(ts) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx) AS latency FROM x ORDER BY conv_id, turn_idx"
+    ).plan
+    out = run_plan(ds, plan).to_pandas()
+    assert out["latency"].tolist()[1:3] == [15.0, 6.0]
+    assert out["latency"].isna().tolist() == [True, False, False, True, False]
+    # two windows sharing a frame shift in one pass
+    plan2 = parse_query(
+        "SELECT conv_id, LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        " AS prev, LEAD(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        " AS nxt FROM x ORDER BY conv_id, prev"
+    ).plan
+    assert len(plan2.windows) == 2
+    out2 = run_plan(ds, plan2).to_pandas()
+    assert out2["nxt"].dropna().tolist() == [25.0, 31.0, 9.0]
