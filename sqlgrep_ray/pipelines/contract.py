@@ -1671,6 +1671,28 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_sql_row_number(sf_dir: str) -> Result:
+    """ROW_NUMBER() through the SQL dialect (parsed → WindowSpec →
+    partition_row_number bucket op), full-row int64 output vs DuckDB."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, ROW_NUMBER() OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS rn FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_ROW_NUMBER = f"""
+SELECT conv_id, turn_idx,
+       ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2377,6 +2399,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "hot_conv_roles": q_hot_conv_roles,
     "turn_latency": q_turn_latency,
     "sql_turn_latency": q_sql_turn_latency,
+    "sql_row_number": q_sql_row_number,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
@@ -2453,6 +2476,7 @@ ORACLES: dict[str, str] = {
     "hot_conv_roles": SQL_HOT_CONV_ROLES,
     "turn_latency": SQL_TURN_LATENCY,
     "sql_turn_latency": SQL_SQL_TURN_LATENCY,
+    "sql_row_number": SQL_SQL_ROW_NUMBER,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,

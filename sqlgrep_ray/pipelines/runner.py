@@ -329,10 +329,15 @@ def run_select(
     if windows:
         from sqlgrep_ray.stages.window import lag_shift
 
+        from sqlgrep_ray.stages.window import partition_row_number
+
         # one bucket shuffle per distinct (key, order, signed offset) —
         # specs sharing a frame shift together in a single pass
         frames: dict[tuple, list] = {}
         for w in windows:
+            if w.func == "row_number":
+                ds = partition_row_number(ds, w.key, w.order, out_col=w.out_col)
+                continue
             off = w.offset if w.func == "lag" else -w.offset
             frames.setdefault((w.key, w.order, off), []).append(w)
         for (key, order, off), specs in frames.items():

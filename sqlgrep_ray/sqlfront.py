@@ -624,24 +624,33 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op(")")
             fname = _FUNC_ALIASES.get(lname, lname)
-            if fname in ("lag", "lead"):
-                # ENGINE EXTENSION: LAG/LEAD(col[, offset]) OVER
-                # (PARTITION BY col ORDER BY col)
+            if fname in ("lag", "lead", "row_number"):
+                # ENGINE EXTENSION: LAG/LEAD(col[, offset]) / ROW_NUMBER()
+                # OVER (PARTITION BY col ORDER BY col)
                 if distinct or star:
                     raise SqlError(f"DISTINCT/* not valid in {fname}()")
-                if not args or not isinstance(args[0], Col):
-                    raise SqlError(f"{fname}() needs a plain column argument")
                 offset = 1
-                if len(args) == 2:
-                    if not isinstance(args[1], Lit) or not isinstance(
-                        args[1].value, int
-                    ) or args[1].value < 1:
+                if fname == "row_number":
+                    if args:
+                        raise SqlError("row_number() takes no arguments")
+                    value = ""
+                else:
+                    if not args or not isinstance(args[0], Col):
                         raise SqlError(
-                            f"{fname}() offset must be a positive integer literal"
+                            f"{fname}() needs a plain column argument"
                         )
-                    offset = int(args[1].value)
-                elif len(args) > 2:
-                    raise SqlError(f"{fname}() takes (column[, offset])")
+                    value = args[0].name
+                    if len(args) == 2:
+                        if not isinstance(args[1], Lit) or not isinstance(
+                            args[1].value, int
+                        ) or args[1].value < 1:
+                            raise SqlError(
+                                f"{fname}() offset must be a positive "
+                                "integer literal"
+                            )
+                        offset = int(args[1].value)
+                    elif len(args) > 2:
+                        raise SqlError(f"{fname}() takes (column[, offset])")
                 self.expect_kw("over")
                 self.expect_op("(")
                 self.expect_kw("partition")
@@ -651,7 +660,7 @@ class Parser:
                 self.expect_kw("by")
                 order = self.expect_ident()
                 self.expect_op(")")
-                return WindowCall(fname, args[0].name, key, order, offset)
+                return WindowCall(fname, value, key, order, offset)
             if fname in AGGREGATE_FUNCS:
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:

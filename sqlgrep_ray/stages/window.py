@@ -447,3 +447,66 @@ def lag_shift(
         .groupby("__b")
         .map_groups(shift_bucket, batch_format="pyarrow")
     )
+
+
+def partition_row_number(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    out_col: str = "row_number",
+    keep_cols: "Sequence[str] | None" = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """SQL ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_col)`` —
+    1-based ordinal within each key partition in order. Same bucket
+    execution and determinism contract as :func:`lag_shift` (unique
+    (key, order_col) per row; one key fits one worker).
+    ``keep_cols=None`` (default) keeps every input column."""
+    cols = (
+        None
+        if keep_cols is None
+        else list(dict.fromkeys([key, order_col, *keep_cols]))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def number_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (order_col, "ascending")]
+        )
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        if n > 1:
+            same = pc.fill_null(
+                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+            )
+            key_change = np.r_[
+                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+        else:
+            key_change = np.array([True])
+        pos = np.arange(n, dtype=np.int64)
+        first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
+        return g.append_column(
+            out_col, pa.array(pos - first_of_key + 1)
+        )
+
+    if cols is not None:
+        ds = ds.select_columns(cols)
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(number_bucket, batch_format="pyarrow")
+    )

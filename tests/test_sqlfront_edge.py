@@ -260,3 +260,26 @@ def test_window_execution(ray_session):
     assert len(plan2.windows) == 2
     out2 = run_plan(ds, plan2).to_pandas()
     assert out2["nxt"].dropna().tolist() == [25.0, 31.0, 9.0]
+
+
+def test_row_number_execution(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": ["a", "b", "a", "b", "a"],
+            "o": pa.array([30, 1, 10, 5, 20], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    plan = parse_query(
+        "SELECT k, o, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn "
+        "FROM x ORDER BY k, o"
+    ).plan
+    out = run_plan(ds, plan).to_pandas()
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+    with pytest.raises(SqlError):
+        parse_query("SELECT ROW_NUMBER(v) OVER (PARTITION BY k ORDER BY o) FROM x")
