@@ -1693,6 +1693,30 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_sql_running_sum(sf_dir: str) -> Result:
+    """Running aggregate through the SQL dialect: cumulative SUM per
+    conversation in turn order (the default cumulative frame), executed by
+    the partition_running bucket op — int64-exact vs DuckDB."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, SUM(turn_idx) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS cum FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_RUNNING_SUM = f"""
+SELECT conv_id, turn_idx,
+       CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS cum
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2400,6 +2424,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "turn_latency": q_turn_latency,
     "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,
+    "sql_running_sum": q_sql_running_sum,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
@@ -2477,6 +2502,7 @@ ORACLES: dict[str, str] = {
     "turn_latency": SQL_TURN_LATENCY,
     "sql_turn_latency": SQL_SQL_TURN_LATENCY,
     "sql_row_number": SQL_SQL_ROW_NUMBER,
+    "sql_running_sum": SQL_SQL_RUNNING_SUM,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,

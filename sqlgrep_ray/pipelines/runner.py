@@ -329,7 +329,10 @@ def run_select(
     if windows:
         from sqlgrep_ray.stages.window import lag_shift
 
-        from sqlgrep_ray.stages.window import partition_row_number
+        from sqlgrep_ray.stages.window import (
+            partition_row_number,
+            partition_running,
+        )
 
         # one bucket shuffle per distinct (key, order, signed offset) —
         # specs sharing a frame shift together in a single pass
@@ -337,6 +340,12 @@ def run_select(
         for w in windows:
             if w.func == "row_number":
                 ds = partition_row_number(ds, w.key, w.order, out_col=w.out_col)
+                continue
+            if w.func.startswith("run_"):
+                ds = partition_running(
+                    ds, w.key, w.order, w.value_col,
+                    func=w.func[4:], out_col=w.out_col,
+                )
                 continue
             off = w.offset if w.func == "lag" else -w.offset
             frames.setdefault((w.key, w.order, off), []).append(w)

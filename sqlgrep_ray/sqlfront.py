@@ -662,6 +662,42 @@ class Parser:
                 self.expect_op(")")
                 return WindowCall(fname, value, key, order, offset)
             if fname in AGGREGATE_FUNCS:
+                if self.at_kw("over"):
+                    # ENGINE EXTENSION: running aggregate over a partition
+                    # (cumulative from the partition start, the default SQL
+                    # frame for ORDER BY inside OVER)
+                    if fname not in ("sum", "avg", "count"):
+                        raise SqlError(
+                            f"{fname}() OVER is not supported "
+                            "(sum/avg/count only)"
+                        )
+                    if distinct:
+                        raise SqlError("DISTINCT not valid in a window")
+                    if star:
+                        if fname != "count":
+                            raise SqlError("* only valid in count()")
+                        value = ""  # COUNT(*) ≡ ROW_NUMBER
+                    elif len(args) == 1 and isinstance(args[0], Col):
+                        value = args[0].name
+                    else:
+                        raise SqlError(
+                            f"{fname}() OVER needs a plain column argument"
+                        )
+                    self.expect_kw("over")
+                    self.expect_op("(")
+                    self.expect_kw("partition")
+                    self.expect_kw("by")
+                    key = self.expect_ident()
+                    self.expect_kw("order")
+                    self.expect_kw("by")
+                    order = self.expect_ident()
+                    self.expect_op(")")
+                    wfunc = (
+                        "row_number"
+                        if (fname == "count" and star)
+                        else f"run_{fname}"
+                    )
+                    return WindowCall(wfunc, value, key, order, 1)
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:
                 raise SqlError(f"DISTINCT/* not valid in {fname}()")

@@ -449,6 +449,107 @@ def lag_shift(
     )
 
 
+def partition_running(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    value_col: str,
+    func: str = "sum",
+    out_col: str = "running",
+    keep_cols: "Sequence[str] | None" = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """SQL running aggregate ``SUM/AVG/COUNT(v) OVER (PARTITION BY key
+    ORDER BY order_col)`` — cumulative from the partition start to the
+    current row. Same bucket execution and determinism contract as
+    :func:`lag_shift`. ``func`` ∈ {"sum", "avg", "count"}; NULL values
+    contribute nothing (SQL semantics): sum skips them, count counts
+    non-nulls, avg divides the two. sum/count are int64 when the input is
+    integral (int64 overflow is the caller's contract, as in SQL); avg is
+    float64."""
+    if func not in ("sum", "avg", "count"):
+        raise ValueError("func must be sum, avg or count")
+    cols = (
+        None
+        if keep_cols is None
+        else list(dict.fromkeys([key, order_col, value_col, *keep_cols]))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def run_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            typ = pa.float64() if func == "avg" else pa.int64()
+            return g.append_column(out_col, pa.array([], typ))
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (order_col, "ascending")]
+        )
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        varr = g[value_col].combine_chunks()
+        null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
+        v = np.where(
+            null_mask,
+            0,
+            pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
+        )
+        if n > 1:
+            same = pc.fill_null(
+                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+            )
+            key_change = np.r_[
+                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+        else:
+            key_change = np.array([True])
+        fok = np.maximum.accumulate(
+            np.where(key_change, np.arange(n, dtype=np.int64), 0)
+        )
+        cum = np.cumsum(v)
+        seg_sum = cum - cum[fok] + v[fok]
+        cnt = np.cumsum(~null_mask)
+        seg_cnt = cnt - cnt[fok] + (~null_mask)[fok]
+        if func == "sum":
+            out = pa.array(seg_sum)
+            if pa.types.is_integer(varr.type):
+                out = out.cast(pa.int64())
+            # SQL: SUM over an all-NULL-so-far frame is NULL, not 0
+            out = pc.if_else(
+                pa.array(seg_cnt > 0), out, pa.scalar(None, out.type)
+            )
+        elif func == "count":
+            out = pa.array(seg_cnt.astype(np.int64))
+        else:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = pa.array(
+                    np.where(
+                        seg_cnt > 0, seg_sum / np.maximum(seg_cnt, 1), np.nan
+                    )
+                )
+                out = pc.if_else(
+                    pa.array(seg_cnt > 0), out, pa.scalar(None, pa.float64())
+                )
+        return g.append_column(out_col, out)
+
+    if cols is not None:
+        ds = ds.select_columns(cols)
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(run_bucket, batch_format="pyarrow")
+    )
+
+
 def partition_row_number(
     ds: "ray.data.Dataset",
     key: str,

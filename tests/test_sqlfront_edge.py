@@ -283,3 +283,51 @@ def test_row_number_execution(ray_session):
     assert out["rn"].tolist() == [1, 2, 3, 1, 2]
     with pytest.raises(SqlError):
         parse_query("SELECT ROW_NUMBER(v) OVER (PARTITION BY k ORDER BY o) FROM x")
+
+
+def test_running_aggregates_execution(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    rng = np.random.RandomState(13)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": [f"k{c}" for c in rng.randint(0, 9, n)],
+            "o": np.arange(n, dtype=np.int64),
+            "v": rng.randint(0, 50, n).astype("float64"),
+        }
+    )
+    df.loc[df.index % 7 == 0, "v"] = None  # nulls contribute nothing
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    plan = parse_query(
+        "SELECT k, o, SUM(v) OVER (PARTITION BY k ORDER BY o) AS rs, "
+        "AVG(v) OVER (PARTITION BY k ORDER BY o) AS ra, "
+        "COUNT(v) OVER (PARTITION BY k ORDER BY o) AS rc, "
+        "COUNT(*) OVER (PARTITION BY k ORDER BY o) AS rn FROM x "
+        "ORDER BY k, o"
+    ).plan
+    out = run_plan(ds, plan).to_pandas()
+    ref = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = ref.groupby("k")["v"]
+    exp_rs = g.expanding().sum().reset_index(drop=True)
+    exp_ra = g.expanding().mean().reset_index(drop=True)
+    exp_rc = g.expanding().count().reset_index(drop=True)
+    pd.testing.assert_series_equal(out["rs"], exp_rs, check_names=False)
+    pd.testing.assert_series_equal(out["ra"], exp_ra, check_names=False)
+    assert out["rc"].tolist() == exp_rc.astype(int).tolist()
+    exp_rn = ref.groupby("k").cumcount() + 1
+    assert out["rn"].tolist() == exp_rn.tolist()
+
+
+def test_running_aggregate_errors():
+    with pytest.raises(SqlError):  # unsupported window aggregate
+        parse_query("SELECT max(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    with pytest.raises(SqlError):  # DISTINCT in window
+        parse_query("SELECT sum(DISTINCT v) OVER (PARTITION BY k ORDER BY o) FROM t")
+    with pytest.raises(SqlError):  # expression argument
+        parse_query("SELECT sum(v + 1) OVER (PARTITION BY k ORDER BY o) FROM t")
