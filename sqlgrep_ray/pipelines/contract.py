@@ -1717,6 +1717,35 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_sql_rank_ties(sf_dir: str) -> Result:
+    """RANK/DENSE_RANK through the SQL dialect on data WITH real ties
+    (line items share quantities within an order): ranks are
+    tie-independent, so the result is deterministic and hash-exact
+    cross-engine even where row order is not."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT l_orderkey, l_linenumber, l_quantity, "
+        "RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS r, "
+        "DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) "
+        "AS dr FROM t"
+    ).plan
+    return run_plan(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]),
+        plan,
+    )
+
+
+SQL_SQL_RANK_TIES = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
+            AS BIGINT) AS r,
+       CAST(DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
+            AS BIGINT) AS dr
+FROM lineitem
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2425,6 +2454,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,
     "sql_running_sum": q_sql_running_sum,
+    "sql_rank_ties": q_sql_rank_ties,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
@@ -2503,6 +2533,7 @@ ORACLES: dict[str, str] = {
     "sql_turn_latency": SQL_SQL_TURN_LATENCY,
     "sql_row_number": SQL_SQL_ROW_NUMBER,
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
+    "sql_rank_ties": SQL_SQL_RANK_TIES,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,

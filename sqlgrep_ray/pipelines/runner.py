@@ -338,8 +338,10 @@ def run_select(
         # specs sharing a frame shift together in a single pass
         frames: dict[tuple, list] = {}
         for w in windows:
-            if w.func == "row_number":
-                ds = partition_row_number(ds, w.key, w.order, out_col=w.out_col)
+            if w.func in ("row_number", "rank", "dense_rank"):
+                ds = partition_row_number(
+                    ds, w.key, w.order, out_col=w.out_col, mode=w.func
+                )
                 continue
             if w.func.startswith("run_"):
                 ds = partition_running(

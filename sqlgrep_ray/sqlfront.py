@@ -624,15 +624,16 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op(")")
             fname = _FUNC_ALIASES.get(lname, lname)
-            if fname in ("lag", "lead", "row_number"):
+            if fname in ("lag", "lead", "row_number", "rank", "dense_rank"):
                 # ENGINE EXTENSION: LAG/LEAD(col[, offset]) / ROW_NUMBER()
-                # OVER (PARTITION BY col ORDER BY col)
+                # / RANK() / DENSE_RANK() OVER (PARTITION BY col ORDER BY
+                # col)
                 if distinct or star:
                     raise SqlError(f"DISTINCT/* not valid in {fname}()")
                 offset = 1
-                if fname == "row_number":
+                if fname in ("row_number", "rank", "dense_rank"):
                     if args:
-                        raise SqlError("row_number() takes no arguments")
+                        raise SqlError(f"{fname}() takes no arguments")
                     value = ""
                 else:
                     if not args or not isinstance(args[0], Col):

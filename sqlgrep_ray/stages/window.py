@@ -557,12 +557,18 @@ def partition_row_number(
     out_col: str = "row_number",
     keep_cols: "Sequence[str] | None" = None,
     num_buckets: int = 64,
+    mode: str = "row_number",
 ) -> "ray.data.Dataset":
-    """SQL ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_col)`` —
-    1-based ordinal within each key partition in order. Same bucket
-    execution and determinism contract as :func:`lag_shift` (unique
-    (key, order_col) per row; one key fits one worker).
-    ``keep_cols=None`` (default) keeps every input column."""
+    """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY key
+    ORDER BY order_col)`` — 1-based ordinal/rank within each key partition
+    in order (``mode`` selects which). Same bucket execution as
+    :func:`lag_shift`. Determinism: row_number needs a unique
+    (key, order_col) per row (like lag); rank/dense_rank are
+    tie-independent, so they are deterministic — and SQL-comparable —
+    even on tied order values. ``keep_cols=None`` (default) keeps every
+    input column."""
+    if mode not in ("row_number", "rank", "dense_rank"):
+        raise ValueError("mode must be row_number, rank or dense_rank")
     cols = (
         None
         if keep_cols is None
@@ -600,9 +606,29 @@ def partition_row_number(
             key_change = np.array([True])
         pos = np.arange(n, dtype=np.int64)
         first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
-        return g.append_column(
-            out_col, pa.array(pos - first_of_key + 1)
-        )
+        if mode == "row_number":
+            out = pos - first_of_key + 1
+        else:
+            oarr = g[order_col].combine_chunks()
+            if n > 1:
+                osame = pc.fill_null(
+                    pc.equal(oarr.slice(1), oarr.slice(0, n - 1)), False
+                )
+                run_change = key_change | np.r_[
+                    True, ~osame.to_numpy(zero_copy_only=False).astype(bool)
+                ]
+            else:
+                run_change = np.array([True])
+            if mode == "rank":
+                # 1 + ordinal of the current tie-run's first row
+                run_start = np.maximum.accumulate(
+                    np.where(run_change, pos, 0)
+                )
+                out = run_start - first_of_key + 1
+            else:  # dense_rank: count of distinct order values so far
+                c = np.cumsum(run_change)
+                out = c - c[first_of_key] + 1
+        return g.append_column(out_col, pa.array(out.astype(np.int64)))
 
     if cols is not None:
         ds = ds.select_columns(cols)

@@ -331,3 +331,40 @@ def test_running_aggregate_errors():
         parse_query("SELECT sum(DISTINCT v) OVER (PARTITION BY k ORDER BY o) FROM t")
     with pytest.raises(SqlError):  # expression argument
         parse_query("SELECT sum(v + 1) OVER (PARTITION BY k ORDER BY o) FROM t")
+
+
+def test_rank_dense_rank_with_ties(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": ["a"] * 6 + ["b"] * 3,
+            "o": pa.array([10, 10, 20, 20, 20, 30, 5, 5, 6], pa.int64()),
+            "i": pa.array(list(range(9)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    plan = parse_query(
+        "SELECT k, o, i, RANK() OVER (PARTITION BY k ORDER BY o) AS r, "
+        "DENSE_RANK() OVER (PARTITION BY k ORDER BY o) AS dr FROM x "
+        "ORDER BY k, i"
+    ).plan
+    out = run_plan(ds, plan).to_pandas()
+    assert out["r"].tolist() == [1, 1, 3, 3, 3, 6, 1, 1, 3]
+    assert out["dr"].tolist() == [1, 1, 2, 2, 2, 3, 1, 1, 2]
+    # pandas cross-check
+    ref = out[["k", "o"]]
+    pd.testing.assert_series_equal(
+        out["r"].astype("float64"),
+        ref.groupby("k")["o"].rank(method="min"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        out["dr"].astype("float64"),
+        ref.groupby("k")["o"].rank(method="dense"),
+        check_names=False,
+    )
