@@ -349,6 +349,13 @@ def run_select(
                     func=w.func[4:], out_col=w.out_col,
                 )
                 continue
+            if w.func == "first_value":
+                from sqlgrep_ray.stages.window import partition_first_value
+
+                ds = partition_first_value(
+                    ds, w.key, w.order, w.value_col, out_col=w.out_col
+                )
+                continue
             off = w.offset if w.func == "lag" else -w.offset
             frames.setdefault((w.key, w.order, off), []).append(w)
         for (key, order, off), specs in frames.items():

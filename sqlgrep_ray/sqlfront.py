@@ -624,10 +624,13 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op(")")
             fname = _FUNC_ALIASES.get(lname, lname)
-            if fname in ("lag", "lead", "row_number", "rank", "dense_rank"):
-                # ENGINE EXTENSION: LAG/LEAD(col[, offset]) / ROW_NUMBER()
-                # / RANK() / DENSE_RANK() OVER (PARTITION BY col ORDER BY
-                # col)
+            if fname in (
+                "lag", "lead", "row_number", "rank", "dense_rank",
+                "first_value",
+            ):
+                # ENGINE EXTENSION: LAG/LEAD(col[, offset]) /
+                # FIRST_VALUE(col) / ROW_NUMBER() / RANK() / DENSE_RANK()
+                # OVER (PARTITION BY col ORDER BY col)
                 if distinct or star:
                     raise SqlError(f"DISTINCT/* not valid in {fname}()")
                 offset = 1
@@ -641,7 +644,7 @@ class Parser:
                             f"{fname}() needs a plain column argument"
                         )
                     value = args[0].name
-                    if len(args) == 2:
+                    if len(args) == 2 and fname in ("lag", "lead"):
                         if not isinstance(args[1], Lit) or not isinstance(
                             args[1].value, int
                         ) or args[1].value < 1:
@@ -650,7 +653,7 @@ class Parser:
                                 "integer literal"
                             )
                         offset = int(args[1].value)
-                    elif len(args) > 2:
+                    elif len(args) > 1:
                         raise SqlError(f"{fname}() takes (column[, offset])")
                 self.expect_kw("over")
                 self.expect_op("(")

@@ -449,6 +449,72 @@ def lag_shift(
     )
 
 
+def partition_first_value(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "first_value",
+    keep_cols: "Sequence[str] | None" = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """SQL ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY order_col)``
+    — every row gets its partition's first value in order (any dtype;
+    e.g. time-since-conversation-start = ts − first_value(ts)). Same
+    bucket execution and determinism contract as :func:`lag_shift`."""
+    cols = (
+        None
+        if keep_cols is None
+        else list(dict.fromkeys([key, order_col, value_col, *keep_cols]))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def first_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column(
+                out_col, pa.array([], g.schema.field(value_col).type)
+            )
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (order_col, "ascending")]
+        )
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        if n > 1:
+            same = pc.fill_null(
+                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+            )
+            key_change = np.r_[
+                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+            ]
+        else:
+            key_change = np.array([True])
+        fok = np.maximum.accumulate(
+            np.where(key_change, np.arange(n, dtype=np.int64), 0)
+        )
+        return g.append_column(
+            out_col, g[value_col].combine_chunks().take(pa.array(fok))
+        )
+
+    if cols is not None:
+        ds = ds.select_columns(cols)
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(first_bucket, batch_format="pyarrow")
+    )
+
+
 def partition_running(
     ds: "ray.data.Dataset",
     key: str,

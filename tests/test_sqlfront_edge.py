@@ -368,3 +368,27 @@ def test_rank_dense_rank_with_ties(ray_session):
         ref.groupby("k")["o"].rank(method="dense"),
         check_names=False,
     )
+
+
+def test_first_value_execution(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "b", "a", "b"],
+            "o": pa.array([2, 1, 9, 3, 8], pa.int64()),
+            "v": ["x2", "x1", "y9", "x3", "y8"],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    plan = parse_query(
+        "SELECT k, o, FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o) AS fv "
+        "FROM x ORDER BY k, o"
+    ).plan
+    out = run_plan(ds, plan).to_pandas()
+    assert out["fv"].tolist() == ["x1", "x1", "x1", "y8", "y8"]
+    with pytest.raises(SqlError):
+        parse_query("SELECT FIRST_VALUE(v, 2) OVER (PARTITION BY k ORDER BY o) FROM t")
