@@ -1550,6 +1550,20 @@ GROUP BY conv_id ORDER BY conv_id
 """
 
 
+def q_conv_tools_hll(sf_dir: str) -> Result:
+    """Sketch-path companion of ``conv_distinct_tools``: per-conversation
+    approximate COUNT(DISTINCT tool) via grouped HLL — keys × 2^p bytes
+    through the shuffle regardless of value cardinality. Estimates, so
+    rows-only (the exact twin is hash-checked; pytest pins the error
+    bound)."""
+    from sqlgrep_ray.stages.sketch import grouped_approx_distinct
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "tool"]
+    )
+    return grouped_approx_distinct(ds, "conv_id", "tool", out_col="tools_est")
+
+
 def q_turn_latency(sf_dir: str) -> Result:
     """Per-turn response latency: ts minus the previous turn's ts within
     the same conversation (LAG window function over (conv_id, turn_idx)) —
@@ -2450,6 +2464,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
+    "conv_tools_hll": q_conv_tools_hll,
     "turn_latency": q_turn_latency,
     "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,

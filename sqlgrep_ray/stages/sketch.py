@@ -178,6 +178,77 @@ def heavy_hitters(
     return out.sort(["count", "item"], descending=[True, False])
 
 
+def grouped_approx_distinct(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> "ray.data.Dataset":
+    """Per-group approximate COUNT(DISTINCT col): one HLL register array
+    per key, merged by register max. The scale path for per-key
+    cardinality: the exact paths ship every distinct (key, value) pair
+    through a shuffle; here each block contributes ≤ groups-per-block rows
+    of 2^p bytes and the exchange carries keys × 2^p bytes total,
+    independent of the value cardinality. Block pass is fully vectorized:
+    keys dictionary-encoded once, registers for ALL groups updated with a
+    single ``np.maximum.at`` on a flat (group × register) array. Error ≈
+    1.04/√2^p (~1.6% at p=12) per group; small groups benefit from the
+    linear-counting correction (exact-ish at low cardinality)."""
+    if not 12 <= p <= 18:
+        raise ValueError("p must be in [12, 18] (frexp rank path)")
+    m = 1 << p
+
+    def block(t: pa.Table) -> pa.Table:
+        t = t.select([key, col])
+        mask = pc.and_kleene(
+            pc.is_valid(t[key]), pc.is_valid(t[col])
+        )
+        t = t.filter(pc.fill_null(mask, False))
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 "regs": pa.array([], pa.binary())}
+            )
+        karr = t[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        dic = karr.dictionary_encode()
+        gidx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = dic.dictionary
+        h = _hash64(t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col])
+        ridx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        _, exp = np.frexp(w.astype(np.float64))
+        rank = np.where(w == 0, 64 - p + 1, 64 - p - exp + 1).astype(np.uint8)
+        regs = np.zeros(len(uniq) * m, dtype=np.uint8)
+        np.maximum.at(regs, gidx * m + ridx, rank)
+        return pa.table(
+            {
+                key: uniq,
+                "regs": pa.array(
+                    [regs[g * m:(g + 1) * m].tobytes() for g in range(len(uniq))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        stacked = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["regs"].to_pylist()]
+        )
+        est = _estimate(stacked.max(axis=0), p)
+        return pa.table(
+            {key: g[key].slice(0, 1), out_col: pa.array([est], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # KLL quantile sketch — mergeable approximate percentiles
 # ---------------------------------------------------------------------------

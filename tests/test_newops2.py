@@ -408,3 +408,56 @@ def test_mixture_sample(ray_session):
     # equal to the manual stratified filter at the same rates
     manual = stratified_sample(ds, "doc_id", "src", rates).to_pandas()
     assert sorted(df["doc_id"]) == sorted(manual["doc_id"])
+
+
+def test_grouped_approx_distinct(ray_session):
+    """Per-group HLL: estimates within the p-bound of exact per-group
+    distinct counts, across blocks; nulls (key or value) ignored."""
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_approx_distinct, hll_error_bound
+
+    rng = np.random.RandomState(21)
+    n = 60_000
+    keys = np.array(["g0", "g1", "g2", "g3"])[rng.randint(0, 4, n)]
+    # distinct cardinality differs wildly per group
+    vals = np.where(
+        keys == "g0", rng.randint(0, 40, n),           # tiny: ~40 distinct
+        np.where(keys == "g1", rng.randint(0, 2000, n),
+                 rng.randint(0, 20000, n)),
+    ).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = {
+        r["k"]: r["approx_distinct"]
+        for r in grouped_approx_distinct(ds, "k", "v", p=12).take_all()
+    }
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    exact = df.groupby("k")["v"].nunique().to_dict()
+    assert set(out) == set(exact)
+    for g, e in exact.items():
+        assert abs(out[g] - e) <= max(5 * hll_error_bound(12) * e, 3), (g, out[g], e)
+
+
+def test_grouped_approx_distinct_nulls_empty(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_approx_distinct
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", None, "b"]),
+            "v": pa.array([1, None, 2, 3], pa.int64()),
+        }
+    )
+    out = {
+        r["k"]: r["approx_distinct"]
+        for r in grouped_approx_distinct(ray.data.from_arrow(t), "k", "v").take_all()
+    }
+    assert out == {"a": 1, "b": 1}  # null key row and null value dropped
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    assert grouped_approx_distinct(empty, "k", "v").count() == 0
