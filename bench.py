@@ -40,6 +40,7 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
         q_decontam_docs,
         q_groupby_q1,
         q_lang_quality,
+        q_latency_quantiles,
         q_minhash_pairs,
         q_reassemble_convs,
         q_regex_extract_docs,
@@ -85,6 +86,12 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     t0 = time.time()
     q_reassemble_convs(sf_dir).count()
     timings["reassemble_convs"] = time.time() - t0
+
+    # composed telemetry: per-conversation LAG -> latency -> KLL sketch
+    # (narrow-column bucket shuffle + mergeable-sketch reduction)
+    t0 = time.time()
+    q_latency_quantiles(sf_dir)
+    timings["latency_quantiles"] = time.time() - t0
 
     t0 = time.time()
     q_asof_join_orders(sf_dir).count()
