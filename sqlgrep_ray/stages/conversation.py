@@ -88,15 +88,9 @@ def reassemble_conversations(
             lines = pc.cast(g[text_col].combine_chunks(), pa.string())
         if isinstance(lines, pa.ChunkedArray):
             lines = lines.combine_chunks()
-        if n > 1:
-            same = pc.fill_null(
-                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
-            )
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        from sqlgrep_ray.stages.window import _key_change_mask
+
+        key_change = _key_change_mask(karr, n)
         starts = np.flatnonzero(key_change)
         offsets = np.r_[starts, n]
         lists = pa.ListArray.from_arrays(

@@ -32,6 +32,26 @@ from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
 from sqlgrep_ray.pipelines.runner import run_plan
 
 
+def _same_key(a: pa.Array, b: pa.Array) -> pa.Array:
+    """Element-wise 'same partition key' with SQL semantics: NULL keys
+    form ONE partition, so null == null counts as the same key (plain
+    ``pc.equal`` yields null there, which would split every NULL row into
+    its own partition)."""
+    return pc.or_(
+        pc.fill_null(pc.equal(a, b), False),
+        pc.and_(pc.is_null(a), pc.is_null(b)),
+    )
+
+
+def _key_change_mask(karr: pa.Array, n: int) -> np.ndarray:
+    """True at rows that start a new key run in a (key, order)-sorted
+    bucket (nulls sort together, so one pass suffices)."""
+    if n <= 1:
+        return np.ones(n, dtype=bool)
+    same = _same_key(karr.slice(1), karr.slice(0, n - 1))
+    return np.r_[True, ~same.to_numpy(zero_copy_only=False).astype(bool)]
+
+
 def tumbling_window(
     ds: "ray.data.Dataset",
     ts_col: str,
@@ -169,14 +189,7 @@ def sessionize(
         g = g.take(order)
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
         karr = g[key].combine_chunks()
-        if n > 1:
-            same = pc.equal(karr.slice(1), karr.slice(0, n - 1))
-            same = pc.fill_null(same, False)  # null keys: each row own key
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        key_change = _key_change_mask(karr, n)
         new_session = key_change | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
         starts = np.flatnonzero(new_session)
         ends = np.r_[starts[1:], n] - 1
@@ -252,15 +265,7 @@ def trailing_window_agg(
         g = g.take(order)
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
         karr = g[key].combine_chunks()
-        if n > 1:
-            same = pc.fill_null(
-                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
-            )
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        key_change = _key_change_mask(karr, n)
         krank = np.cumsum(key_change) - 1
         base = ts.min()
         rel = ts - base
@@ -335,15 +340,7 @@ def assign_sessions(
         g = g.take(order)
         ts = g[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
         karr = g[key].combine_chunks()
-        if n > 1:
-            same = pc.fill_null(
-                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
-            )
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        key_change = _key_change_mask(karr, n)
         new_session = key_change | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
         # per-key 0-based ordinal: global boundary cumsum minus the key's
         # first boundary ordinal
@@ -429,9 +426,7 @@ def lag_shift(
         idx = np.arange(n, dtype=np.int64) - offset
         valid = (idx >= 0) & (idx < n)
         clipped = np.clip(idx, 0, n - 1)
-        same = pc.fill_null(
-            pc.equal(karr.take(pa.array(clipped)), karr), False
-        )
+        same = _same_key(karr.take(pa.array(clipped)), karr)
         valid &= same.to_numpy(zero_copy_only=False).astype(bool)
         take_idx = pa.array(clipped, mask=~valid)
         for c, out in zip(value_cols, out_names):
@@ -490,15 +485,7 @@ def partition_first_value(
         )
         g = g.take(order)
         karr = g[key].combine_chunks()
-        if n > 1:
-            same = pc.fill_null(
-                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
-            )
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        key_change = _key_change_mask(karr, n)
         fok = np.maximum.accumulate(
             np.where(key_change, np.arange(n, dtype=np.int64), 0)
         )
@@ -569,15 +556,7 @@ def partition_running(
             0,
             pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
         )
-        if n > 1:
-            same = pc.fill_null(
-                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
-            )
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        key_change = _key_change_mask(karr, n)
         fok = np.maximum.accumulate(
             np.where(key_change, np.arange(n, dtype=np.int64), 0)
         )
@@ -661,30 +640,14 @@ def partition_row_number(
         )
         g = g.take(order)
         karr = g[key].combine_chunks()
-        if n > 1:
-            same = pc.fill_null(
-                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
-            )
-            key_change = np.r_[
-                True, ~same.to_numpy(zero_copy_only=False).astype(bool)
-            ]
-        else:
-            key_change = np.array([True])
+        key_change = _key_change_mask(karr, n)
         pos = np.arange(n, dtype=np.int64)
         first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
         if mode == "row_number":
             out = pos - first_of_key + 1
         else:
             oarr = g[order_col].combine_chunks()
-            if n > 1:
-                osame = pc.fill_null(
-                    pc.equal(oarr.slice(1), oarr.slice(0, n - 1)), False
-                )
-                run_change = key_change | np.r_[
-                    True, ~osame.to_numpy(zero_copy_only=False).astype(bool)
-                ]
-            else:
-                run_change = np.array([True])
+            run_change = key_change | _key_change_mask(oarr, n)
             if mode == "rank":
                 # 1 + ordinal of the current tie-run's first row
                 run_start = np.maximum.accumulate(

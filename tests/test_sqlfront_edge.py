@@ -392,3 +392,41 @@ def test_first_value_execution(ray_session):
     assert out["fv"].tolist() == ["x1", "x1", "x1", "y8", "y8"]
     with pytest.raises(SqlError):
         parse_query("SELECT FIRST_VALUE(v, 2) OVER (PARTITION BY k ORDER BY o) FROM t")
+
+
+def test_window_null_partition_keys(ray_session):
+    """SQL semantics: NULL partition keys form ONE partition (DuckDB
+    parity), and NULL order values tie together for RANK."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None, None], pa.string()),
+            "o": pa.array([1, 10, 2, 20, 30], pa.int64()),
+            "v": pa.array([5, 6, 7, 8, 9], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    sql = (
+        "SELECT k, o, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY o) AS cum FROM x"
+    )
+    out = (
+        run_plan(ds, parse_query(sql).plan)
+        .to_pandas()
+        .sort_values(["o"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        duckdb.arrow(t)
+        .query("x", sql.replace("FROM x", "FROM x"))
+        .df()
+        .sort_values(["o"])
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == ref["rn"].tolist()
+    assert out["cum"].tolist() == ref["cum"].astype("int64").tolist()
