@@ -233,19 +233,62 @@ def grouped_approx_distinct(
             }
         )
 
-    def merge(g: pa.Table) -> pa.Table:
-        stacked = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in g["regs"].to_pylist()]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(64)).astype(np.int64))
         )
-        est = _estimate(stacked.max(axis=0), p)
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # ONE vectorized pass per bucket, not per key: sort by key, stack
+        # all register rows into an (n, m) matrix, per-key max via
+        # maximum.reduceat on the key-run starts, then a vectorized
+        # estimator over all keys at once
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: g[key][:0].combine_chunks(),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        order = pc.sort_indices(g, [(key, "ascending")])
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        same = pc.fill_null(
+            pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+        ) if n > 1 else pa.array([], pa.bool_())
+        key_change = np.r_[
+            True, ~same.to_numpy(zero_copy_only=False).astype(bool)
+        ]
+        starts = np.flatnonzero(key_change)
+        mat = np.frombuffer(
+            b"".join(g["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(n, m)
+        per_key = np.maximum.reduceat(mat, starts, axis=0)
+        # vectorized HLL estimator with linear-counting correction
+        est = (
+            _alpha(m) * m * m
+            / np.sum(np.exp2(-per_key.astype(np.float64)), axis=1)
+        )
+        zeros = np.count_nonzero(per_key == 0, axis=1)
+        lin = m * np.log(m / np.maximum(zeros, 1))
+        est = np.where((est <= 2.5 * m) & (zeros > 0), lin, est)
         return pa.table(
-            {key: g[key].slice(0, 1), out_col: pa.array([est], pa.int64())}
+            {
+                key: karr.take(pa.array(starts)),
+                out_col: pa.array(np.rint(est).astype(np.int64)),
+            }
         )
 
     return (
         ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key)
-        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
