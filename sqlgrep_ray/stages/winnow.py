@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from sqlgrep_ray.stages.textnorm import split_whitespace
@@ -238,25 +239,58 @@ def shared_fingerprint_pairs(
 
     fps = winnow_fingerprints(ds, id_col, text_col, k, w)
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_pandas_object(
+            t.select(["fp"]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
-        m = g.num_rows
+        # one task per fp-hash BUCKET, not per fingerprint: sort by fp,
+        # detect runs vectorized, and only loop over the (rare) fps shared
+        # by ≥ 2 docs — singleton fps (the vast majority) never touch
+        # Python
+        n = g.num_rows
         a_out, b_out = [], []
-        if 2 <= m <= max_bucket:
-            ids = np.sort(g[id_col].to_numpy(zero_copy_only=False))
-            for x in range(m):
-                for y in range(x + 1, m):
-                    if ids[x] != ids[y]:
-                        a_out.append(ids[x])
-                        b_out.append(ids[y])
+        if n:
+            order = pc.sort_indices(
+                g, [("fp", "ascending"), (id_col, "ascending")]
+            )
+            g = g.take(order)
+            fp = g["fp"].to_numpy(zero_copy_only=False)
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            change = np.r_[True, fp[1:] != fp[:-1]]
+            starts = np.flatnonzero(change)
+            lens = np.diff(np.r_[starts, n])
+            for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+                run = np.unique(ids[s:s + ln])
+                m = len(run)
+                if 2 <= m <= max_bucket:
+                    x, y = np.triu_indices(m, 1)
+                    a_out.append(run[x])
+                    b_out.append(run[y])
+        a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
+        b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "shared": pa.array(np.ones(len(a_out), dtype=np.int64)),
+                "id_a": pa.array(a.astype(np.int64)),
+                "id_b": pa.array(b.astype(np.int64)),
+                "shared": pa.array(np.ones(len(a), dtype=np.int64)),
             }
         )
 
-    pairs = fps.groupby("fp").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = (
+        fps.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+    )
     merged = pairs.groupby(["id_a", "id_b"]).aggregate(
         Sum("shared", alias_name="shared", ignore_nulls=True)
     )
