@@ -38,7 +38,7 @@ def reassemble_conversations(
     role_col: str | None = "role",
     sep: str = "\n",
     out_col: str = "doc",
-    num_buckets: int = 64,
+    num_buckets: int = 64,  # see window.auto_buckets for sizing at scale
 ) -> "ray.data.Dataset":
     """Collapse a turn table into one document row per conversation.
 

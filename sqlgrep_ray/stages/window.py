@@ -32,6 +32,28 @@ from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
 from sqlgrep_ray.pipelines.runner import run_plan
 
 
+# bucket-shuffle width for the key-hash window/session ops. A bucket is
+# one map_groups task, so corpus_rows / num_buckets must fit a worker's
+# heap; 64 suits the verification scales here. Callers that KNOW their
+# row count (e.g. a job reading parquet metadata) should pass
+# ``num_buckets=auto_buckets(n_rows)`` — the same doubling rule the dedup
+# verify shuffle uses — instead of forcing an extra count() pass inside
+# the operator.
+WINDOW_BUCKETS = 64
+BUCKET_ROW_TARGET = 5_000_000
+BUCKET_CAP = 4096
+
+
+def auto_buckets(n_rows: int) -> int:
+    """Bucket count that keeps ~BUCKET_ROW_TARGET rows per bucket task
+    (power of 2, capped) — per-worker memory stays flat at any corpus
+    size instead of corpus/64."""
+    p = WINDOW_BUCKETS
+    while p < BUCKET_CAP and n_rows // p > BUCKET_ROW_TARGET:
+        p *= 2
+    return p
+
+
 def _same_key(a: pa.Array, b: pa.Array) -> pa.Array:
     """Element-wise 'same partition key' with SQL semantics: NULL keys
     form ONE partition, so null == null counts as the same key (plain
@@ -140,7 +162,7 @@ def sessionize(
     key: str,
     ts_col: str,
     gap_s: float,
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
 ) -> "ray.data.Dataset":
     """Split each key's events into sessions separated by gaps > ``gap_s``.
 
@@ -227,7 +249,7 @@ def trailing_window_agg(
     window_s: float,
     sum_col: "str | None" = None,
     keep_cols: Sequence[str] = (),
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
 ) -> "ray.data.Dataset":
     """Per-EVENT trailing time-window aggregates: for each row, the count
     (and optionally sum of ``sum_col``) of the key's events with
@@ -308,7 +330,7 @@ def assign_sessions(
     gap_s: float,
     keep_cols: Sequence[str] = (),
     session_col: str = "session_idx",
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
 ) -> "ray.data.Dataset":
     """Row-level sessionization: every EVENT gets its session ordinal
     (0-based per key, time order) — the feature-engineering form of
@@ -365,7 +387,7 @@ def lag_shift(
     value_cols: Sequence[str],
     offset: int = 1,
     keep_cols: "Sequence[str] | None" = (),
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
     names: "Sequence[str] | None" = None,
 ) -> "ray.data.Dataset":
     """Per-partition LAG / LEAD: for every row, the value of each
@@ -451,7 +473,7 @@ def partition_first_value(
     value_col: str,
     out_col: str = "first_value",
     keep_cols: "Sequence[str] | None" = None,
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
 ) -> "ray.data.Dataset":
     """SQL ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY order_col)``
     — every row gets its partition's first value in order (any dtype;
@@ -510,7 +532,7 @@ def partition_running(
     func: str = "sum",
     out_col: str = "running",
     keep_cols: "Sequence[str] | None" = None,
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
 ) -> "ray.data.Dataset":
     """SQL running aggregate ``SUM/AVG/COUNT(v) OVER (PARTITION BY key
     ORDER BY order_col)`` — cumulative from the partition start to the
@@ -601,7 +623,7 @@ def partition_row_number(
     order_col: str,
     out_col: str = "row_number",
     keep_cols: "Sequence[str] | None" = None,
-    num_buckets: int = 64,
+    num_buckets: int = WINDOW_BUCKETS,
     mode: str = "row_number",
 ) -> "ray.data.Dataset":
     """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY key
