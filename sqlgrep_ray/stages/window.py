@@ -6,16 +6,21 @@ log/telemetry pipeline needs, composed from Ray Data primitives per
 SURVEY §2's custom-operator guidance (map_batches + groupby().map_groups +
 in-group sort).
 
-* ``tumbling_window`` — fixed-width windows: floor(ts / width) is computed
-  vectorized per batch, then the window key joins the ordinary combiner-first
-  aggregate path — NO extra shuffle beyond the groupby.
-* ``sessionize``     — gap-based sessions per key: groupby(key) ships each
-  key's events to one task, which sorts by time and splits on gaps >
-  ``gap``. Partitioning assumption (documented): one key's events fit one
-  worker — same contract as the reference's in-memory group state. For
-  hot keys, pre-split by day first (compose with tumbling_window keys).
+* ``tumbling_window`` / ``hopping_window`` — fixed/sliding windows: the
+  window start is computed vectorized per batch and joins the ordinary
+  combiner-first aggregate path — NO extra shuffle beyond the groupby.
+* ``sessionize`` / ``assign_sessions`` / ``trailing_window_agg`` and the
+  window functions (``lag_shift``, ``partition_row_number`` incl.
+  rank/dense_rank, ``partition_running``, ``partition_first_value``) all
+  share ONE execution shape: keys hash into ``num_buckets`` buckets (one
+  shuffle, see ``auto_buckets``), each bucket task sorts by (key, order)
+  once and handles every key in the same vectorized pass — one Python
+  call per bucket, never per key. Partitioning assumption (documented):
+  one key's rows fit one worker — same contract as the reference's
+  in-memory group state. NULL keys form ONE partition (SQL semantics,
+  ``_same_key``).
 
-Both emit plain Datasets, so downstream plans (HAVING, sort, limit) compose.
+All emit plain Datasets, so downstream plans (HAVING, sort, limit) compose.
 """
 
 from __future__ import annotations
