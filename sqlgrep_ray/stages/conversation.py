@@ -22,8 +22,6 @@ sessionize; at 10^12 turns a single conversation is still tiny.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
