@@ -1,0 +1,100 @@
+"""Hypothesis: the window-function family (LAG/LEAD, ROW_NUMBER,
+RANK/DENSE_RANK, running SUM/AVG/COUNT, FIRST_VALUE) matches DuckDB's own
+window functions over random data with NULL partition keys, NULL values,
+and tied order values (ranks only — lag/row_number require the documented
+unique-(key, order) contract, so their order keys are drawn unique).
+
+One Ray pipeline per draw would cost seconds; instead each draw executes
+the SQL through parse_query → run_plan over a 3-block Dataset (the same
+code path the driver oracle exercises) and compares against
+duckdb.sql over the identical arrow table.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sqlgrep_ray.pipelines.runner import run_plan
+from sqlgrep_ray.sqlfront import parse_query
+
+_key = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+_val = st.one_of(st.none(), st.integers(min_value=-40, max_value=40))
+
+
+@st.composite
+def window_data(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    keys = draw(st.lists(_key, min_size=n, max_size=n))
+    vals = draw(st.lists(_val, min_size=n, max_size=n))
+    # tied order values for the rank checks
+    ties = draw(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=n, max_size=n)
+    )
+    return keys, vals, ties
+
+
+def _table(keys, vals, ties):
+    n = len(keys)
+    return pa.table(
+        {
+            "k": pa.array(keys, pa.string()),
+            "o": pa.array(np.arange(n, dtype=np.int64)),  # unique order
+            "t": pa.array(ties, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def _run(ray_tbl, sql):
+    import ray.data
+
+    plan = parse_query(sql).plan
+    ds = ray.data.from_arrow(ray_tbl).repartition(3)
+    return (
+        run_plan(ds, plan)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+
+
+def _oracle(tbl, sql):
+    # duckdb.sql resolves `tbl` from this frame's locals
+    return duckdb.sql(sql.replace("FROM x", "FROM tbl")).df().sort_values(
+        "o"
+    ).reset_index(drop=True)
+
+
+def _eq(a: pd.Series, b: pd.Series):
+    an, bn = a.isna(), b.isna()
+    assert an.tolist() == bn.tolist(), (a.tolist(), b.tolist())
+    assert a[~an].astype("float64").tolist() == b[~bn].astype(
+        "float64"
+    ).tolist(), (a.tolist(), b.tolist())
+
+
+@settings(max_examples=20, deadline=None)
+@given(window_data())
+def test_windows_match_duckdb(ray_session, data):
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        "LAG(v) OVER (PARTITION BY k ORDER BY o) AS lg, "
+        "LEAD(v, 2) OVER (PARTITION BY k ORDER BY o) AS ld, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn, "
+        "RANK() OVER (PARTITION BY k ORDER BY t) AS r, "
+        "DENSE_RANK() OVER (PARTITION BY k ORDER BY t) AS dr, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY o) AS rs, "
+        "AVG(v) OVER (PARTITION BY k ORDER BY o) AS ra, "
+        "COUNT(v) OVER (PARTITION BY k ORDER BY o) AS rc, "
+        "FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o) AS fv "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["lg", "ld", "rn", "r", "dr", "rs", "ra", "rc", "fv"]:
+        _eq(got[col], exp[col])
