@@ -338,9 +338,10 @@ def run_select(
         # specs sharing a frame shift together in a single pass
         frames: dict[tuple, list] = {}
         for w in windows:
-            if w.func in ("row_number", "rank", "dense_rank"):
+            if w.func in ("row_number", "rank", "dense_rank", "ntile"):
                 ds = partition_row_number(
-                    ds, w.key, w.order, out_col=w.out_col, mode=w.func
+                    ds, w.key, w.order, out_col=w.out_col, mode=w.func,
+                    ntile=w.offset if w.func == "ntile" else None,
                 )
                 continue
             if w.func.startswith("run_"):

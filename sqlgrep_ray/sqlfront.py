@@ -626,7 +626,7 @@ class Parser:
             fname = _FUNC_ALIASES.get(lname, lname)
             if fname in (
                 "lag", "lead", "row_number", "rank", "dense_rank",
-                "first_value",
+                "first_value", "ntile",
             ):
                 # ENGINE EXTENSION: LAG/LEAD(col[, offset]) /
                 # FIRST_VALUE(col) / ROW_NUMBER() / RANK() / DENSE_RANK()
@@ -634,7 +634,19 @@ class Parser:
                 if distinct or star:
                     raise SqlError(f"DISTINCT/* not valid in {fname}()")
                 offset = 1
-                if fname in ("row_number", "rank", "dense_rank"):
+                if fname == "ntile":
+                    if (
+                        len(args) != 1
+                        or not isinstance(args[0], Lit)
+                        or not isinstance(args[0].value, int)
+                        or args[0].value < 1
+                    ):
+                        raise SqlError(
+                            "ntile(n) needs a positive integer literal"
+                        )
+                    value = ""
+                    offset = int(args[0].value)
+                elif fname in ("row_number", "rank", "dense_rank"):
                     if args:
                         raise SqlError(f"{fname}() takes no arguments")
                     value = ""

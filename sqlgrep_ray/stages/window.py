@@ -630,17 +630,22 @@ def partition_row_number(
     keep_cols: "Sequence[str] | None" = None,
     num_buckets: int = WINDOW_BUCKETS,
     mode: str = "row_number",
+    ntile: int | None = None,
 ) -> "ray.data.Dataset":
-    """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() OVER (PARTITION BY key
-    ORDER BY order_col)`` — 1-based ordinal/rank within each key partition
-    in order (``mode`` selects which). Same bucket execution as
-    :func:`lag_shift`. Determinism: row_number needs a unique
+    """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() / NTILE(n) OVER
+    (PARTITION BY key ORDER BY order_col)`` — 1-based ordinal/rank/tile
+    within each key partition in order (``mode`` selects which; NTILE is
+    the training-data sharding window: n near-equal groups per partition,
+    earlier groups one row larger). Same bucket execution as
+    :func:`lag_shift`. Determinism: row_number/ntile need a unique
     (key, order_col) per row (like lag); rank/dense_rank are
     tie-independent, so they are deterministic — and SQL-comparable —
     even on tied order values. ``keep_cols=None`` (default) keeps every
     input column."""
-    if mode not in ("row_number", "rank", "dense_rank"):
-        raise ValueError("mode must be row_number, rank or dense_rank")
+    if mode not in ("row_number", "rank", "dense_rank", "ntile"):
+        raise ValueError("mode must be row_number, rank, dense_rank or ntile")
+    if mode == "ntile" and (ntile is None or ntile < 1):
+        raise ValueError("ntile mode needs a positive tile count")
     cols = (
         None
         if keep_cols is None
@@ -672,6 +677,22 @@ def partition_row_number(
         first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
         if mode == "row_number":
             out = pos - first_of_key + 1
+        elif mode == "ntile":
+            rn = pos - first_of_key + 1
+            starts = np.flatnonzero(key_change)
+            seg_len = np.diff(np.r_[starts, n])
+            cnt = np.repeat(seg_len, seg_len)
+            # SQL NTILE: q = cnt // t, r = cnt % t; the first r tiles get
+            # q+1 rows, the rest q
+            t_ = ntile
+            q, r = cnt // t_, cnt % t_
+            big = r * (q + 1)  # rows covered by the larger tiles
+            in_big = rn <= big
+            out = np.where(
+                in_big,
+                (rn + q) // np.maximum(q + 1, 1),  # ceil(rn / (q+1))
+                r + (rn - big + np.maximum(q, 1) - 1) // np.maximum(q, 1),
+            )
         else:
             oarr = g[order_col].combine_chunks()
             run_change = key_change | _key_change_mask(oarr, n)

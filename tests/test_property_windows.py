@@ -91,10 +91,11 @@ def test_windows_match_duckdb(ray_session, data):
         "SUM(v) OVER (PARTITION BY k ORDER BY o) AS rs, "
         "AVG(v) OVER (PARTITION BY k ORDER BY o) AS ra, "
         "COUNT(v) OVER (PARTITION BY k ORDER BY o) AS rc, "
-        "FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o) AS fv "
+        "FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o) AS fv, "
+        "NTILE(3) OVER (PARTITION BY k ORDER BY o) AS nt "
         "FROM x"
     )
     got = _run(tbl, sql)
     exp = _oracle(tbl, sql)
-    for col in ["lg", "ld", "rn", "r", "dr", "rs", "ra", "rc", "fv"]:
+    for col in ["lg", "ld", "rn", "r", "dr", "rs", "ra", "rc", "fv", "nt"]:
         _eq(got[col], exp[col])
