@@ -1760,6 +1760,30 @@ FROM lineitem
 """
 
 
+def q_sql_ntile(sf_dir: str) -> Result:
+    """NTILE(4) through the SQL dialect — the deterministic
+    shard-assignment window (n near-equal ordered groups per
+    conversation) — full-row int64 output vs DuckDB."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, NTILE(4) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx) AS shard FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_NTILE = f"""
+SELECT conv_id, turn_idx,
+       CAST(NTILE(4) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS shard
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2470,6 +2494,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_row_number": q_sql_row_number,
     "sql_running_sum": q_sql_running_sum,
     "sql_rank_ties": q_sql_rank_ties,
+    "sql_ntile": q_sql_ntile,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
@@ -2549,6 +2574,7 @@ ORACLES: dict[str, str] = {
     "sql_row_number": SQL_SQL_ROW_NUMBER,
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
+    "sql_ntile": SQL_SQL_NTILE,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,
