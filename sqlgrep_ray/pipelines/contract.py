@@ -1784,6 +1784,54 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_conv_latency_p90(sf_dir: str) -> Result:
+    """Per-conversation p90 response latency: LAG → vectorized subtraction
+    → grouped_percentile (the bucketized scale twin of the holistic
+    per-group percentile: one sort + one gather per bucket, never a Python
+    call per key). Values are elements of the data (int64 µs) — hash-exact
+    vs DuckDB's per-partition truncation-index percentile."""
+    from sqlgrep_ray.stages.quantile import grouped_percentile
+    from sqlgrep_ray.stages.window import lag_shift
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "ts"]
+    )
+    ds = lag_shift(ds, "conv_id", "turn_idx", ["ts"], offset=1)
+
+    def latency(t: pa.Table) -> pa.Table:
+        lat = pc.subtract(
+            pc.cast(t["ts"], pa.int64()), pc.cast(t["ts_lag1"], pa.int64())
+        )
+        return pa.table({"conv_id": t["conv_id"], "l": lat})
+
+    lats = ds.map_batches(latency, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_percentile(
+        lats, "conv_id", "l", 0.9, out_col="p90_latency_us"
+    )
+
+
+SQL_CONV_LATENCY_P90 = f"""
+WITH lat AS (
+  SELECT conv_id,
+         CAST(epoch_us(ts)
+              - epoch_us(LAG(ts) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx))
+              AS BIGINT) AS l
+  FROM read_parquet('{_TR_GLOB}')
+), ranked AS (
+  SELECT conv_id, l,
+         row_number() OVER (PARTITION BY conv_id ORDER BY l) AS rn,
+         count(l) OVER (PARTITION BY conv_id) AS n
+  FROM lat WHERE l IS NOT NULL
+)
+SELECT conv_id, l AS p90_latency_us
+FROM ranked
+WHERE rn = 1 + LEAST(CAST(FLOOR(0.9 * n) AS BIGINT), n - 1)
+"""
+
+
 def q_reassemble_convs(sf_dir: str) -> Result:
     """Turns → documents bridge: every conversation collapsed to one
     '{{role}}: {{text}}' newline-joined document in turn order, plus
@@ -2495,6 +2543,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_running_sum": q_sql_running_sum,
     "sql_rank_ties": q_sql_rank_ties,
     "sql_ntile": q_sql_ntile,
+    "conv_latency_p90": q_conv_latency_p90,
     "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
     "latency_quantiles": q_latency_quantiles,
@@ -2575,6 +2624,7 @@ ORACLES: dict[str, str] = {
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
+    "conv_latency_p90": SQL_CONV_LATENCY_P90,
     "reassemble_convs": SQL_REASSEMBLE_CONVS,
     "kll_quantiles": SQL_KLL_QUANTILES,
     "latency_quantiles": SQL_LATENCY_QUANTILES,

@@ -161,3 +161,71 @@ def distributed_percentile(
         )
     bracket.sort()
     return bracket[k - below]
+
+
+def grouped_percentile(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    p: float,
+    out_col: str = "percentile",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact per-key percentile (truncation-index rule, ``sorted[int(p*n)]``
+    like the reference) — the SCALE twin of the plan path's holistic
+    per-group percentile: instead of one ``map_groups`` Python call per
+    key, keys hash into buckets (see ``window.auto_buckets`` for sizing)
+    and each bucket task sorts once by (key, value) and reads every key's
+    percentile with one vectorized gather on the segment boundaries.
+    NULL values are dropped per key (a key with only NULLs is omitted);
+    NULL keys form one group (SQL semantics). Output: one row per key,
+    (key, out_col)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("p must be in [0, 1]")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = t.select([key, value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        h = pd.util.hash_pandas_object(
+            t.select([key]).to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def bucket_pct(g: pa.Table) -> pa.Table:
+        from sqlgrep_ray.stages.window import _key_change_mask
+
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    key: g[key][:0].combine_chunks(),
+                    out_col: g[value_col][:0].combine_chunks(),
+                }
+            )
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (value_col, "ascending")]
+        )
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        starts = np.flatnonzero(_key_change_mask(karr, n))
+        lens = np.diff(np.r_[starts, n])
+        idx = starts + np.minimum(
+            np.floor(p * lens).astype(np.int64), lens - 1
+        )
+        return pa.table(
+            {
+                key: karr.take(pa.array(starts)),
+                out_col: g[value_col].combine_chunks().take(pa.array(idx)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_pct, batch_format="pyarrow")
+    )

@@ -116,3 +116,35 @@ def test_plan_path_routes_global_percentile_distributed(ray_session, monkeypatch
     grows = run_plan(ray.data.from_arrow(gt), gplan).take_all()
     assert [(r["g"], r["p0"]) for r in grows] == [(1, 1.0), (2, 3.0)]
     assert len(calls) == n_calls
+
+
+def test_grouped_percentile_vs_reference(ray_session):
+    """Bucketized per-key percentile == per-group sorted[int(p*n)], with
+    NULL values dropped and a NULL-key group (SQL semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.stages.quantile import grouped_percentile
+
+    rng = np.random.RandomState(17)
+    n = 3000
+    keys = [None if c == 9 else f"k{c}" for c in rng.randint(0, 10, n)]
+    vals = [None if rng.rand() < 0.05 else int(v) for v in rng.randint(0, 1000, n)]
+    t = pa.table({"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(7)
+    for p in (0.0, 0.5, 0.9, 1.0):
+        out = {
+            r["k"]: r["p"]
+            for r in grouped_percentile(ds, "k", "v", p, out_col="p").take_all()
+        }
+        groups: dict = {}
+        for k, v in zip(keys, vals):
+            if v is not None:
+                groups.setdefault(k, []).append(v)
+        exp = {
+            k: sorted(vs)[min(int(np.floor(p * len(vs))), len(vs) - 1)]
+            for k, vs in groups.items()
+        }
+        assert out == exp, p
