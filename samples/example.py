@@ -92,6 +92,17 @@ def main() -> None:
         "SELECT ip FROM connections", cb, source=SAMPLE_LINES
     )
     print(f"callback saw {len(seen)} rows, then stopped")
+
+    # ENGINE EXTENSION: window functions over a partition
+    # (LAG/LEAD, FIRST_VALUE, ROW_NUMBER, RANK/DENSE_RANK, NTILE,
+    # running SUM/AVG/COUNT)
+    print("=" * 100)
+    for row in tables.execute_query_rows(
+        "SELECT hostname, ROW_NUMBER() OVER "
+        "(PARTITION BY hostname ORDER BY ip) AS nth FROM connections",
+        source=SAMPLE_LINES,
+    ):
+        print(row)
     ray.shutdown()
 
 
