@@ -671,7 +671,10 @@ class Parser:
                 self.expect_op("(")
                 self.expect_kw("partition")
                 self.expect_kw("by")
-                key = self.expect_ident()
+                pkeys = [self.expect_ident()]
+                while self.eat_op(","):
+                    pkeys.append(self.expect_ident())
+                key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                 self.expect_kw("order")
                 self.expect_kw("by")
                 order = self.expect_ident()
@@ -703,7 +706,10 @@ class Parser:
                     self.expect_op("(")
                     self.expect_kw("partition")
                     self.expect_kw("by")
-                    key = self.expect_ident()
+                    pkeys = [self.expect_ident()]
+                    while self.eat_op(","):
+                        pkeys.append(self.expect_ident())
+                    key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                     self.expect_kw("order")
                     self.expect_kw("by")
                     order = self.expect_ident()

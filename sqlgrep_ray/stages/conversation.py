@@ -50,14 +50,9 @@ def reassemble_conversations(
     cols = [key, order_col, text_col] + ([role_col] if role_col else [])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        from sqlgrep_ray.stages.window import _bucket_ids
 
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         n = g.num_rows

@@ -184,16 +184,11 @@ def grouped_percentile(
         raise ValueError("p must be in [0, 1]")
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        from sqlgrep_ray.stages.window import _bucket_ids
 
         t = t.select([key, value_col])
         t = t.filter(pc.is_valid(t[value_col]))
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def bucket_pct(g: pa.Table) -> pa.Table:
         from sqlgrep_ray.stages.window import _key_change_mask

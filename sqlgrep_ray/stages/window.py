@@ -70,12 +70,43 @@ def _same_key(a: pa.Array, b: pa.Array) -> pa.Array:
     )
 
 
-def _key_change_mask(karr: pa.Array, n: int) -> np.ndarray:
+def _as_keys(key) -> list:
+    """Normalize a partition key spec (str or sequence of str) to a list —
+    composite ``PARTITION BY a, b`` support."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _bucket_ids(t: pa.Table, keys, num_buckets: int) -> pa.Array:
+    """Block-stable bucket assignment for the key column(s). Key columns
+    are cast to STRING before hashing: ``to_pandas`` on an int64 column
+    renders blocks WITH nulls as float64 and blocks without as int64, so
+    the same key value would hash — and bucket — differently depending on
+    which block it landed in. The string form is identical everywhere
+    (nulls stay null, which pandas hashes consistently)."""
+    import pandas as pd
+
+    cols = {}
+    for k in _as_keys(keys):
+        c = t[k]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols[k] = pc.cast(c, pa.string()).to_pandas()
+    h = pd.util.hash_pandas_object(pd.DataFrame(cols), index=False).to_numpy()
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+def _key_change_mask(karr, n: int) -> np.ndarray:
     """True at rows that start a new key run in a (key, order)-sorted
-    bucket (nulls sort together, so one pass suffices)."""
+    bucket (nulls sort together, so one pass suffices). Accepts one
+    pa.Array or a list of them (composite keys: a run continues only
+    while EVERY key column matches)."""
     if n <= 1:
         return np.ones(n, dtype=bool)
-    same = _same_key(karr.slice(1), karr.slice(0, n - 1))
+    arrs = karr if isinstance(karr, list) else [karr]
+    same = None
+    for a in arrs:
+        s = _same_key(a.slice(1), a.slice(0, n - 1))
+        same = s if same is None else pc.and_(same, s)
     return np.r_[True, ~same.to_numpy(zero_copy_only=False).astype(bool)]
 
 
@@ -186,14 +217,7 @@ def sessionize(
     gap_us = int(gap_s * 1_000_000)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def split_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -271,14 +295,7 @@ def trailing_window_agg(
     cols = list(dict.fromkeys(cols))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def agg_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -349,14 +366,7 @@ def assign_sessions(
     cols = [key, ts_col, *keep_cols]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def label_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -414,6 +424,7 @@ def lag_shift(
     """
     if offset == 0:
         raise ValueError("offset must be nonzero (positive=lag, negative=lead)")
+    keys = _as_keys(key)
     tag = f"lag{offset}" if offset > 0 else f"lead{-offset}"
     out_names = (
         list(names) if names is not None else [f"{c}_{tag}" for c in value_cols]
@@ -423,18 +434,11 @@ def lag_shift(
     cols = (
         None
         if keep_cols is None
-        else list(dict.fromkeys([key, order_col, *value_cols, *keep_cols]))
+        else list(dict.fromkeys([*keys, order_col, *value_cols, *keep_cols]))
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
 
     def shift_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -446,14 +450,17 @@ def lag_shift(
                 )
             return g
         order = pc.sort_indices(
-            g, [(key, "ascending"), (order_col, "ascending")]
+            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
         )
         g = g.take(order)
-        karr = g[key].combine_chunks()
+        karrs = [g[k].combine_chunks() for k in keys]
         idx = np.arange(n, dtype=np.int64) - offset
         valid = (idx >= 0) & (idx < n)
         clipped = np.clip(idx, 0, n - 1)
-        same = _same_key(karr.take(pa.array(clipped)), karr)
+        same = None
+        for a in karrs:
+            s = _same_key(a.take(pa.array(clipped)), a)
+            same = s if same is None else pc.and_(same, s)
         valid &= same.to_numpy(zero_copy_only=False).astype(bool)
         take_idx = pa.array(clipped, mask=~valid)
         for c, out in zip(value_cols, out_names):
@@ -484,21 +491,15 @@ def partition_first_value(
     — every row gets its partition's first value in order (any dtype;
     e.g. time-since-conversation-start = ts − first_value(ts)). Same
     bucket execution and determinism contract as :func:`lag_shift`."""
+    keys = _as_keys(key)
     cols = (
         None
         if keep_cols is None
-        else list(dict.fromkeys([key, order_col, value_col, *keep_cols]))
+        else list(dict.fromkeys([*keys, order_col, value_col, *keep_cols]))
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
 
     def first_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -508,11 +509,11 @@ def partition_first_value(
                 out_col, pa.array([], g.schema.field(value_col).type)
             )
         order = pc.sort_indices(
-            g, [(key, "ascending"), (order_col, "ascending")]
+            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
         )
         g = g.take(order)
-        karr = g[key].combine_chunks()
-        key_change = _key_change_mask(karr, n)
+        karrs = [g[k].combine_chunks() for k in keys]
+        key_change = _key_change_mask(karrs, n)
         fok = np.maximum.accumulate(
             np.where(key_change, np.arange(n, dtype=np.int64), 0)
         )
@@ -549,21 +550,15 @@ def partition_running(
     float64."""
     if func not in ("sum", "avg", "count"):
         raise ValueError("func must be sum, avg or count")
+    keys = _as_keys(key)
     cols = (
         None
         if keep_cols is None
-        else list(dict.fromkeys([key, order_col, value_col, *keep_cols]))
+        else list(dict.fromkeys([*keys, order_col, value_col, *keep_cols]))
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
 
     def run_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -572,10 +567,10 @@ def partition_running(
             typ = pa.float64() if func == "avg" else pa.int64()
             return g.append_column(out_col, pa.array([], typ))
         order = pc.sort_indices(
-            g, [(key, "ascending"), (order_col, "ascending")]
+            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
         )
         g = g.take(order)
-        karr = g[key].combine_chunks()
+        karrs = [g[k].combine_chunks() for k in keys]
         varr = g[value_col].combine_chunks()
         null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
         v = np.where(
@@ -583,7 +578,7 @@ def partition_running(
             0,
             pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
         )
-        key_change = _key_change_mask(karr, n)
+        key_change = _key_change_mask(karrs, n)
         fok = np.maximum.accumulate(
             np.where(key_change, np.arange(n, dtype=np.int64), 0)
         )
@@ -646,21 +641,15 @@ def partition_row_number(
         raise ValueError("mode must be row_number, rank, dense_rank or ntile")
     if mode == "ntile" and (ntile is None or ntile < 1):
         raise ValueError("ntile mode needs a positive tile count")
+    keys = _as_keys(key)
     cols = (
         None
         if keep_cols is None
-        else list(dict.fromkeys([key, order_col, *keep_cols]))
+        else list(dict.fromkeys([*keys, order_col, *keep_cols]))
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
 
     def number_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -668,11 +657,11 @@ def partition_row_number(
         if n == 0:
             return g.append_column(out_col, pa.array([], pa.int64()))
         order = pc.sort_indices(
-            g, [(key, "ascending"), (order_col, "ascending")]
+            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
         )
         g = g.take(order)
-        karr = g[key].combine_chunks()
-        key_change = _key_change_mask(karr, n)
+        karrs = [g[k].combine_chunks() for k in keys]
+        key_change = _key_change_mask(karrs, n)
         pos = np.arange(n, dtype=np.int64)
         first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
         if mode == "row_number":

@@ -430,3 +430,47 @@ def test_window_null_partition_keys(ray_session):
     )
     assert out["rn"].tolist() == ref["rn"].tolist()
     assert out["cum"].tolist() == ref["cum"].astype("int64").tolist()
+
+
+def test_window_composite_partition_key(ray_session):
+    """PARTITION BY a, b (composite keys) across the window family — rows
+    partition only when EVERY key column matches (DuckDB parity)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "x", "y", "y", "x"],
+            "b": pa.array([1, 1, 2, 1, 1, None], pa.int64()),
+            "o": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    sql = (
+        "SELECT a, b, o, "
+        "LAG(v) OVER (PARTITION BY a, b ORDER BY o) AS lg, "
+        "ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY o) AS rn, "
+        "SUM(v) OVER (PARTITION BY a, b ORDER BY o) AS rs FROM x"
+    )
+    out = (
+        run_plan(ds, parse_query(sql).plan)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    ref = (
+        duckdb.arrow(t)
+        .query("x", sql)
+        .df()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == ref["rn"].tolist()
+    assert out["rs"].tolist() == ref["rs"].astype("int64").tolist()
+    got_lg, exp_lg = out["lg"], ref["lg"]
+    assert got_lg.isna().tolist() == exp_lg.isna().tolist()
+    assert got_lg.dropna().tolist() == exp_lg.dropna().tolist()
