@@ -241,10 +241,12 @@ def asof_join_large(
     out_names = left_names + ["__rts", *value_cols, "__side", "__b"]
 
     def bucket_of(keys: pa.ChunkedArray | pa.Array, n: int) -> pa.Array:
-        h = pd.util.hash_pandas_object(
-            pa.table({"k": keys}).to_pandas()["k"], index=False
-        ).to_numpy()
-        return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        # block-stable hash: canonicalize the key column first (see
+        # window._bucket_ids — int-with-nulls blocks otherwise flip dtype
+        # under to_pandas and hash differently per block)
+        from sqlgrep_ray.stages.window import _bucket_ids
+
+        return _bucket_ids(pa.table({"k": keys}), "k", num_buckets)
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {nm: t[nm] for nm in left_names}

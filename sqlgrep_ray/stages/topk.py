@@ -36,13 +36,14 @@ def _local_topk(
         (tie_col, "ascending"),
     ]
     t = t.take(pc.sort_indices(t, sort_keys))
-    # rank within each group of the sorted table
-    key_arrays = [t[c].to_numpy(zero_copy_only=False) for c in keys]
+    # rank within each group of the sorted table; null-aware key
+    # comparison (NULL keys form ONE group — numpy != on the NaN a
+    # nullable int column decays to would split every null row apart)
+    from sqlgrep_ray.stages.window import _key_change_mask
+
     n = t.num_rows
-    new_grp = np.zeros(n, dtype=bool)
-    new_grp[0] = True
-    for arr in key_arrays:
-        new_grp[1:] |= arr[1:] != arr[:-1]
+    karrs = [t[c].combine_chunks() for c in keys]
+    new_grp = _key_change_mask(karrs, n)
     grp_id = np.cumsum(new_grp) - 1
     # rank = position − first position of the row's group
     first_pos = np.zeros(grp_id[-1] + 1, dtype=np.int64)
@@ -90,16 +91,11 @@ def grouped_topk(
         return cands.repartition(1).map_batches(block, batch_format="pyarrow")
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        # deterministic block-stable multi-column hash (fixed siphash key,
+        # key columns canonicalized — see window._bucket_ids for why)
+        from sqlgrep_ray.stages.window import _bucket_ids
 
-        # deterministic vectorized multi-column hash (fixed siphash key),
-        # stable across worker processes — python's salted hash() is not
-        h = pd.util.hash_pandas_object(
-            t.select(keys).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__tb", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
+        return t.append_column("__tb", _bucket_ids(t, keys, num_buckets))
 
     def bucket_topk(g: pa.Table) -> pa.Table:
         return _local_topk(g.drop_columns(["__tb"]), keys, score_col, tie_col, k)
