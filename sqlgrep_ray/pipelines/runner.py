@@ -83,6 +83,15 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
         for p in plan.projections:
             walk(p.expr)
         walk(plan.where)
+        # window stages: the projections reference the HIDDEN output
+        # columns; the inputs are the window's value/partition/order cols
+        for w in getattr(plan, "windows", ()):
+            cols.discard(w.out_col)
+            if w.value_col:
+                cols.add(w.value_col)
+            for k in [w.key] if isinstance(w.key, str) else list(w.key):
+                cols.add(k)
+            cols.add(w.order)
     else:
         for k in plan.group_by:
             walk(k.expr)
@@ -333,6 +342,14 @@ def run_select(
             partition_row_number,
             partition_running,
         )
+
+        # prune BEFORE the bucket shuffle: only the columns the query
+        # actually reads ride the exchange (a 3-column window query over
+        # a 50-column table must not shuffle 50 columns)
+        if plan.projections is not None:
+            needed = referenced_columns(plan)
+            if needed:
+                ds = ds.select_columns(needed)
 
         # one bucket shuffle per distinct (key, order, signed offset) —
         # specs sharing a frame shift together in a single pass

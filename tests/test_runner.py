@@ -359,3 +359,49 @@ def test_referenced_columns_pruning():
         join=JoinSpec(right=right, left_key="lk", right_key="rk"),
     )
     assert referenced_columns(p2) == ["lk", "v"]
+
+
+def test_referenced_columns_window_plan():
+    """Window plans report INPUT columns (value/partition/order), never
+    the hidden __win outputs the rewritten projections reference."""
+    from sqlgrep_ray.pipelines.runner import referenced_columns
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT k, ts - LAG(ts) OVER (PARTITION BY k, d ORDER BY o) AS l "
+        "FROM t WHERE x > 1"
+    ).plan
+    assert referenced_columns(plan) == ["d", "k", "o", "ts", "x"]
+
+
+def test_window_prunes_before_shuffle(ray_session):
+    """A window query over a wide table only ships referenced columns
+    through the bucket shuffle (and unreferenced columns don't break it)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    n = 50
+    t = pa.table(
+        {
+            "k": pa.array(["a", "b"] * 25),
+            "o": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+            # wide payload the query never mentions
+            **{f"w{i}": pa.array(["x" * 50] * n) for i in range(8)},
+        }
+    )
+    plan = parse_query(
+        "SELECT k, o, SUM(v) OVER (PARTITION BY k ORDER BY o) AS rs FROM t"
+    ).plan
+    out = (
+        run_plan(ray.data.from_arrow(t).repartition(4), plan)
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert out.columns.tolist() == ["k", "o", "rs"]
+    assert out["rs"].iloc[-1] == sum(range(1, n, 2))  # k='b' total
