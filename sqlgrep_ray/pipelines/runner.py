@@ -331,16 +331,16 @@ def run_select(
     ctx: Optional[CompileCtx] = None,
     batch_size: Optional[int] = None,
 ) -> "ray.data.Dataset":
+    ds_entry = ds  # pre-join/filter input: cheap (often metadata-only)
     ds = _apply_join(ds, plan.join, force_inner=False)
     ds = _apply_where(ds, plan.where, ctx)
 
     windows = getattr(plan, "windows", ())
     if windows:
-        from sqlgrep_ray.stages.window import lag_shift
-
         from sqlgrep_ray.stages.window import (
-            partition_row_number,
-            partition_running,
+            WinFunc,
+            partition_windows,
+            resolve_buckets,
         )
 
         # prune BEFORE the bucket shuffle: only the columns the query
@@ -351,40 +351,41 @@ def run_select(
             if needed:
                 ds = ds.select_columns(needed)
 
-        # one bucket shuffle per distinct (key, order, signed offset) —
-        # specs sharing a frame shift together in a single pass
+        # ONE bucket shuffle per distinct (PARTITION BY, ORDER BY) frame:
+        # every window function sharing a frame computes in a single
+        # sorted pass (a 3-function shared-frame query pays 1 exchange,
+        # not 3). Bucket count auto-sizes from the ENTRY dataset's row
+        # count — an upper bound (pre-WHERE) that is metadata-free on a
+        # fresh parquet read; more buckets than needed only shrinks tasks.
         frames: dict[tuple, list] = {}
         for w in windows:
-            if w.func in ("row_number", "rank", "dense_rank", "ntile"):
-                ds = partition_row_number(
-                    ds, w.key, w.order, out_col=w.out_col, mode=w.func,
-                    ntile=w.offset if w.func == "ntile" else None,
-                )
-                continue
-            if w.func.startswith("run_"):
-                ds = partition_running(
-                    ds, w.key, w.order, w.value_col,
-                    func=w.func[4:], out_col=w.out_col,
-                )
-                continue
-            if w.func == "first_value":
-                from sqlgrep_ray.stages.window import partition_first_value
-
-                ds = partition_first_value(
-                    ds, w.key, w.order, w.value_col, out_col=w.out_col
-                )
-                continue
-            off = w.offset if w.func == "lag" else -w.offset
-            frames.setdefault((w.key, w.order, off), []).append(w)
-        for (key, order, off), specs in frames.items():
-            ds = lag_shift(
+            frames.setdefault((w.key, w.order), []).append(w)
+        nb = resolve_buckets(None, ds_entry)
+        for (key, order), specs in frames.items():
+            funcs = []
+            for w in specs:
+                if w.func in ("lag", "lead"):
+                    funcs.append(
+                        WinFunc(
+                            w.func, w.out_col,
+                            value_col=w.value_col, param=w.offset,
+                        )
+                    )
+                elif w.func == "ntile":
+                    funcs.append(WinFunc("ntile", w.out_col, param=w.offset))
+                elif w.func in ("row_number", "rank", "dense_rank"):
+                    funcs.append(WinFunc(w.func, w.out_col))
+                else:  # run_sum / run_avg / run_count / first_value
+                    funcs.append(
+                        WinFunc(w.func, w.out_col, value_col=w.value_col)
+                    )
+            ds = partition_windows(
                 ds,
                 key,
                 order,
-                [w.value_col for w in specs],
-                offset=off,
+                funcs,
                 keep_cols=None,  # SQL window semantics: the row survives
-                names=[w.out_col for w in specs],
+                num_buckets=nb,
             )
 
     if plan.projections is not None:

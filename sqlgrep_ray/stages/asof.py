@@ -172,7 +172,7 @@ def asof_join_auto(
     value_cols: Sequence[str],
     how: str = "inner",
     broadcast_max_rows: int = BROADCAST_MAX_RIGHT_ROWS,
-    num_buckets: int = 64,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Size-aware as-of join: broadcast-probe while the right side is small
     (one ``ray.put``, zero shuffles), else the shuffle-both-sides bucketed
@@ -219,19 +219,25 @@ def asof_join_large(
     right_ts: str,
     value_cols: Sequence[str],
     how: str = "inner",
-    num_buckets: int = 64,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Shuffle-both-sides as-of join — the fallback for a RIGHT side too
     large to broadcast (the module-doc partitioning note, now implemented).
 
     Both sides are hash-assigned to ``num_buckets`` key buckets (one
     deterministic shuffle each, via a tagged union so a single ``groupby``
-    co-locates them); each bucket task builds the sorted per-key index over
-    just ITS right rows and probes its left rows with the same vectorized
-    ``searchsorted`` as the broadcast path. Per-worker memory is
-    (left+right)/num_buckets; a single hot key must still fit one worker.
+    co-locates them; ``None`` → ``window.auto_buckets`` over
+    left+right rows); each bucket task builds the sorted per-key index
+    over just ITS right rows and probes its left rows with the same
+    vectorized ``searchsorted`` as the broadcast path. Per-worker memory
+    is (left+right)/num_buckets; a single hot key must still fit one
+    worker.
     """
     import pandas as pd
+
+    from sqlgrep_ray.stages.window import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, left, right)
 
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema

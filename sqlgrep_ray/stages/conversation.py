@@ -36,7 +36,7 @@ def reassemble_conversations(
     role_col: str | None = "role",
     sep: str = "\n",
     out_col: str = "doc",
-    num_buckets: int = 64,  # see window.auto_buckets for sizing at scale
+    num_buckets: "int | None" = None,  # None → window.auto_buckets(n_rows)
 ) -> "ray.data.Dataset":
     """Collapse a turn table into one document row per conversation.
 
@@ -47,6 +47,9 @@ def reassemble_conversations(
     Determinism contract: (key, order_col) unique per row; text/role
     non-null (transcript generator guarantees both).
     """
+    from sqlgrep_ray.stages.window import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
     cols = [key, order_col, text_col] + ([role_col] if role_col else [])
 
     def add_bucket(t: pa.Table) -> pa.Table:

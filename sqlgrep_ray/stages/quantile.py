@@ -169,19 +169,22 @@ def grouped_percentile(
     value_col: str,
     p: float,
     out_col: str = "percentile",
-    num_buckets: int = 64,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Exact per-key percentile (truncation-index rule, ``sorted[int(p*n)]``
     like the reference) — the SCALE twin of the plan path's holistic
     per-group percentile: instead of one ``map_groups`` Python call per
-    key, keys hash into buckets (see ``window.auto_buckets`` for sizing)
-    and each bucket task sorts once by (key, value) and reads every key's
-    percentile with one vectorized gather on the segment boundaries.
-    NULL values are dropped per key (a key with only NULLs is omitted);
-    NULL keys form one group (SQL semantics). Output: one row per key,
-    (key, out_col)."""
+    key, keys hash into buckets (``None`` → ``window.auto_buckets`` from
+    the row count) and each bucket task sorts once by (key, value) and
+    reads every key's percentile with one vectorized gather on the
+    segment boundaries. NULL values are dropped per key (a key with only
+    NULLs is omitted); NULL keys form one group (SQL semantics). Output:
+    one row per key, (key, out_col)."""
     if not 0.0 <= p <= 1.0:
         raise ValueError("p must be in [0, 1]")
+    from sqlgrep_ray.stages.window import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         from sqlgrep_ray.stages.window import _bucket_ids

@@ -234,12 +234,12 @@ def grouped_approx_distinct(
         )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            t.select([key]).to_pandas(), index=False
-        ).to_numpy()
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(64)).astype(np.int64))
-        )
+        # block-stable key hash via the shared helper (raw
+        # hash_pandas_object was only safe here because block() drops
+        # null keys; _bucket_ids canonicalizes regardless)
+        from sqlgrep_ray.stages.window import _bucket_ids
+
+        return t.append_column("__b", _bucket_ids(t, key, 64))
 
     def merge_bucket(g: pa.Table) -> pa.Table:
         # ONE vectorized pass per bucket, not per key: sort by key, stack

@@ -65,7 +65,7 @@ def grouped_topk(
     tie_col: str,
     k: int,
     distributed: "bool | None" = None,
-    num_buckets: int = 64,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-``k`` rows per ``keys`` group by ``score_col`` desc (ties:
     ``tie_col`` asc). Combiner-first: each block keeps its own top-k per
@@ -77,18 +77,26 @@ def grouped_topk(
     64-bit hash of the key tuple mod ``num_buckets``) so each of the
     ``num_buckets`` merge tasks runs the same vectorized rank-mask over its
     co-located groups; per-worker memory is candidates/num_buckets, never
-    k × |groups| (the round-1 single-block scale-killer)."""
+    k × |groups| (the round-1 single-block scale-killer).
+    ``num_buckets=None`` auto-sizes from the surviving-candidate count
+    (free on the AUTO path, which already counted them)."""
     keys = list(keys)
 
     def block(t: pa.Table) -> pa.Table:
         return _local_topk(t, keys, score_col, tie_col, k)
 
     cands = ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+    cand_count = None
     if distributed is None:
         cands = cands.materialize()  # narrow: combiner already ran
-        distributed = cands.count() > SMALL_MERGE_MAX_CAND_ROWS
+        cand_count = cands.count()
+        distributed = cand_count > SMALL_MERGE_MAX_CAND_ROWS
     if not distributed:
         return cands.repartition(1).map_batches(block, batch_format="pyarrow")
+
+    from sqlgrep_ray.stages.window import resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, cands, n_rows=cand_count)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         # deterministic block-stable multi-column hash (fixed siphash key,

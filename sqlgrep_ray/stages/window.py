@@ -10,22 +10,31 @@ in-group sort).
   window start is computed vectorized per batch and joins the ordinary
   combiner-first aggregate path — NO extra shuffle beyond the groupby.
 * ``sessionize`` / ``assign_sessions`` / ``trailing_window_agg`` and the
-  window functions (``lag_shift``, ``partition_row_number`` incl.
-  rank/dense_rank, ``partition_running``, ``partition_first_value``) all
-  share ONE execution shape: keys hash into ``num_buckets`` buckets (one
-  shuffle, see ``auto_buckets``), each bucket task sorts by (key, order)
-  once and handles every key in the same vectorized pass — one Python
-  call per bucket, never per key. Partitioning assumption (documented):
-  one key's rows fit one worker — same contract as the reference's
+  window functions (``partition_windows`` and its single-function wrappers
+  ``lag_shift``, ``partition_row_number`` incl. rank/dense_rank/ntile,
+  ``partition_running``, ``partition_first_value``) all share ONE
+  execution shape: keys hash into ``num_buckets`` buckets (one shuffle),
+  each bucket task sorts by (key, order) once and handles every key in
+  the same vectorized pass — one Python call per bucket, never per key.
+  ``num_buckets=None`` (the default) resolves via :func:`auto_buckets`
+  from the input's row count (metadata-free when the input is a fresh
+  parquet read; one narrow counting pass otherwise — see
+  :func:`resolve_buckets`), so per-worker memory stays ~flat at any
+  corpus size instead of corpus/64. Partitioning assumption (documented):
+  one KEY's rows fit one worker — same contract as the reference's
   in-memory group state. NULL keys form ONE partition (SQL semantics,
   ``_same_key``).
+* Multiple window functions over the SAME ``(PARTITION BY, ORDER BY)``
+  frame compute in one shuffle + one sort via :func:`partition_windows`
+  (the SQL runner folds all specs sharing a frame into one call).
 
 All emit plain Datasets, so downstream plans (HAVING, sort, limit) compose.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from dataclasses import dataclass
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -37,16 +46,20 @@ from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan, GroupKey
 from sqlgrep_ray.pipelines.runner import run_plan
 
 
-# bucket-shuffle width for the key-hash window/session ops. A bucket is
+# Bucket-shuffle sizing for the key-hash window/session ops. A bucket is
 # one map_groups task, so corpus_rows / num_buckets must fit a worker's
-# heap; 64 suits the verification scales here. Callers that KNOW their
-# row count (e.g. a job reading parquet metadata) should pass
-# ``num_buckets=auto_buckets(n_rows)`` — the same doubling rule the dedup
-# verify shuffle uses — instead of forcing an extra count() pass inside
-# the operator.
+# heap. Every operator defaults to num_buckets=None and resolves the
+# count via auto_buckets(n_rows) at call time (resolve_buckets); pass an
+# explicit num_buckets to skip the row estimate (e.g. a job that already
+# read parquet metadata).
 WINDOW_BUCKETS = 64
 BUCKET_ROW_TARGET = 5_000_000
 BUCKET_CAP = 4096
+
+# Diagnostics: the most recent auto-resolved bucket count (None until the
+# first resolve). Tests use this to assert the sizing rule actually ran;
+# no production code reads it.
+LAST_RESOLVED_BUCKETS: "int | None" = None
 
 
 def auto_buckets(n_rows: int) -> int:
@@ -57,6 +70,40 @@ def auto_buckets(n_rows: int) -> int:
     while p < BUCKET_CAP and n_rows // p > BUCKET_ROW_TARGET:
         p *= 2
     return p
+
+
+def _estimate_rows(ds: "ray.data.Dataset") -> int:
+    """Row count for bucket sizing: free from parquet metadata when the
+    dataset is an untransformed read (``_meta_count``), else ONE counting
+    pass of the (lazy) input. The pass costs a re-read of the upstream
+    columns — cheap next to the all-to-all exchange it sizes — but hot
+    callers that know their count should pass ``num_buckets`` explicitly."""
+    try:
+        n = ds._meta_count()
+    except Exception:  # pragma: no cover - private-API drift guard
+        n = None
+    if n is None:
+        n = ds.count()
+    return int(n)
+
+
+def resolve_buckets(
+    num_buckets: "int | None",
+    *datasets: "ray.data.Dataset",
+    n_rows: "int | None" = None,
+) -> int:
+    """The shared ``num_buckets=None`` → :func:`auto_buckets` resolution
+    used by every bucket-shuffle operator (window family, sessionize,
+    conversation reassembly, grouped percentile/top-k, as-of join).
+    Explicit ``num_buckets`` always wins; ``n_rows`` skips the estimate."""
+    global LAST_RESOLVED_BUCKETS
+    if num_buckets is not None:
+        return num_buckets
+    if n_rows is None:
+        n_rows = sum(_estimate_rows(d) for d in datasets)
+    resolved = auto_buckets(n_rows)
+    LAST_RESOLVED_BUCKETS = resolved
+    return resolved
 
 
 def _same_key(a: pa.Array, b: pa.Array) -> pa.Array:
@@ -76,22 +123,84 @@ def _as_keys(key) -> list:
     return [key] if isinstance(key, str) else list(key)
 
 
+_FNV = np.uint64(1099511628211)
+_NULL_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound is the point;
+    numpy only warns on SCALAR overflow, so silence it explicitly)."""
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+_NULL_HASH = _mix64(np.uint64(_NULL_SENTINEL))
+
+
+def _hash_string_col(c: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Vectorized 64-bit hash of a STRING column straight off the Arrow
+    buffers — a polynomial rolling hash (FNV-prime base) over the value
+    bytes, splitmix64-finalized, segment-summed with one cumsum (safe for
+    empty strings, unlike ``reduceat``). Pure function of the bytes, so
+    block-stable by construction; NULLs hash to a fixed sentinel distinct
+    from the empty string. Replaces the per-batch pandas detour
+    (``to_pandas`` + ``hash_pandas_object``) on the exchange path."""
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    n = len(c)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    c = c.cast(pa.large_string())  # int64 offsets, uniform buffer layout
+    bufs = c.buffers()
+    offs = np.frombuffer(bufs[1], np.int64, count=n + 1, offset=c.offset * 8)
+    starts = offs[:-1] - offs[0]
+    ends = offs[1:] - offs[0]
+    lens = ends - starts
+    m = int(offs[-1] - offs[0])
+    if m:
+        data = np.frombuffer(bufs[2], np.uint8)
+        b = data[offs[0] : offs[-1]].astype(np.uint64)
+        maxlen = int(lens.max())
+        powers = np.empty(maxlen + 1, np.uint64)
+        powers[0] = np.uint64(1)
+        if maxlen:
+            np.multiply.accumulate(
+                np.full(maxlen, _FNV, np.uint64), out=powers[1:]
+            )
+        # byte j of string i gets weight FNV^(end_i - 1 - j): suffix
+        # weighting, so "ab" and "ba" differ
+        e = np.repeat(ends, lens) - 1 - np.arange(m, dtype=np.int64)
+        terms = (b + np.uint64(1)) * powers[e]
+        cs = np.zeros(m + 1, np.uint64)
+        np.cumsum(terms, out=cs[1:])
+        h = cs[ends] - cs[starts]  # uint64 wraparound == mod-2^64 sum
+    else:
+        h = np.zeros(n, np.uint64)
+    h = _mix64(h ^ (lens.astype(np.uint64) * _FNV))
+    null_mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        h = np.where(null_mask, _NULL_HASH, h)
+    return h
+
+
 def _bucket_ids(t: pa.Table, keys, num_buckets: int) -> pa.Array:
     """Block-stable bucket assignment for the key column(s). Key columns
-    are cast to STRING before hashing: ``to_pandas`` on an int64 column
-    renders blocks WITH nulls as float64 and blocks without as int64, so
-    the same key value would hash — and bucket — differently depending on
-    which block it landed in. The string form is identical everywhere
-    (nulls stay null, which pandas hashes consistently)."""
-    import pandas as pd
-
-    cols = {}
+    are canonicalized to STRING before hashing — the same value must
+    bucket identically no matter which block it landed in (an int64
+    column with nulls elsewhere must not hash differently from one
+    without), and the string form is identical everywhere. The hash
+    itself is Arrow-native (``_hash_string_col``); composite keys mix
+    per-column hashes."""
+    h = None
     for k in _as_keys(keys):
         c = t[k]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        cols[k] = pc.cast(c, pa.string()).to_pandas()
-    h = pd.util.hash_pandas_object(pd.DataFrame(cols), index=False).to_numpy()
+        hk = _hash_string_col(pc.cast(c, pa.string()))
+        h = hk if h is None else _mix64(h * _FNV ^ hk)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 
@@ -193,12 +302,36 @@ def hopping_window(
     return run_plan(windowed, plan)
 
 
+def _bucketed(
+    ds: "ray.data.Dataset",
+    keys,
+    num_buckets: int,
+    bucket_fn,
+    cols: "Sequence[str] | None" = None,
+) -> "ray.data.Dataset":
+    """The shared execution shape: [prune] → hash keys into buckets
+    (one deterministic shuffle) → one vectorized ``bucket_fn`` call per
+    bucket. ``bucket_fn`` receives the bucket table WITH the ``__b``
+    column (drop it first thing)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
+
+    if cols is not None:
+        ds = ds.select_columns(list(cols))
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_fn, batch_format="pyarrow")
+    )
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key: str,
     ts_col: str,
     gap_s: float,
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Split each key's events into sessions separated by gaps > ``gap_s``.
 
@@ -206,18 +339,17 @@ def sessionize(
     order), ``n_events``, ``session_start``, ``session_end``, ``duration_s``.
 
     Execution: keys are hash-assigned to ``num_buckets`` buckets (one
-    deterministic shuffle); each bucket task sorts its rows by (key, ts)
-    ONCE and splits every key's sessions in the same vectorized pass — one
-    Python call per bucket, not per key (the round-1 ``map_groups``-per-key
-    version paid ~0.1 ms × |keys|). Per-worker memory is the bucket's rows
-    (≈ corpus / num_buckets); raise ``num_buckets`` for bigger corpora. A
-    single hot KEY must still fit one worker — same contract as the
-    reference's in-memory group state.
+    deterministic shuffle; ``None`` → :func:`auto_buckets` from the row
+    count); each bucket task sorts its rows by (key, ts) ONCE and splits
+    every key's sessions in the same vectorized pass — one Python call per
+    bucket, not per key (the round-1 ``map_groups``-per-key version paid
+    ~0.1 ms × |keys|). Per-worker memory is the bucket's rows (≈ corpus /
+    num_buckets, held ~flat by the auto sizing). A single hot KEY must
+    still fit one worker — same contract as the reference's in-memory
+    group state.
     """
     gap_us = int(gap_s * 1_000_000)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
+    num_buckets = resolve_buckets(num_buckets, ds)
 
     def split_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -263,12 +395,7 @@ def sessionize(
             }
         )
 
-    return (
-        ds.select_columns([key, ts_col])
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(split_bucket, batch_format="pyarrow")
-    )
+    return _bucketed(ds, key, num_buckets, split_bucket, cols=[key, ts_col])
 
 
 def trailing_window_agg(
@@ -278,7 +405,7 @@ def trailing_window_agg(
     window_s: float,
     sum_col: "str | None" = None,
     keep_cols: Sequence[str] = (),
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Per-EVENT trailing time-window aggregates: for each row, the count
     (and optionally sum of ``sum_col``) of the key's events with
@@ -291,11 +418,9 @@ def trailing_window_agg(
     or per-row Python. Falls back to a per-key scan only if the composite
     would overflow int64 (≳ millions of keys × centuries of span)."""
     window_us = int(window_s * 1_000_000)
+    num_buckets = resolve_buckets(num_buckets, ds)
     cols = [key, ts_col, *keep_cols] + ([sum_col] if sum_col else [])
     cols = list(dict.fromkeys(cols))
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def agg_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -337,12 +462,7 @@ def trailing_window_agg(
             g = g.append_column("trailing_sum", pa.array(cum[ub] - cum[lb]))
         return g
 
-    return (
-        ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(agg_bucket, batch_format="pyarrow")
-    )
+    return _bucketed(ds, key, num_buckets, agg_bucket, cols=cols)
 
 
 def assign_sessions(
@@ -352,7 +472,7 @@ def assign_sessions(
     gap_s: float,
     keep_cols: Sequence[str] = (),
     session_col: str = "session_idx",
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Row-level sessionization: every EVENT gets its session ordinal
     (0-based per key, time order) — the feature-engineering form of
@@ -363,10 +483,8 @@ def assign_sessions(
     deterministic and SQL-comparable (``SUM(gap > g) OVER (PARTITION BY
     key ORDER BY ts)``)."""
     gap_us = int(gap_s * 1_000_000)
+    num_buckets = resolve_buckets(num_buckets, ds)
     cols = [key, ts_col, *keep_cols]
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
 
     def label_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -387,12 +505,225 @@ def assign_sessions(
             session_col, pa.array((bno - first_of_key).astype(np.int64))
         )
 
-    return (
-        ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(label_bucket, batch_format="pyarrow")
+    return _bucketed(ds, key, num_buckets, label_bucket, cols=cols)
+
+
+@dataclass(frozen=True)
+class WinFunc:
+    """One window function to evaluate over a shared (PARTITION BY,
+    ORDER BY) frame in :func:`partition_windows`.
+
+    ``func``: lag | lead | row_number | rank | dense_rank | ntile |
+    run_sum | run_avg | run_count | first_value.
+    ``param``: lag/lead offset (positive int) or the NTILE tile count.
+    """
+
+    func: str
+    out_col: str
+    value_col: "str | None" = None
+    param: "int | None" = None
+
+
+_WIN_FUNCS = frozenset(
+    {
+        "lag",
+        "lead",
+        "row_number",
+        "rank",
+        "dense_rank",
+        "ntile",
+        "run_sum",
+        "run_avg",
+        "run_count",
+        "first_value",
+    }
+)
+
+
+def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
+    if f.func in ("lag", "lead", "first_value"):
+        return schema.field(f.value_col).type
+    if f.func == "run_avg":
+        return pa.float64()
+    if f.func == "run_sum":
+        t = schema.field(f.value_col).type
+        return pa.int64() if pa.types.is_integer(t) else pa.float64()
+    return pa.int64()
+
+
+def partition_windows(
+    ds: "ray.data.Dataset",
+    key,
+    order_col: str,
+    funcs: Sequence[WinFunc],
+    keep_cols: "Sequence[str] | None" = None,
+    num_buckets: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Evaluate EVERY ``funcs`` entry over the same ``OVER (PARTITION BY
+    key ORDER BY order_col)`` frame in ONE bucket shuffle + ONE in-bucket
+    sort — the multi-window SQL path (``SELECT ROW_NUMBER() OVER w,
+    SUM(x) OVER w, LAG(ts) OVER w``) pays a single exchange instead of
+    one per function.
+
+    Semantics per function match the single-function wrappers below
+    (which now delegate here): LAG/LEAD NULL past the partition edge;
+    rank/dense_rank tie-correct; NTILE with SQL's larger-first tiles;
+    running SUM/AVG/COUNT cumulative from the partition start with SQL
+    NULL handling (sum over an all-NULL prefix is NULL). Running
+    aggregates use a ROWS cumulative frame — with ties in ``order_col``
+    they differ from SQL's default RANGE-including-peers frame, so the
+    determinism contract is a unique (key, order_col) per row (same as
+    LAG). ``keep_cols=None`` keeps every input column (SQL window
+    semantics: the whole row survives — and rides the shuffle).
+
+    Partitioning assumption (documented, same as sessionize): one key's
+    rows fit one worker; ``num_buckets=None`` auto-sizes the shuffle via
+    :func:`resolve_buckets`.
+    """
+    funcs = list(funcs)
+    for f in funcs:
+        if f.func not in _WIN_FUNCS:
+            raise ValueError(f"unknown window function {f.func!r}")
+        if f.func in ("lag", "lead") and (f.param is None or f.param < 1):
+            raise ValueError("lag/lead need a positive offset")
+        if f.func == "ntile" and (f.param is None or f.param < 1):
+            raise ValueError("ntile needs a positive tile count")
+        if f.func in ("lag", "lead", "first_value", "run_sum", "run_avg",
+                      "run_count") and f.value_col is None:
+            raise ValueError(f"{f.func} needs a value_col")
+    keys = _as_keys(key)
+    num_buckets = resolve_buckets(num_buckets, ds)
+    value_cols = [f.value_col for f in funcs if f.value_col]
+    cols = (
+        None
+        if keep_cols is None
+        else list(dict.fromkeys([*keys, order_col, *value_cols, *keep_cols]))
     )
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            for f in funcs:
+                g = g.append_column(
+                    f.out_col, pa.array([], _win_empty_type(f, g.schema))
+                )
+            return g
+        order = pc.sort_indices(
+            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
+        )
+        g = g.take(order)
+        karrs = [g[k].combine_chunks() for k in keys]
+        key_change = _key_change_mask(karrs, n)
+        pos = np.arange(n, dtype=np.int64)
+        first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
+        shift_cache: dict[int, pa.Array] = {}
+        run_change = None  # lazily shared by rank and dense_rank
+        out_cols: list[tuple[str, pa.Array]] = []
+        for f in funcs:
+            if f.func in ("lag", "lead"):
+                off = f.param if f.func == "lag" else -f.param
+                take_idx = shift_cache.get(off)
+                if take_idx is None:
+                    idx = pos - off
+                    valid = (idx >= 0) & (idx < n)
+                    clipped = np.clip(idx, 0, n - 1)
+                    same = None
+                    for a in karrs:
+                        s = _same_key(a.take(pa.array(clipped)), a)
+                        same = s if same is None else pc.and_(same, s)
+                    valid &= same.to_numpy(zero_copy_only=False).astype(bool)
+                    take_idx = pa.array(clipped, mask=~valid)
+                    shift_cache[off] = take_idx
+                out_cols.append(
+                    (f.out_col, g[f.value_col].combine_chunks().take(take_idx))
+                )
+            elif f.func == "row_number":
+                out_cols.append(
+                    (f.out_col, pa.array(pos - first_of_key + 1))
+                )
+            elif f.func == "ntile":
+                rn = pos - first_of_key + 1
+                starts = np.flatnonzero(key_change)
+                seg_len = np.diff(np.r_[starts, n])
+                cnt = np.repeat(seg_len, seg_len)
+                # SQL NTILE: q = cnt // t, r = cnt % t; the first r tiles
+                # get q+1 rows, the rest q
+                t_ = f.param
+                q, r = cnt // t_, cnt % t_
+                big = r * (q + 1)  # rows covered by the larger tiles
+                in_big = rn <= big
+                out = np.where(
+                    in_big,
+                    (rn + q) // np.maximum(q + 1, 1),  # ceil(rn / (q+1))
+                    r + (rn - big + np.maximum(q, 1) - 1) // np.maximum(q, 1),
+                )
+                out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
+            elif f.func in ("rank", "dense_rank"):
+                if run_change is None:
+                    oarr = g[order_col].combine_chunks()
+                    run_change = key_change | _key_change_mask(oarr, n)
+                if f.func == "rank":
+                    # 1 + ordinal of the current tie-run's first row
+                    run_start = np.maximum.accumulate(
+                        np.where(run_change, pos, 0)
+                    )
+                    out = run_start - first_of_key + 1
+                else:  # dense_rank: count of distinct order values so far
+                    c = np.cumsum(run_change)
+                    out = c - c[first_of_key] + 1
+                out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
+            elif f.func == "first_value":
+                out_cols.append(
+                    (
+                        f.out_col,
+                        g[f.value_col]
+                        .combine_chunks()
+                        .take(pa.array(first_of_key)),
+                    )
+                )
+            else:  # run_sum / run_avg / run_count
+                varr = g[f.value_col].combine_chunks()
+                null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
+                v = np.where(
+                    null_mask,
+                    0,
+                    pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
+                )
+                cum = np.cumsum(v)
+                seg_sum = cum - cum[first_of_key] + v[first_of_key]
+                cnt = np.cumsum(~null_mask)
+                seg_cnt = cnt - cnt[first_of_key] + (~null_mask)[first_of_key]
+                if f.func == "run_sum":
+                    out = pa.array(seg_sum)
+                    if pa.types.is_integer(varr.type):
+                        out = out.cast(pa.int64())
+                    # SQL: SUM over an all-NULL-so-far frame is NULL, not 0
+                    out = pc.if_else(
+                        pa.array(seg_cnt > 0), out, pa.scalar(None, out.type)
+                    )
+                elif f.func == "run_count":
+                    out = pa.array(seg_cnt.astype(np.int64))
+                else:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        out = pa.array(
+                            np.where(
+                                seg_cnt > 0,
+                                seg_sum / np.maximum(seg_cnt, 1),
+                                np.nan,
+                            )
+                        )
+                        out = pc.if_else(
+                            pa.array(seg_cnt > 0),
+                            out,
+                            pa.scalar(None, pa.float64()),
+                        )
+                out_cols.append((f.out_col, out))
+        for name, arr in out_cols:
+            g = g.append_column(name, arr)
+        return g
+
+    return _bucketed(ds, keys, num_buckets, window_bucket, cols=cols)
 
 
 def lag_shift(
@@ -402,7 +733,7 @@ def lag_shift(
     value_cols: Sequence[str],
     offset: int = 1,
     keep_cols: "Sequence[str] | None" = (),
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
     names: "Sequence[str] | None" = None,
 ) -> "ray.data.Dataset":
     """Per-partition LAG / LEAD: for every row, the value of each
@@ -414,67 +745,27 @@ def lag_shift(
     overrides them (one per value col). ``keep_cols=None`` keeps EVERY
     input column (SQL window semantics; the whole row rides the shuffle).
 
-    Execution is the same key-hash bucket shuffle as
-    :func:`assign_sessions`: only (key, order, values, keep) columns move,
-    each bucket is sorted once and every shift is one vectorized
-    null-masked ``take`` — no per-key Python. Determinism contract: the
-    (key, order_col) pair must be unique per row (transcripts: conv_id +
-    turn_idx), else tie order is engine-defined. Partitioning assumption
-    (documented, same as sessionize): one key's rows fit one worker.
+    Thin wrapper over :func:`partition_windows` (one frame, N shifts —
+    still one shuffle + one vectorized null-masked take per offset).
+    Determinism contract: the (key, order_col) pair must be unique per
+    row (transcripts: conv_id + turn_idx), else tie order is
+    engine-defined.
     """
     if offset == 0:
         raise ValueError("offset must be nonzero (positive=lag, negative=lead)")
-    keys = _as_keys(key)
     tag = f"lag{offset}" if offset > 0 else f"lead{-offset}"
     out_names = (
         list(names) if names is not None else [f"{c}_{tag}" for c in value_cols]
     )
     if len(out_names) != len(value_cols):
         raise ValueError("names must match value_cols one-to-one")
-    cols = (
-        None
-        if keep_cols is None
-        else list(dict.fromkeys([*keys, order_col, *value_cols, *keep_cols]))
-    )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
-
-    def shift_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"])
-        n = g.num_rows
-        if n == 0:
-            for c, out in zip(value_cols, out_names):
-                g = g.append_column(
-                    out, pa.array([], g.schema.field(c).type)
-                )
-            return g
-        order = pc.sort_indices(
-            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
-        )
-        g = g.take(order)
-        karrs = [g[k].combine_chunks() for k in keys]
-        idx = np.arange(n, dtype=np.int64) - offset
-        valid = (idx >= 0) & (idx < n)
-        clipped = np.clip(idx, 0, n - 1)
-        same = None
-        for a in karrs:
-            s = _same_key(a.take(pa.array(clipped)), a)
-            same = s if same is None else pc.and_(same, s)
-        valid &= same.to_numpy(zero_copy_only=False).astype(bool)
-        take_idx = pa.array(clipped, mask=~valid)
-        for c, out in zip(value_cols, out_names):
-            g = g.append_column(
-                out, g[c].combine_chunks().take(take_idx)
-            )
-        return g
-
-    if cols is not None:
-        ds = ds.select_columns(cols)
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(shift_bucket, batch_format="pyarrow")
+    fname = "lag" if offset > 0 else "lead"
+    funcs = [
+        WinFunc(fname, out, value_col=c, param=abs(offset))
+        for c, out in zip(value_cols, out_names)
+    ]
+    return partition_windows(
+        ds, key, order_col, funcs, keep_cols=keep_cols, num_buckets=num_buckets
     )
 
 
@@ -485,48 +776,20 @@ def partition_first_value(
     value_col: str,
     out_col: str = "first_value",
     keep_cols: "Sequence[str] | None" = None,
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """SQL ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY order_col)``
     — every row gets its partition's first value in order (any dtype;
-    e.g. time-since-conversation-start = ts − first_value(ts)). Same
-    bucket execution and determinism contract as :func:`lag_shift`."""
-    keys = _as_keys(key)
-    cols = (
-        None
-        if keep_cols is None
-        else list(dict.fromkeys([*keys, order_col, value_col, *keep_cols]))
-    )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
-
-    def first_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"])
-        n = g.num_rows
-        if n == 0:
-            return g.append_column(
-                out_col, pa.array([], g.schema.field(value_col).type)
-            )
-        order = pc.sort_indices(
-            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
-        )
-        g = g.take(order)
-        karrs = [g[k].combine_chunks() for k in keys]
-        key_change = _key_change_mask(karrs, n)
-        fok = np.maximum.accumulate(
-            np.where(key_change, np.arange(n, dtype=np.int64), 0)
-        )
-        return g.append_column(
-            out_col, g[value_col].combine_chunks().take(pa.array(fok))
-        )
-
-    if cols is not None:
-        ds = ds.select_columns(cols)
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(first_bucket, batch_format="pyarrow")
+    e.g. time-since-conversation-start = ts − first_value(ts)). Thin
+    wrapper over :func:`partition_windows`; same determinism contract as
+    :func:`lag_shift`."""
+    return partition_windows(
+        ds,
+        key,
+        order_col,
+        [WinFunc("first_value", out_col, value_col=value_col)],
+        keep_cols=keep_cols,
+        num_buckets=num_buckets,
     )
 
 
@@ -538,82 +801,27 @@ def partition_running(
     func: str = "sum",
     out_col: str = "running",
     keep_cols: "Sequence[str] | None" = None,
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """SQL running aggregate ``SUM/AVG/COUNT(v) OVER (PARTITION BY key
     ORDER BY order_col)`` — cumulative from the partition start to the
-    current row. Same bucket execution and determinism contract as
-    :func:`lag_shift`. ``func`` ∈ {"sum", "avg", "count"}; NULL values
-    contribute nothing (SQL semantics): sum skips them, count counts
-    non-nulls, avg divides the two. sum/count are int64 when the input is
-    integral (int64 overflow is the caller's contract, as in SQL); avg is
-    float64."""
+    current row, as a ROWS frame (unique (key, order) contract; see
+    :func:`partition_windows`). ``func`` ∈ {"sum", "avg", "count"}; NULL
+    values contribute nothing (SQL semantics): sum skips them, count
+    counts non-nulls, avg divides the two. sum/count are int64 when the
+    input is integral (int64 overflow is the caller's contract, as in
+    SQL); avg is float64. Thin wrapper over :func:`partition_windows`;
+    for hot keys too large for one worker see
+    :func:`partition_running_ranged` (associative funcs only)."""
     if func not in ("sum", "avg", "count"):
         raise ValueError("func must be sum, avg or count")
-    keys = _as_keys(key)
-    cols = (
-        None
-        if keep_cols is None
-        else list(dict.fromkeys([*keys, order_col, value_col, *keep_cols]))
-    )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
-
-    def run_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"])
-        n = g.num_rows
-        if n == 0:
-            typ = pa.float64() if func == "avg" else pa.int64()
-            return g.append_column(out_col, pa.array([], typ))
-        order = pc.sort_indices(
-            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
-        )
-        g = g.take(order)
-        karrs = [g[k].combine_chunks() for k in keys]
-        varr = g[value_col].combine_chunks()
-        null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
-        v = np.where(
-            null_mask,
-            0,
-            pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
-        )
-        key_change = _key_change_mask(karrs, n)
-        fok = np.maximum.accumulate(
-            np.where(key_change, np.arange(n, dtype=np.int64), 0)
-        )
-        cum = np.cumsum(v)
-        seg_sum = cum - cum[fok] + v[fok]
-        cnt = np.cumsum(~null_mask)
-        seg_cnt = cnt - cnt[fok] + (~null_mask)[fok]
-        if func == "sum":
-            out = pa.array(seg_sum)
-            if pa.types.is_integer(varr.type):
-                out = out.cast(pa.int64())
-            # SQL: SUM over an all-NULL-so-far frame is NULL, not 0
-            out = pc.if_else(
-                pa.array(seg_cnt > 0), out, pa.scalar(None, out.type)
-            )
-        elif func == "count":
-            out = pa.array(seg_cnt.astype(np.int64))
-        else:
-            with np.errstate(invalid="ignore", divide="ignore"):
-                out = pa.array(
-                    np.where(
-                        seg_cnt > 0, seg_sum / np.maximum(seg_cnt, 1), np.nan
-                    )
-                )
-                out = pc.if_else(
-                    pa.array(seg_cnt > 0), out, pa.scalar(None, pa.float64())
-                )
-        return g.append_column(out_col, out)
-
-    if cols is not None:
-        ds = ds.select_columns(cols)
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(run_bucket, batch_format="pyarrow")
+    return partition_windows(
+        ds,
+        key,
+        order_col,
+        [WinFunc(f"run_{func}", out_col, value_col=value_col)],
+        keep_cols=keep_cols,
+        num_buckets=num_buckets,
     )
 
 
@@ -623,17 +831,17 @@ def partition_row_number(
     order_col: str,
     out_col: str = "row_number",
     keep_cols: "Sequence[str] | None" = None,
-    num_buckets: int = WINDOW_BUCKETS,
+    num_buckets: "int | None" = None,
     mode: str = "row_number",
-    ntile: int | None = None,
+    ntile: "int | None" = None,
 ) -> "ray.data.Dataset":
     """SQL ``ROW_NUMBER() / RANK() / DENSE_RANK() / NTILE(n) OVER
     (PARTITION BY key ORDER BY order_col)`` — 1-based ordinal/rank/tile
     within each key partition in order (``mode`` selects which; NTILE is
     the training-data sharding window: n near-equal groups per partition,
-    earlier groups one row larger). Same bucket execution as
-    :func:`lag_shift`. Determinism: row_number/ntile need a unique
-    (key, order_col) per row (like lag); rank/dense_rank are
+    earlier groups one row larger). Thin wrapper over
+    :func:`partition_windows`. Determinism: row_number/ntile need a
+    unique (key, order_col) per row (like lag); rank/dense_rank are
     tie-independent, so they are deterministic — and SQL-comparable —
     even on tied order values. ``keep_cols=None`` (default) keeps every
     input column."""
@@ -641,65 +849,11 @@ def partition_row_number(
         raise ValueError("mode must be row_number, rank, dense_rank or ntile")
     if mode == "ntile" and (ntile is None or ntile < 1):
         raise ValueError("ntile mode needs a positive tile count")
-    keys = _as_keys(key)
-    cols = (
-        None
-        if keep_cols is None
-        else list(dict.fromkeys([*keys, order_col, *keep_cols]))
-    )
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("__b", _bucket_ids(t, keys, num_buckets))
-
-    def number_bucket(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__b"])
-        n = g.num_rows
-        if n == 0:
-            return g.append_column(out_col, pa.array([], pa.int64()))
-        order = pc.sort_indices(
-            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
-        )
-        g = g.take(order)
-        karrs = [g[k].combine_chunks() for k in keys]
-        key_change = _key_change_mask(karrs, n)
-        pos = np.arange(n, dtype=np.int64)
-        first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
-        if mode == "row_number":
-            out = pos - first_of_key + 1
-        elif mode == "ntile":
-            rn = pos - first_of_key + 1
-            starts = np.flatnonzero(key_change)
-            seg_len = np.diff(np.r_[starts, n])
-            cnt = np.repeat(seg_len, seg_len)
-            # SQL NTILE: q = cnt // t, r = cnt % t; the first r tiles get
-            # q+1 rows, the rest q
-            t_ = ntile
-            q, r = cnt // t_, cnt % t_
-            big = r * (q + 1)  # rows covered by the larger tiles
-            in_big = rn <= big
-            out = np.where(
-                in_big,
-                (rn + q) // np.maximum(q + 1, 1),  # ceil(rn / (q+1))
-                r + (rn - big + np.maximum(q, 1) - 1) // np.maximum(q, 1),
-            )
-        else:
-            oarr = g[order_col].combine_chunks()
-            run_change = key_change | _key_change_mask(oarr, n)
-            if mode == "rank":
-                # 1 + ordinal of the current tie-run's first row
-                run_start = np.maximum.accumulate(
-                    np.where(run_change, pos, 0)
-                )
-                out = run_start - first_of_key + 1
-            else:  # dense_rank: count of distinct order values so far
-                c = np.cumsum(run_change)
-                out = c - c[first_of_key] + 1
-        return g.append_column(out_col, pa.array(out.astype(np.int64)))
-
-    if cols is not None:
-        ds = ds.select_columns(cols)
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__b")
-        .map_groups(number_bucket, batch_format="pyarrow")
+    return partition_windows(
+        ds,
+        key,
+        order_col,
+        [WinFunc(mode, out_col, param=ntile)],
+        keep_cols=keep_cols,
+        num_buckets=num_buckets,
     )

@@ -317,3 +317,90 @@ def test_reassemble_no_role(ray_session):
     )
     assert out["doc"].tolist() == ["first | second", "only"]
     assert out["n_turns"].tolist() == [2, 1]
+
+
+def test_auto_buckets_wired(ray_session, monkeypatch):
+    """VERDICT r3 #1: the num_buckets=None default must actually resolve
+    through auto_buckets — the executed bucket count grows once the corpus
+    crosses BUCKET_ROW_TARGET (shrunk here so the test stays small), and
+    the result is identical to a forced fixed-64 run."""
+    import ray.data
+
+    from sqlgrep_ray.stages import window
+
+    monkeypatch.setattr(window, "BUCKET_ROW_TARGET", 50)
+    n = 20_000
+    rng = np.random.default_rng(7)
+    t = pa.table(
+        {
+            "k": pa.array((rng.integers(0, 500, n)).astype("int64")),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**9, n)).astype("int64")
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    window.LAST_RESOLVED_BUCKETS = None
+    auto = (
+        window.assign_sessions(ds, "k", "ts", gap_s=100.0)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    resolved = window.LAST_RESOLVED_BUCKETS
+    assert resolved is not None, "auto path never resolved a bucket count"
+    assert resolved > window.WINDOW_BUCKETS, resolved
+    assert resolved == window.auto_buckets(n)
+    fixed = (
+        window.assign_sessions(ds, "k", "ts", gap_s=100.0, num_buckets=64)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+        .reset_index(drop=True)
+    )
+    assert auto.equals(fixed)
+
+
+def test_multi_window_single_shuffle(ray_session, monkeypatch):
+    """VERDICT r3 #3: a 3-function query sharing one (PARTITION BY, ORDER
+    BY) frame runs ONE partition_windows call (one bucket shuffle), and
+    each value matches a per-function reference."""
+    import ray.data
+
+    import sqlgrep_ray.pipelines.runner as rn
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+    from sqlgrep_ray.stages import window
+
+    calls = []
+    real = window.partition_windows
+
+    def spy(ds, key, order_col, funcs, **kw):
+        calls.append(list(funcs))
+        return real(ds, key, order_col, funcs, **kw)
+
+    # run_select imports partition_windows from the window module at call
+    # time, so patching the module attribute intercepts the runner's call
+    monkeypatch.setattr(window, "partition_windows", spy)
+
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "v": pa.array([10, None, 30, 5, 7], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    plan = parse_query(
+        "SELECT k, o, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY o) AS rs, "
+        "LAG(v) OVER (PARTITION BY k ORDER BY o) AS pv "
+        "FROM x ORDER BY k, o"
+    ).plan
+    out = run_plan(ds, plan).to_pandas()
+    assert len(calls) == 1, f"expected 1 shared-frame shuffle, saw {len(calls)}"
+    assert len(calls[0]) == 3
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+    assert out["rs"].tolist() == [10, 10, 40, 5, 12]
+    assert out["pv"].tolist()[0:3] == [None, 10, None] or out[
+        "pv"
+    ].isna().tolist() == [True, False, True, True, False]
