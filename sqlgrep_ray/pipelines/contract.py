@@ -1552,16 +1552,25 @@ GROUP BY conv_id ORDER BY conv_id
 
 def q_conv_tools_hll(sf_dir: str) -> Result:
     """Sketch-path companion of ``conv_distinct_tools``: per-conversation
-    approximate COUNT(DISTINCT tool) via grouped HLL — keys × 2^p bytes
-    through the shuffle regardless of value cardinality. Estimates, so
-    rows-only (the exact twin is hash-checked; pytest pins the error
-    bound)."""
+    approximate COUNT(DISTINCT tool) via grouped HLL — keys × ≤2^p bytes
+    through the shuffle regardless of value cardinality. Hash-exact vs
+    ``count(DISTINCT tool)``: per-conversation tool cardinality is tiny,
+    so every block stays in the sketch's SPARSE regime (exact distinct
+    hash sets, HLL++ shape); at corpus scale hot keys overflow to
+    registers and the same query degrades to the ±1.04/√2^p estimate."""
     from sqlgrep_ray.stages.sketch import grouped_approx_distinct
 
     ds = ray.data.read_parquet(
         transcripts_for(sf_dir), columns=["conv_id", "tool"]
     )
     return grouped_approx_distinct(ds, "conv_id", "tool", out_col="tools_est")
+
+
+SQL_CONV_TOOLS_HLL = f"""
+SELECT conv_id, count(DISTINCT tool) AS tools_est
+FROM read_parquet('{_TR_GLOB}') WHERE tool IS NOT NULL
+GROUP BY conv_id ORDER BY conv_id
+"""
 
 
 def q_turn_latency(sf_dir: str) -> Result:
@@ -2366,14 +2375,22 @@ ORDER BY n_matched DESC, sum_tf DESC, doc_id ASC LIMIT 15
 
 
 def q_approx_distinct_users(sf_dir: str) -> Result:
-    """HyperLogLog approximate COUNT(DISTINCT) (stages/sketch.py) — the
-    fixed-size-sketch scale path (registers, not values, move). Estimate is
-    approximate by design → rows-only; pytest pins the error bound and the
-    exact small-range regime."""
+    """HyperLogLog++ approximate COUNT(DISTINCT) (stages/sketch.py) — the
+    fixed-size-sketch scale path (sketches, not values, move). Hash-exact
+    vs ``count(DISTINCT user_id)`` while total cardinality stays below the
+    sparse-regime ceiling (2^p/4 = 4096 at the default p=14 — the test
+    tables top out at 1500 users at sf0.1); beyond that the same query
+    degrades gracefully to the ±1.04/√2^p register estimate. Pytest pins
+    the estimator's error bound in the dense regime."""
     from sqlgrep_ray.stages.sketch import approx_count_distinct
 
     est = approx_count_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
     return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT count(DISTINCT user_id) AS approx_distinct_users FROM events
+"""
 
 
 def q_kmeans_clusters(sf_dir: str) -> Result:
@@ -2479,6 +2496,54 @@ GROUP BY f.doc_id
 
 
 QUERIES: dict[str, Callable[[str], Result]] = {
+    # Registry order controls driver verification: CORRECTNESS runs the
+    # FIRST 50 entries, so never-driver-checked queries lead, then the
+    # ones last checked before round 3, then a rotation of recent greens.
+    # -- never driver-checked (through r3) --
+    "hopping_window": q_hopping_window,
+    "assign_sessions": q_assign_sessions,
+    "trailing_window": q_trailing_window,
+    "conv_tools_hll": q_conv_tools_hll,
+    "turn_latency": q_turn_latency,
+    "sql_turn_latency": q_sql_turn_latency,
+    "sql_row_number": q_sql_row_number,
+    "sql_running_sum": q_sql_running_sum,
+    "sql_rank_ties": q_sql_rank_ties,
+    "sql_ntile": q_sql_ntile,
+    "conv_latency_p90": q_conv_latency_p90,
+    "reassemble_convs": q_reassemble_convs,
+    "kll_quantiles": q_kll_quantiles,
+    "latency_quantiles": q_latency_quantiles,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "decontam_docs": q_decontam_docs,
+    "top_tokens_docs": q_top_tokens_docs,
+    "scrub_pii_docs": q_scrub_pii_docs,
+    "quality_counts_docs": q_quality_counts_docs,
+    "approx_distinct_users": q_approx_distinct_users,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_emb": q_semdedup_emb,
+    "heavy_tokens_docs": q_heavy_tokens_docs,
+    "pack_docs": q_pack_docs,
+    "lm_oov_docs": q_lm_oov_docs,
+    "dsir_weights": q_dsir_weights,
+    "inverted_df": q_inverted_df,
+    "index_search": q_index_search,
+    "ranked_search": q_ranked_search,
+    "bpe_counts": q_bpe_counts,
+    "grouped_sample": q_grouped_sample,
+    "connected_components": q_connected_components,
+    "repetition_docs": q_repetition_docs,
+    "segment_dedup_docs": q_segment_dedup_docs,
+    # -- last driver-checked before r3 --
+    "sessionize_users": q_sessionize_users,
+    "conv_stats": q_conv_stats,
+    "conv_distinct_tools": q_conv_distinct_tools,
+    "hot_conv_roles": q_hot_conv_roles,
+    "flagship_sink_counts": q_flagship_sink_counts,
+    "flagship_sink_role_counts": q_flagship_sink_role_counts,
+    "flagship_hour_histogram": q_flagship_hour_histogram,
+    "flagship_enriched": q_flagship_enriched,
+    # -- driver-green in r3 (rotation tail) --
     "select_where_project": q_select_where_project,
     "orderby_topn": q_orderby_topn,
     "agg_global": q_agg_global,
@@ -2529,48 +2594,6 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "asof_join_orders": q_asof_join_orders,
     "asof_join_orders_dist": q_asof_join_orders_dist,
     "tumbling_hour": q_tumbling_hour,
-    "hopping_window": q_hopping_window,
-    "sessionize_users": q_sessionize_users,
-    "assign_sessions": q_assign_sessions,
-    "trailing_window": q_trailing_window,
-    "conv_stats": q_conv_stats,
-    "conv_distinct_tools": q_conv_distinct_tools,
-    "hot_conv_roles": q_hot_conv_roles,
-    "conv_tools_hll": q_conv_tools_hll,
-    "turn_latency": q_turn_latency,
-    "sql_turn_latency": q_sql_turn_latency,
-    "sql_row_number": q_sql_row_number,
-    "sql_running_sum": q_sql_running_sum,
-    "sql_rank_ties": q_sql_rank_ties,
-    "sql_ntile": q_sql_ntile,
-    "conv_latency_p90": q_conv_latency_p90,
-    "reassemble_convs": q_reassemble_convs,
-    "kll_quantiles": q_kll_quantiles,
-    "latency_quantiles": q_latency_quantiles,
-    "mixture_sample_docs": q_mixture_sample_docs,
-    "flagship_sink_counts": q_flagship_sink_counts,
-    "flagship_sink_role_counts": q_flagship_sink_role_counts,
-    "flagship_hour_histogram": q_flagship_hour_histogram,
-    "flagship_enriched": q_flagship_enriched,
-    "decontam_docs": q_decontam_docs,
-    "top_tokens_docs": q_top_tokens_docs,
-    "scrub_pii_docs": q_scrub_pii_docs,
-    "quality_counts_docs": q_quality_counts_docs,
-    "approx_distinct_users": q_approx_distinct_users,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semdedup_emb": q_semdedup_emb,
-    "heavy_tokens_docs": q_heavy_tokens_docs,
-    "pack_docs": q_pack_docs,
-    "lm_oov_docs": q_lm_oov_docs,
-    "dsir_weights": q_dsir_weights,
-    "inverted_df": q_inverted_df,
-    "index_search": q_index_search,
-    "ranked_search": q_ranked_search,
-    "bpe_counts": q_bpe_counts,
-    "grouped_sample": q_grouped_sample,
-    "connected_components": q_connected_components,
-    "repetition_docs": q_repetition_docs,
-    "segment_dedup_docs": q_segment_dedup_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2658,7 +2681,11 @@ ORACLES: dict[str, str] = {
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "knn_ivf": SQL_KNN_TOP5,  # probe-all IVF == brute force (q_knn_ivf doc)
-    # lang_quality / multimodal_features / approx_distinct_users /
-    # kmeans_clusters / dsir_weights / bpe_counts: probabilistic, heuristic,
-    # or iterative — rows-only
+    # sparse-regime HLL sketches are exact below 2^p/4 (global) / while
+    # every per-key block partial stays sparse (grouped) — both hold for
+    # the test tables by construction, so these two are hash-checked:
+    "conv_tools_hll": SQL_CONV_TOOLS_HLL,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    # lang_quality / multimodal_features / kmeans_clusters / dsir_weights /
+    # bpe_counts: probabilistic, heuristic, or iterative — rows-only
 }

@@ -44,19 +44,27 @@ def _hash64(arr: pa.Array) -> np.ndarray:
     return pd.util.hash_pandas_object(s, index=False).to_numpy()  # uint64
 
 
-def _block_registers(values: pa.Array, p: int) -> np.ndarray:
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    h = _hash64(values)
-    if len(h) == 0:
-        return regs
+def _rank_of(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per 64-bit hash: index = top p bits, rank =
+    leading-zero count of the rest + 1 (bit_length via frexp exponent —
+    exact while 64-p ≤ 52, i.e. p ≥ 12)."""
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
-    # bit_length via frexp exponent — exact while 64-p ≤ 52 (p ≥ 12)
     _, exp = np.frexp(w.astype(np.float64))
     rank = np.where(w == 0, 64 - p + 1, 64 - p - exp + 1).astype(np.uint8)
-    np.maximum.at(regs, idx, rank)
+    return idx, rank
+
+
+def _regs_from_hashes(h: np.ndarray, p: int) -> np.ndarray:
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    if len(h):
+        idx, rank = _rank_of(h, p)
+        np.maximum.at(regs, idx, rank)
     return regs
+
+
+def _block_registers(values: pa.Array, p: int) -> np.ndarray:
+    return _regs_from_hashes(_hash64(values), p)
 
 
 def _estimate(regs: np.ndarray, p: int) -> int:
@@ -74,28 +82,69 @@ def approx_count_distinct(
     p: int = 14,
     merge_batch: int = 256,
 ) -> int:
-    """Approximate number of distinct non-null values of ``col``."""
+    """Approximate number of distinct non-null values of ``col``.
+
+    Two-mode sketch in the HLL++ shape (Heule et al. 2013): below
+    ``2^p/4`` distinct hashes the partial stays SPARSE (the sorted
+    distinct 64-bit hashes themselves, ≤ 2×2^p bytes) and the answer is
+    EXACT (barring a 64-bit hash collision — negligible and
+    deterministic); on overflow the sparse set converts losslessly to the
+    dense register array and the standard estimator (± 1.04/√2^p) takes
+    over. Merges stay bounded either way: a partial is never larger than
+    2×2^p bytes."""
     if not 12 <= p <= 18:
         raise ValueError("p must be in [12, 18] (frexp rank path)")
+    m = 1 << p
+    sparse_max = m // 4
 
     def block(t: pa.Table) -> pa.Table:
         c = t[col]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        c = c.drop_null()
-        return pa.table({"regs": pa.array([_block_registers(c, p).tobytes()])})
+        h = np.unique(_hash64(c.drop_null()))
+        if len(h) <= sparse_max:
+            flag, payload = 0, h.tobytes()
+        else:
+            flag, payload = 1, _regs_from_hashes(h, p).tobytes()
+        return pa.table(
+            {"flag": pa.array([flag], pa.int8()),
+             "payload": pa.array([payload], pa.binary())}
+        )
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            # empty block (e.g. repartition of an empty dataset): all-zero
-            # registers are the HLL identity element
+            # empty block (e.g. repartition of an empty dataset): the
+            # empty sparse set is the identity element
             return pa.table(
-                {"regs": pa.array([np.zeros(1 << p, dtype=np.uint8).tobytes()])}
+                {"flag": pa.array([0], pa.int8()),
+                 "payload": pa.array([b""], pa.binary())}
             )
-        stacked = np.stack(
-            [np.frombuffer(b, dtype=np.uint8) for b in t["regs"].to_pylist()]
+        flags = t["flag"].to_pylist()
+        pls = t["payload"].to_pylist()
+        sparse = [np.frombuffer(b, np.uint64) for b, f in zip(pls, flags) if f == 0]
+        dense = [np.frombuffer(b, np.uint8) for b, f in zip(pls, flags) if f == 1]
+        if not dense:
+            u = (
+                np.unique(np.concatenate(sparse))
+                if sparse
+                else np.empty(0, np.uint64)
+            )
+            if len(u) <= sparse_max:
+                return pa.table(
+                    {"flag": pa.array([0], pa.int8()),
+                     "payload": pa.array([u.tobytes()], pa.binary())}
+                )
+            dense = [_regs_from_hashes(u, p)]
+            sparse = []
+        regs = np.zeros(m, dtype=np.uint8)
+        for d in dense:
+            np.maximum(regs, d, out=regs)
+        for s in sparse:
+            np.maximum(regs, _regs_from_hashes(s, p), out=regs)
+        return pa.table(
+            {"flag": pa.array([1], pa.int8()),
+             "payload": pa.array([regs.tobytes()], pa.binary())}
         )
-        return pa.table({"regs": pa.array([stacked.max(axis=0).tobytes()])})
 
     partials = (
         ds.select_columns([col])
@@ -107,8 +156,9 @@ def approx_count_distinct(
     rows = partials.take_all()
     if not rows:  # zero input blocks: nothing ever ran
         return 0
-    final = rows[0]["regs"]
-    return _estimate(np.frombuffer(final, dtype=np.uint8), p)
+    if rows[0]["flag"] == 0:
+        return len(rows[0]["payload"]) // 8  # sparse: exact distinct count
+    return _estimate(np.frombuffer(rows[0]["payload"], dtype=np.uint8), p)
 
 
 def hll_error_bound(p: int) -> float:
@@ -185,19 +235,25 @@ def grouped_approx_distinct(
     p: int = 12,
     out_col: str = "approx_distinct",
 ) -> "ray.data.Dataset":
-    """Per-group approximate COUNT(DISTINCT col): one HLL register array
-    per key, merged by register max. The scale path for per-key
-    cardinality: the exact paths ship every distinct (key, value) pair
-    through a shuffle; here each block contributes ≤ groups-per-block rows
-    of 2^p bytes and the exchange carries keys × 2^p bytes total,
-    independent of the value cardinality. Block pass is fully vectorized:
-    keys dictionary-encoded once, registers for ALL groups updated with a
-    single ``np.maximum.at`` on a flat (group × register) array. Error ≈
-    1.04/√2^p (~1.6% at p=12) per group; small groups benefit from the
-    linear-counting correction (exact-ish at low cardinality)."""
+    """Per-group approximate COUNT(DISTINCT col) with an EXACT sparse
+    regime (HLL++ shape, Heule et al. 2013): each block emits, per key,
+    either the sorted distinct 64-bit hashes (SPARSE, while ≤ 2^p/8
+    entries so the payload never exceeds the m-byte dense row) or an HLL
+    register array (DENSE). The merge counts a key exactly when every
+    block stayed sparse for it — which covers the common per-key
+    low-cardinality case (and makes the result hash-checkable against
+    ``count(DISTINCT col)`` there, barring a 64-bit hash collision) —
+    and falls back to the ±1.04/√2^p estimator the moment any block
+    overflowed. Exchange volume per (block, key) is ≤ 2^p bytes either
+    way, independent of value cardinality. Merge pass is vectorized for
+    the sparse keys (one lexsort over all (key, hash) pairs) and for the
+    dense register matrix (``maximum.reduceat``); only MIXED keys (sparse
+    rows meeting dense rows) pay a short Python loop — by construction a
+    small minority."""
     if not 12 <= p <= 18:
         raise ValueError("p must be in [12, 18] (frexp rank path)")
     m = 1 << p
+    sparse_max = m // 8  # 8-byte hashes: sparse payload ≤ m bytes
 
     def block(t: pa.Table) -> pa.Table:
         t = t.select([key, col])
@@ -208,7 +264,8 @@ def grouped_approx_distinct(
         if t.num_rows == 0:
             return pa.table(
                 {key: pa.array([], t.schema.field(key).type),
-                 "regs": pa.array([], pa.binary())}
+                 "flag": pa.array([], pa.int8()),
+                 "payload": pa.array([], pa.binary())}
             )
         karr = t[key]
         if isinstance(karr, pa.ChunkedArray):
@@ -217,19 +274,27 @@ def grouped_approx_distinct(
         gidx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = dic.dictionary
         h = _hash64(t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col])
-        ridx = (h >> np.uint64(64 - p)).astype(np.int64)
-        w = h & np.uint64((1 << (64 - p)) - 1)
-        _, exp = np.frexp(w.astype(np.float64))
-        rank = np.where(w == 0, 64 - p + 1, 64 - p - exp + 1).astype(np.uint8)
-        regs = np.zeros(len(uniq) * m, dtype=np.uint8)
-        np.maximum.at(regs, gidx * m + ridx, rank)
+        # distinct (group, hash) pairs, grouped: one lexsort + dedup mask
+        order = np.lexsort((h, gidx))
+        gs, hs = gidx[order], h[order]
+        keep = np.r_[True, (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])]
+        gs, hs = gs[keep], hs[keep]
+        seg_starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(gs)]
+        flags = np.empty(len(seg_starts), np.int8)
+        payloads = []
+        for i, (s, e) in enumerate(zip(seg_starts, seg_ends)):
+            if e - s <= sparse_max:
+                flags[i] = 0
+                payloads.append(hs[s:e].tobytes())
+            else:
+                flags[i] = 1
+                payloads.append(_regs_from_hashes(hs[s:e], p).tobytes())
         return pa.table(
             {
-                key: uniq,
-                "regs": pa.array(
-                    [regs[g * m:(g + 1) * m].tobytes() for g in range(len(uniq))],
-                    pa.binary(),
-                ),
+                key: uniq.take(pa.array(gs[seg_starts])),
+                "flag": pa.array(flags),
+                "payload": pa.array(payloads, pa.binary()),
             }
         )
 
@@ -242,10 +307,6 @@ def grouped_approx_distinct(
         return t.append_column("__b", _bucket_ids(t, key, 64))
 
     def merge_bucket(g: pa.Table) -> pa.Table:
-        # ONE vectorized pass per bucket, not per key: sort by key, stack
-        # all register rows into an (n, m) matrix, per-key max via
-        # maximum.reduceat on the key-run starts, then a vectorized
-        # estimator over all keys at once
         g = g.drop_columns(["__b"])
         n = g.num_rows
         if n == 0:
@@ -265,22 +326,51 @@ def grouped_approx_distinct(
             True, ~same.to_numpy(zero_copy_only=False).astype(bool)
         ]
         starts = np.flatnonzero(key_change)
-        mat = np.frombuffer(
-            b"".join(g["regs"].to_pylist()), dtype=np.uint8
-        ).reshape(n, m)
-        per_key = np.maximum.reduceat(mat, starts, axis=0)
-        # vectorized HLL estimator with linear-counting correction
-        est = (
-            _alpha(m) * m * m
-            / np.sum(np.exp2(-per_key.astype(np.float64)), axis=1)
-        )
-        zeros = np.count_nonzero(per_key == 0, axis=1)
-        lin = m * np.log(m / np.maximum(zeros, 1))
-        est = np.where((est <= 2.5 * m) & (zeros > 0), lin, est)
+        ends = np.r_[starts[1:], n]
+        n_keys = len(starts)
+        flags = g["flag"].to_numpy(zero_copy_only=False).astype(np.int8)
+        payloads = g["payload"].to_pylist()
+        seg_of_row = np.cumsum(key_change) - 1
+        seg_has_dense = np.zeros(n_keys, bool)
+        np.logical_or.at(seg_has_dense, seg_of_row, flags == 1)
+        counts = np.zeros(n_keys, np.int64)
+        # EXACT path: keys whose every row is sparse — one lexsort over
+        # all their (key, hash) pairs, unique count per key
+        sparse_rows = np.flatnonzero((flags == 0) & ~seg_has_dense[seg_of_row])
+        if len(sparse_rows):
+            row_lens = np.array(
+                [len(payloads[r]) // 8 for r in sparse_rows], np.int64
+            )
+            kidx = np.repeat(seg_of_row[sparse_rows], row_lens)
+            allh = np.frombuffer(
+                b"".join(payloads[r] for r in sparse_rows), np.uint64
+            )
+            o2 = np.lexsort((allh, kidx))
+            ks, hs2 = kidx[o2], allh[o2]
+            uniq_mask = np.r_[True, (ks[1:] != ks[:-1]) | (hs2[1:] != hs2[:-1])]
+            np.add.at(counts, ks[uniq_mask], 1)
+        # ESTIMATOR path: keys with ≥1 dense row — register max across
+        # their dense rows plus lossless conversion of any sparse rows
+        for s_i in np.flatnonzero(seg_has_dense):
+            regs = np.zeros(m, dtype=np.uint8)
+            for r in range(starts[s_i], ends[s_i]):
+                if flags[r] == 1:
+                    np.maximum(
+                        regs, np.frombuffer(payloads[r], np.uint8), out=regs
+                    )
+                else:
+                    np.maximum(
+                        regs,
+                        _regs_from_hashes(
+                            np.frombuffer(payloads[r], np.uint64), p
+                        ),
+                        out=regs,
+                    )
+            counts[s_i] = _estimate(regs, p)
         return pa.table(
             {
                 key: karr.take(pa.array(starts)),
-                out_col: pa.array(np.rint(est).astype(np.int64)),
+                out_col: pa.array(counts),
             }
         )
 

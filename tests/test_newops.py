@@ -165,6 +165,39 @@ def test_hll_strings_and_small_range(ray_session):
     assert approx_count_distinct(ds, "s", p=14) == 37
 
 
+def test_hll_sparse_regime_exact(ray_session):
+    """Below 2^p/4 distinct values the HLL++ sparse path returns EXACT
+    counts (the oracle contract for approx_distinct_users): many blocks,
+    awkward cardinality, still bit-exact."""
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import approx_count_distinct
+
+    n_distinct = 3777  # < 2^14/4 = 4096, prime-ish, not a block multiple
+    vals = np.arange(30_000, dtype=np.int64) % n_distinct
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(13)
+    assert approx_count_distinct(ds, "v", p=14) == n_distinct
+
+
+def test_hll_sparse_dense_merge_consistent(ray_session):
+    """Crossing the sparse ceiling mid-merge (some blocks sparse, some
+    dense) must agree with the all-dense estimate within the p-bound."""
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import approx_count_distinct, hll_error_bound
+
+    rng = np.random.RandomState(7)
+    # one fat block (dense partial) + many skinny ones (sparse partials)
+    fat = rng.randint(0, 30_000, 60_000).astype(np.int64)
+    skinny = np.arange(30_000, 31_000, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.concatenate([fat, skinny]))})
+    ).repartition(2)
+    exact = len(np.unique(np.concatenate([fat, skinny])))
+    est = approx_count_distinct(ds, "v", p=14)
+    assert abs(est - exact) / exact < 4 * hll_error_bound(14)
+
+
 def test_hll_ignores_nulls(ray_session):
     import ray.data
 

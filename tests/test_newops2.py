@@ -441,6 +441,36 @@ def test_grouped_approx_distinct(ray_session):
         assert abs(out[g] - e) <= max(5 * hll_error_bound(12) * e, 3), (g, out[g], e)
 
 
+def test_grouped_approx_distinct_sparse_exact(ray_session):
+    """Keys whose every block partial stays sparse (≤ 2^p/8 distinct per
+    block-key) come back EXACT — the oracle contract for conv_tools_hll.
+    Mixed corpus: small keys exact even when a hot key goes dense."""
+    import pandas as pd
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_approx_distinct, hll_error_bound
+
+    rng = np.random.RandomState(5)
+    n = 80_000
+    keys = np.array(["small0", "small1", "small2", "hot"])[
+        np.minimum(rng.randint(0, 8, n), 3)
+    ]
+    vals = np.where(
+        keys == "hot", rng.randint(0, 25_000, n), rng.randint(0, 97, n)
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(16)
+    out = {
+        r["k"]: r["approx_distinct"]
+        for r in grouped_approx_distinct(ds, "k", "v", p=12).take_all()
+    }
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"].nunique()
+    for g in ["small0", "small1", "small2"]:
+        assert out[g] == exact[g], (g, out[g], exact[g])  # sparse → exact
+    assert abs(out["hot"] - exact["hot"]) <= 5 * hll_error_bound(12) * exact["hot"]
+
+
 def test_grouped_approx_distinct_nulls_empty(ray_session):
     import ray.data
 
