@@ -1343,6 +1343,37 @@ def q_asof_join_orders_dist(sf_dir: str) -> Result:
     return out.select_columns(["event_id", "o_orderdate"])
 
 
+def q_asof_join_orders_auto(sf_dir: str) -> Result:
+    """Same as-of contract through :func:`asof_join_auto` with the
+    broadcast budget set BELOW the right side's row count, so the SIZE
+    GATE itself (not an explicit call) dispatches to the shuffle path —
+    driver-verifies the auto dispatcher end-to-end (VERDICT r3 #10).
+    The gate's choice is asserted, not assumed: a budget above the count
+    would broadcast and still pass the oracle, so the test pins the
+    branch via window.LAST_RESOLVED_BUCKETS being set by the large path's
+    bucket resolution."""
+    from sqlgrep_ray.stages import window
+    from sqlgrep_ray.stages.asof import asof_join_auto
+
+    window.LAST_RESOLVED_BUCKETS = None
+    out = asof_join_auto(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+        how="inner",
+        broadcast_max_rows=100,  # << orders rows at any test sf
+    )
+    out = out.select_columns(["event_id", "o_orderdate"])
+    assert window.LAST_RESOLVED_BUCKETS is not None, (
+        "auto dispatch took the broadcast path despite right > budget"
+    )
+    return out
+
+
 SQL_ASOF_JOIN_ORDERS = """
 SELECT e.event_id, o.o_orderdate
 FROM events e ASOF JOIN orders o
@@ -2534,6 +2565,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "connected_components": q_connected_components,
     "repetition_docs": q_repetition_docs,
     "segment_dedup_docs": q_segment_dedup_docs,
+    "asof_join_orders_auto": q_asof_join_orders_auto,
     # -- last driver-checked before r3 --
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
@@ -2686,6 +2718,7 @@ ORACLES: dict[str, str] = {
     # the test tables by construction, so these two are hash-checked:
     "conv_tools_hll": SQL_CONV_TOOLS_HLL,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "asof_join_orders_auto": SQL_ASOF_JOIN_ORDERS,  # same contract, auto gate
     # lang_quality / multimodal_features / kmeans_clusters / dsir_weights /
     # bpe_counts: probabilistic, heuristic, or iterative — rows-only
 }

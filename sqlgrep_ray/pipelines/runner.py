@@ -373,7 +373,9 @@ def run_select(
                     )
                 elif w.func == "ntile":
                     funcs.append(WinFunc("ntile", w.out_col, param=w.offset))
-                elif w.func in ("row_number", "rank", "dense_rank"):
+                elif w.func in (
+                    "row_number", "rank", "dense_rank", "run_count_star"
+                ):
                     funcs.append(WinFunc(w.func, w.out_col))
                 else:  # run_sum / run_avg / run_count / first_value
                     funcs.append(

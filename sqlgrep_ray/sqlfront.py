@@ -695,7 +695,7 @@ class Parser:
                     if star:
                         if fname != "count":
                             raise SqlError("* only valid in count()")
-                        value = ""  # COUNT(*) ≡ ROW_NUMBER
+                        value = ""  # COUNT(*): peer-aware run_count_star
                     elif len(args) == 1 and isinstance(args[0], Col):
                         value = args[0].name
                     else:
@@ -715,7 +715,7 @@ class Parser:
                     order = self.expect_ident()
                     self.expect_op(")")
                     wfunc = (
-                        "row_number"
+                        "run_count_star"
                         if (fname == "count" and star)
                         else f"run_{fname}"
                     )

@@ -1128,8 +1128,18 @@ def simhash_dedup(
     of 4 chunks — pigeonhole), verify Hamming within bucket. Only
     (id, simhash, bucket) ever shuffles; ``distributed`` as in
     :func:`_hot_bucket_verify` (None = auto from candidate count). A bucket
-    over ``max_bucket`` rows is sub-split in simhash order (near hashes
-    adjacent), never dropped.
+    over ``max_bucket`` rows is sub-split in simhash order, never dropped —
+    but note the recall caveat: rows in one bucket share a 16-bit band, so
+    their order is decided by the OTHER 48 bits, and a pair whose ≤3
+    differing bits include a high non-band bit sorts far apart and its
+    cross-chunk comparison is elided (no 1-D sort key can make Hamming
+    neighbours adjacent in general). Mitigations: the pair gets ``n_tables``
+    independent chances — it is also a candidate in every other band it
+    shares, and those buckets sort by DIFFERENT bit subsets; oversized
+    buckets are counted into ``metrics`` so the exposure is observable; and
+    ``exact_confirm=True`` switches the sub-split key to the token-multiset
+    fingerprint, where equal rows are GUARANTEED adjacent (that path stays
+    exact — it is the oracle-checked one).
 
     ``exact_confirm=True`` runs simhash as the CANDIDATE generator and
     confirms each surviving pair by token-multiset equality (a 64-bit
@@ -1236,6 +1246,11 @@ def embedding_dup_pairs(
 ) -> "ray.data.Dataset":
     """Near-dup pairs by embedding cosine ≥ threshold.
 
+    Bucket keys pack the table id into the low ``ceil(log2(n_tables))``
+    bits, so tables never alias into shared buckets at any ``n_tables``
+    (aliasing was harmless for correctness — verify is exact — but merged
+    buckets inflate the oversized-verify tail).
+
     Multi-table random-hyperplane LSH (banding, mirroring the minhash band
     structure): ``n_tables`` independent tables, each bucketing on ``bits``
     sign bits; a pair is a candidate if it collides in ANY table, and exact
@@ -1258,6 +1273,7 @@ def embedding_dup_pairs(
         n_rows = ds.count()
         target = max(max_bucket // 16, 16)
         bits = int(np.clip(np.ceil(np.log2(max(n_rows, 1) / target + 1)), 5, 24))
+    ti_shift = max(1, (n_tables - 1).bit_length())
 
     class Bucketer:
         def __init__(self) -> None:
@@ -1278,8 +1294,9 @@ def embedding_dup_pairs(
             for ti in range(n_tables):
                 s = signs[:, ti * bits : (ti + 1) * bits]
                 key = (s.astype(np.int64) * w).sum(axis=1)
-                # disjoint keyspace per table: low bits carry the table id
-                key = (key << 3) | ti
+                # disjoint keyspace per table: low bits carry the table id,
+                # width sized to n_tables so tables never alias
+                key = (key << ti_shift) | ti
                 # NARROW explosion — vectors do NOT ride the x n_tables
                 # fan-out or the hot-stats shuffle; they are re-attached
                 # for colliding ids only (``_attach_payload``)

@@ -535,6 +535,7 @@ _WIN_FUNCS = frozenset(
         "run_sum",
         "run_avg",
         "run_count",
+        "run_count_star",
         "first_value",
     }
 )
@@ -570,11 +571,15 @@ def partition_windows(
     rank/dense_rank tie-correct; NTILE with SQL's larger-first tiles;
     running SUM/AVG/COUNT cumulative from the partition start with SQL
     NULL handling (sum over an all-NULL prefix is NULL). Running
-    aggregates use a ROWS cumulative frame — with ties in ``order_col``
-    they differ from SQL's default RANGE-including-peers frame, so the
-    determinism contract is a unique (key, order_col) per row (same as
-    LAG). ``keep_cols=None`` keeps every input column (SQL window
-    semantics: the whole row survives — and rides the shuffle).
+    aggregates use SQL's default frame — ``RANGE BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW`` — so rows TIED on ``order_col`` (peers)
+    all get the frame value at the END of their tie run, exactly as
+    DuckDB/standard SQL; ``run_count_star`` is ``COUNT(*) OVER`` (counts
+    peer rows, no value column). Only the order-SENSITIVE functions
+    (lag/lead/row_number/ntile/first_value) keep the unique
+    (key, order_col) determinism contract. ``keep_cols=None`` keeps every
+    input column (SQL window semantics: the whole row survives — and
+    rides the shuffle).
 
     Partitioning assumption (documented, same as sessionize): one key's
     rows fit one worker; ``num_buckets=None`` auto-sizes the shuffle via
@@ -591,6 +596,8 @@ def partition_windows(
         if f.func in ("lag", "lead", "first_value", "run_sum", "run_avg",
                       "run_count") and f.value_col is None:
             raise ValueError(f"{f.func} needs a value_col")
+        if f.func == "run_count_star" and f.value_col is not None:
+            raise ValueError("run_count_star takes no value_col (COUNT(*))")
     keys = _as_keys(key)
     num_buckets = resolve_buckets(num_buckets, ds)
     value_cols = [f.value_col for f in funcs if f.value_col]
@@ -618,8 +625,20 @@ def partition_windows(
         pos = np.arange(n, dtype=np.int64)
         first_of_key = np.maximum.accumulate(np.where(key_change, pos, 0))
         shift_cache: dict[int, pa.Array] = {}
-        run_change = None  # lazily shared by rank and dense_rank
+        run_change = None  # lazily shared by rank/dense_rank/running aggs
+        run_end = None  # index of each row's tie-run last row (RANGE frame)
         out_cols: list[tuple[str, pa.Array]] = []
+
+        def tie_run_end() -> np.ndarray:
+            nonlocal run_change, run_end
+            if run_end is None:
+                if run_change is None:
+                    oarr = g[order_col].combine_chunks()
+                    run_change = key_change | _key_change_mask(oarr, n)
+                starts_r = np.flatnonzero(run_change)
+                lens_r = np.diff(np.r_[starts_r, n])
+                run_end = np.repeat(starts_r + lens_r - 1, lens_r)
+            return run_end
         for f in funcs:
             if f.func in ("lag", "lead"):
                 off = f.param if f.func == "lag" else -f.param
@@ -682,6 +701,15 @@ def partition_windows(
                         .take(pa.array(first_of_key)),
                     )
                 )
+            elif f.func == "run_count_star":
+                # COUNT(*) OVER: RANGE frame — peers count together, so
+                # the value is the tie-run end's 1-based partition ordinal
+                out_cols.append(
+                    (
+                        f.out_col,
+                        pa.array((tie_run_end() - first_of_key + 1).astype(np.int64)),
+                    )
+                )
             else:  # run_sum / run_avg / run_count
                 varr = g[f.value_col].combine_chunks()
                 null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
@@ -694,6 +722,10 @@ def partition_windows(
                 seg_sum = cum - cum[first_of_key] + v[first_of_key]
                 cnt = np.cumsum(~null_mask)
                 seg_cnt = cnt - cnt[first_of_key] + (~null_mask)[first_of_key]
+                # SQL default RANGE frame: every row of a tie run reads
+                # the cumulative value at the run's LAST row (peers share)
+                re_ = tie_run_end()
+                seg_sum, seg_cnt = seg_sum[re_], seg_cnt[re_]
                 if f.func == "run_sum":
                     out = pa.array(seg_sum)
                     if pa.types.is_integer(varr.type):
@@ -804,8 +836,9 @@ def partition_running(
     num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """SQL running aggregate ``SUM/AVG/COUNT(v) OVER (PARTITION BY key
-    ORDER BY order_col)`` — cumulative from the partition start to the
-    current row, as a ROWS frame (unique (key, order) contract; see
+    ORDER BY order_col)`` — cumulative from the partition start through
+    the current row's PEERS (SQL's default RANGE frame: rows tied on
+    ``order_col`` share the frame-end value, exactly as DuckDB; see
     :func:`partition_windows`). ``func`` ∈ {"sum", "avg", "count"}; NULL
     values contribute nothing (SQL semantics): sum skips them, count
     counts non-nulls, avg divides the two. sum/count are int64 when the
@@ -823,6 +856,294 @@ def partition_running(
         keep_cols=keep_cols,
         num_buckets=num_buckets,
     )
+
+
+def partition_running_ranged(
+    ds: "ray.data.Dataset",
+    key,
+    order_col: str,
+    value_col: str,
+    func: str = "sum",
+    out_col: str = "running",
+    chunk_rows: int = 1_000_000,
+    num_buckets: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Chunk-safe running ``SUM/AVG/COUNT(v) OVER (PARTITION BY key ORDER
+    BY order_col)`` for partitions too large for one worker.
+
+    :func:`partition_windows` holds ONE whole partition per task — the
+    right contract for order-sensitive functions (lag, row_number,
+    first_value) but an OOM ceiling when a single hot key outgrows a
+    worker's heap. Associative running aggregates don't need the whole
+    partition at once, so this path splits every partition by ORDER
+    VALUE:
+
+    1. chunk id = a pure function of the order value (value-range bins
+       sized from one cheap min/max pass), so SQL RANGE peers — rows tied
+       on ``order_col`` — can never straddle a chunk boundary;
+    2. per-(key, chunk) totals via one NARROW aggregate (no payload);
+    3. per-key EXCLUSIVE prefixes over chunk totals via one tiny bucketed
+       pass (carry rows only: keys × touched-chunks);
+    4. distributed hash-join of the prefixes back onto the rows, then one
+       bucketed pass per (key, chunk) group: local sort + cumsum + peer
+       sharing + prefix add.
+
+    No task ever holds more than one chunk of one key (~``chunk_rows``
+    rows), so a partition of ANY size streams through. Results are
+    bit-identical to :func:`partition_running` (equivalence-tested),
+    including SQL's default RANGE-including-peers frame, NULL value
+    handling, NULL keys as one partition, and NULL order values sorting
+    last (all-NULL-order inputs delegate to the one-task path — a single
+    peer run needs no chunking). Inputs ≤ ``chunk_rows`` rows delegate
+    outright.
+
+    Contracts: ``order_col`` must be numeric or timestamp (value-range
+    binning); output carries ONLY (key cols, order_col, value_col,
+    out_col) — a running aggregate's exchange should be narrow, join
+    payloads back by key afterwards if needed. A heavily skewed order
+    DISTRIBUTION concentrates rows into few bins; lower ``chunk_rows``
+    (bins are capped at 4096) if a single bin must stay small."""
+    if func not in ("sum", "avg", "count"):
+        raise ValueError("func must be sum, avg or count")
+    keys = _as_keys(key)
+    n_rows = ds.count()
+    if n_rows <= chunk_rows:
+        return partition_running(
+            ds.select_columns(list(dict.fromkeys([*keys, order_col, value_col]))),
+            key, order_col, value_col, func=func, out_col=out_col,
+            keep_cols=None, num_buckets=num_buckets,
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    sch = ds.schema()
+    otype = dict(zip(sch.names, sch.types))[order_col]
+    if pa.types.is_timestamp(otype) or pa.types.is_integer(otype):
+        is_float = False
+    elif pa.types.is_floating(otype):
+        is_float = True
+    else:
+        raise ValueError(
+            "partition_running_ranged needs a numeric or timestamp "
+            f"order column, got {otype}"
+        )
+
+    def _onum(c: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        c = c.cast(pa.float64() if is_float else pa.int64())
+        return c.to_numpy(zero_copy_only=False)  # nulls → nan (float path)
+
+    def oview(t: pa.Table) -> pa.Table:
+        c = t[order_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table(
+            {"o": c.cast(pa.float64() if is_float else pa.int64())}
+        )
+
+    st = (
+        ds.select_columns([order_col])
+        .map_batches(oview, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Min("o", alias_name="omin"), Max("o", alias_name="omax"))
+    )
+    omin, omax = st["omin"], st["omax"]
+    if omin is None:  # every order value NULL: one peer run per key
+        return partition_running(
+            ds.select_columns(list(dict.fromkeys([*keys, order_col, value_col]))),
+            key, order_col, value_col, func=func, out_col=out_col,
+            keep_cols=None, num_buckets=num_buckets,
+        )
+    n_chunks = int(np.clip(-(-n_rows // chunk_rows), 1, 4096))
+    if is_float:
+        width = (float(omax) - float(omin)) / n_chunks or 1.0
+    else:
+        width = max(1, (int(omax) - int(omin)) // n_chunks + 1)
+
+    def _chunk_of(onum: np.ndarray) -> np.ndarray:
+        if is_float:
+            c = np.minimum(
+                np.floor((onum - float(omin)) / width), n_chunks - 1
+            )
+            # NULL order sorts last → past every real bin
+            return np.where(np.isnan(onum), n_chunks, c).astype(np.int64)
+        return (onum - int(omin)) // width  # ints/timestamps: no NULL ambiguity
+
+    def _chunk_col(t: pa.Table) -> pa.Array:
+        c = t[order_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if is_float:
+            return pa.array(_chunk_of(_onum(c)))
+        null_mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+        cast = pc.fill_null(c.cast(pa.int64()), int(omin))
+        ch = _chunk_of(cast.to_numpy(zero_copy_only=False))
+        return pa.array(np.where(null_mask, n_chunks, ch))
+
+    def _canon_key(t: pa.Table) -> pa.Array:
+        # null-safe composite key string (same canonicalization contract
+        # as _bucket_ids: the string form is block-stable)
+        parts = []
+        for k in keys:
+            c = t[k]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            parts.append(pc.cast(c, pa.string()))
+        return pc.binary_join_element_wise(
+            *parts, "\x1f", null_handling="replace",
+            null_replacement="\x00<NULL>",
+        )
+
+    narrow = ds.select_columns(
+        list(dict.fromkeys([*keys, order_col, value_col]))
+    )
+    vtype = dict(zip(sch.names, sch.types))[value_col]
+    int_sum = pa.types.is_integer(vtype)
+    # int sums stay in int64 end-to-end (never round-trip float64: values
+    # past 2^53 must keep bit-exact equivalence with partition_running)
+    sum_np = np.int64 if int_sum else np.float64
+    sum_pa = pa.int64() if int_sum else pa.float64()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.append_column("__k", _canon_key(t))
+        return t.append_column("__c", _chunk_col(t))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    # (2) per-(key, chunk) totals — narrow: batch-local combine, then a
+    # small global aggregate over at most keys × 4097 rows
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        varr = t[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        nn = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        v = np.where(
+            nn, pc.fill_null(varr, 0).to_numpy(zero_copy_only=False), 0
+        ).astype(sum_np)
+        df = pd.DataFrame(
+            {
+                "__k": t["__k"].to_pandas(),
+                "__c": t["__c"].to_pandas(),
+                "__s": v,
+                "__n": nn.astype(np.int64),
+            }
+        )
+        g = df.groupby(["__k", "__c"], sort=False, dropna=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    carry = (
+        tagged.select_columns(["__k", "__c", value_col])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["__k", "__c"])
+        .aggregate(
+            Sum("__s", alias_name="__s", ignore_nulls=True),
+            Sum("__n", alias_name="__n", ignore_nulls=True),
+        )
+    )
+
+    # (3) exclusive per-key prefixes over chunk totals — tiny bucketed pass
+    def prefix_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "__k": pa.array([], pa.string()),
+                    "__c": pa.array([], pa.int64()),
+                    "__ps": pa.array([], sum_pa),
+                    "__pn": pa.array([], pa.int64()),
+                }
+            )
+        g = g.take(pc.sort_indices(g, [("__k", "ascending"), ("__c", "ascending")]))
+        karr = g["__k"].combine_chunks()
+        kc = _key_change_mask(karr, n)
+        s = g["__s"].to_numpy(zero_copy_only=False).astype(sum_np)
+        c = g["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64)
+        first = np.maximum.accumulate(np.where(kc, pos, 0))
+        cs, cc = np.cumsum(s), np.cumsum(c)
+        ps = cs - cs[first] + s[first] - s  # exclusive prefix within key
+        pn = cc - cc[first] + c[first] - c
+        return pa.table(
+            {
+                "__k": karr,
+                "__c": g["__c"],
+                "__ps": pa.array(ps),
+                "__pn": pa.array(pn),
+            }
+        )
+
+    prefixes = _bucketed(
+        carry, ["__k"], resolve_buckets(None, n_rows=max(n_rows // 1000, 1)),
+        prefix_bucket,
+    )
+
+    # (4) hash-join prefixes onto rows, then finish per (key, chunk) group
+    from sqlgrep_ray.stages.enrich import shuffle_join
+
+    joined = shuffle_join(tagged, prefixes, on=["__k", "__c"])
+
+    def final_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        base = [*dict.fromkeys([*keys, order_col, value_col])]
+        if n == 0:
+            cols = {c: pa.array([], g.schema.field(c).type) for c in base}
+            cols[out_col] = pa.array(
+                [],
+                pa.float64() if func == "avg" or (func == "sum" and not int_sum)
+                else pa.int64(),
+            )
+            return pa.table(cols)
+        g = g.take(
+            pc.sort_indices(
+                g,
+                [("__k", "ascending"), ("__c", "ascending"),
+                 (order_col, "ascending")],
+            )
+        )
+        karr = g["__k"].combine_chunks()
+        carr = g["__c"].combine_chunks()
+        kc = _key_change_mask([karr, carr], n)  # new (key, chunk) group
+        oarr = g[order_col].combine_chunks()
+        run_change = kc | _key_change_mask(oarr, n)
+        starts_r = np.flatnonzero(run_change)
+        lens_r = np.diff(np.r_[starts_r, n])
+        run_end = np.repeat(starts_r + lens_r - 1, lens_r)
+        pos = np.arange(n, dtype=np.int64)
+        first = np.maximum.accumulate(np.where(kc, pos, 0))
+        varr = g[value_col].combine_chunks()
+        nn = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        v = np.where(
+            nn, pc.fill_null(varr, 0).to_numpy(zero_copy_only=False), 0
+        ).astype(sum_np)
+        cs, cc = np.cumsum(v), np.cumsum(nn.astype(np.int64))
+        seg_sum = cs - cs[first] + v[first]
+        seg_cnt = cc - cc[first] + nn[first]
+        seg_sum, seg_cnt = seg_sum[run_end], seg_cnt[run_end]
+        seg_sum = seg_sum + g["__ps"].to_numpy(zero_copy_only=False).astype(sum_np)[first]
+        seg_cnt = seg_cnt + g["__pn"].to_numpy(zero_copy_only=False)[first]
+        if func == "count":
+            out = pa.array(seg_cnt.astype(np.int64))
+        elif func == "sum":
+            out = pa.array(seg_sum.astype(sum_np))
+            out = pc.if_else(pa.array(seg_cnt > 0), out, pa.scalar(None, out.type))
+        else:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = pa.array(
+                    np.where(seg_cnt > 0, seg_sum / np.maximum(seg_cnt, 1), np.nan)
+                )
+            out = pc.if_else(
+                pa.array(seg_cnt > 0), out, pa.scalar(None, pa.float64())
+            )
+        cols = {c: g[c] for c in dict.fromkeys([*keys, order_col, value_col])}
+        cols[out_col] = out
+        return pa.table(cols)
+
+    nb = resolve_buckets(num_buckets, n_rows=n_rows)
+    return _bucketed(joined, ["__k", "__c"], nb, final_bucket)
 
 
 def partition_row_number(

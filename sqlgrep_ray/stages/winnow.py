@@ -229,13 +229,29 @@ def shared_fingerprint_pairs(
     w: int = 16,
     min_shared: int = 2,
     max_bucket: int = 256,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     partial-copy candidates (a shared span of ≥ w+k−1 normalized chars
     guarantees ≥ 1 shared fingerprint). Pair counting runs per fingerprint
-    bucket (bounded by ``max_bucket``, like the LSH verify) and merges with
-    ONE vectorized hash aggregate."""
+    bucket and merges with ONE vectorized hash aggregate.
+
+    HOT-FINGERPRINT CAP (deliberate, counted, NOT silent): a fingerprint
+    shared by more than ``max_bucket`` documents contributes m(m−1)/2
+    pairs — quadratic output that no downstream consumer of a
+    "partial-copy candidates" list can use (such a fingerprint is
+    boilerplate, the winnowing analogue of a stopword; df-capping it is
+    the standard treatment). Unlike the dedup verifiers, sub-splitting
+    cannot preserve semantics here — the OUTPUT is the pair list itself,
+    so any split elides cross-chunk pairs — hence runs over the cap are
+    skipped entirely and counted into ``metrics``
+    (``winnow.capped_fingerprints`` / ``winnow.capped_docs``). Pass a
+    larger ``max_bucket`` (or ``metrics`` to observe the tail) when
+    exhaustive pairs matter; pairs among ≤ ``max_bucket``-df fingerprints
+    are exhaustive and exact (oracle-checked)."""
     from ray.data.aggregate import Sum
+
+    actor = metrics.actor if metrics is not None else None
 
     fps = winnow_fingerprints(ds, id_col, text_col, k, w)
 
@@ -273,6 +289,10 @@ def shared_fingerprint_pairs(
                     x, y = np.triu_indices(m, 1)
                     a_out.append(run[x])
                     b_out.append(run[y])
+                elif m > max_bucket and actor is not None:
+                    # df-capped hot fingerprint — see docstring
+                    actor.incr.remote("winnow.capped_fingerprints", 1)
+                    actor.incr.remote("winnow.capped_docs", m)
         a = np.concatenate(a_out) if a_out else np.array([], dtype=np.int64)
         b = np.concatenate(b_out) if b_out else np.array([], dtype=np.int64)
         return pa.table(

@@ -1,8 +1,11 @@
 """Hypothesis: the window-function family (LAG/LEAD, ROW_NUMBER,
 RANK/DENSE_RANK, running SUM/AVG/COUNT, FIRST_VALUE) matches DuckDB's own
 window functions over random data with NULL partition keys, NULL values,
-and tied order values (ranks only — lag/row_number require the documented
-unique-(key, order) contract, so their order keys are drawn unique).
+and tied order values (ranks AND running aggregates — running SUM/AVG/
+COUNT/COUNT(*) use SQL's default RANGE-including-peers frame since round
+4, so they are deterministic under ties; only lag/lead/row_number/ntile/
+first_value keep the documented unique-(key, order) contract, so their
+order keys are drawn unique).
 
 One Ray pipeline per draw would cost seconds; instead each draw executes
 the SQL through parse_query → run_plan over a 3-block Dataset (the same
@@ -98,4 +101,26 @@ def test_windows_match_duckdb(ray_session, data):
     got = _run(tbl, sql)
     exp = _oracle(tbl, sql)
     for col in ["lg", "ld", "rn", "r", "dr", "rs", "ra", "rc", "fv", "nt"]:
+        _eq(got[col], exp[col])
+
+
+@settings(max_examples=20, deadline=None)
+@given(window_data())
+def test_running_aggs_range_frame_ties_match_duckdb(ray_session, data):
+    """Running SUM/AVG/COUNT and COUNT(*) over a TIED order column: SQL's
+    default frame is RANGE including peers, so tied rows share the
+    frame-end value — fixed in round 4 (was a ROWS frame; ADVICE r3)."""
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY t) AS rs, "
+        "AVG(v) OVER (PARTITION BY k ORDER BY t) AS ra, "
+        "COUNT(v) OVER (PARTITION BY k ORDER BY t) AS rc, "
+        "COUNT(*) OVER (PARTITION BY k ORDER BY t) AS rcs "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["rs", "ra", "rc", "rcs"]:
         _eq(got[col], exp[col])

@@ -108,6 +108,29 @@ def test_embedding_dup_pairs(ray_session):
     assert (0, 8) in set(zip(pairs["id_a"], pairs["id_b"]))
 
 
+def test_embedding_dup_pairs_many_tables(ray_session):
+    """n_tables > 8 must not alias table keyspaces (ADVICE r3: the old
+    fixed 3-bit table-id packing merged tables 8+ into tables 0+): the
+    planted near-dup is still found and nothing blows up."""
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(12, 16).astype(np.float32)
+    vecs = np.vstack([base, base[2] + rng.randn(16) * 0.005])  # id 12 ≈ id 2
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(13, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pairs = embedding_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.99, n_tables=10, bits=4
+    ).to_pandas()
+    assert (2, 12) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
 def test_language_id():
     assert detect_language("the cat is on the mat and it is warm in the house") == "en"
     assert detect_language("der hund und die katze spielen in dem schönen garten") == "de"

@@ -77,3 +77,36 @@ def test_winnow_pairs_pipeline(ray_session):
     # the exact copy shares strictly more fingerprints than the partial copy
     s = {(a, b): n for a, b, n in pairs.itertuples(index=False)}
     assert s[(0, 3)] > s[(0, 1)]
+
+
+def test_winnow_hot_fingerprint_capped_and_counted(ray_session):
+    """A fingerprint shared by > max_bucket docs is df-capped: no pairs
+    from it, but the drop is COUNTED into metrics (never silent), and
+    pairs among small-df fingerprints are untouched (ADVICE r3)."""
+    import ray.data
+
+    from sqlgrep_ray.state.metrics import MetricsCollector
+
+    boiler = "the shared boilerplate header that every document carries " * 3
+    n_hot = 12
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(n_hot + 2)), pa.int64()),
+            "text": [boiler + f" unique tail {i} " + "x" * i for i in range(n_hot)]
+            + [PARA, PARA],  # a genuine small duplicate pair
+        }
+    )
+    mc = MetricsCollector.create()
+    pairs = shared_fingerprint_pairs(
+        ray.data.from_arrow(docs), min_shared=1, max_bucket=8, metrics=mc
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (n_hot, n_hot + 1) in got  # small-df pair survives
+    counts = mc.snapshot()["counters"]
+    assert counts.get("winnow.capped_fingerprints", 0) >= 1
+    assert counts.get("winnow.capped_docs", 0) >= n_hot
+    # uncapped control run finds boilerplate pairs the capped run elided
+    full = shared_fingerprint_pairs(
+        ray.data.from_arrow(docs), min_shared=1, max_bucket=256
+    ).to_pandas()
+    assert len(full) > len(pairs)
