@@ -133,6 +133,26 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     ).count()
     timings["minhash_dist_200k"] = time.time() - t0
 
+    # multi-window SQL at sf1.0 (~6.2M turns): ROW_NUMBER + running SUM +
+    # LAG sharing one (PARTITION BY, ORDER BY) frame — measures the fused
+    # single-shuffle window path (VERDICT r3 #3/#9) at 10x the bench sf.
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sources.synth import ensure_transcripts
+    from sqlgrep_ray.sqlfront import parse_query
+
+    win_dir = ensure_transcripts(1.0)  # cached deterministic generation
+    sql = (
+        "SELECT conv_id, turn_idx, "
+        "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rs, "
+        "LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts "
+        "FROM x"
+    )
+    plan = parse_query(sql).plan
+    t0 = time.time()
+    run_plan(ray.data.read_parquet(win_dir), plan).count()
+    timings["sql_window_mixed_sf1"] = time.time() - t0
+
     return timings, turns
 
 

@@ -2379,6 +2379,83 @@ def q_bpe_counts(sf_dir: str) -> Result:
     return bpe_token_counts(docs, merges)
 
 
+# Static seed vocabulary for the ORACLE-CHECKED BPE entry: the merge
+# table derives from these fixed counts via the engine's own pure-local
+# merge loop (bpe_merge_loop — deterministic, tie-broken lexicographically),
+# so the Ray query and the DuckDB replay below share one merge table by
+# construction. Corpus-TRAINED BPE stays covered by the rows-only
+# ``bpe_counts`` (its training loop is iterative and not SQL-expressible).
+_BPE_SEED_COUNTS = {
+    "spark": 8, "sparks": 5, "shuffle": 4, "hash": 6, "hashes": 3,
+    "window": 7, "windows": 4, "the": 20, "these": 5, "than": 6,
+    "batch": 5, "batches": 4, "data": 9, "dataset": 5, "stream": 6,
+    "streaming": 4, "arrow": 5, "pipeline": 6, "worker": 4, "workers": 3,
+}
+
+
+def _bpe_static_merges() -> "list[tuple[str, str]]":
+    from sqlgrep_ray.stages.bpe import bpe_merge_loop
+
+    return bpe_merge_loop(_BPE_SEED_COUNTS, 30)
+
+
+def q_bpe_encode_docs(sf_dir: str) -> Result:
+    """BPE ENCODING with a fixed merge table (stages/bpe.apply_merges via
+    the dictionary-encoded ``bpe_token_counts`` path): per-doc word and
+    piece counts. Unlike ``bpe_counts`` (corpus-trained, rows-only), the
+    merge table here is static — derived from ``_BPE_SEED_COUNTS`` by the
+    same deterministic merge loop — so the greedy rank-priority encoding
+    itself is hash-checked against a DuckDB recursive-CTE replay
+    (VERDICT r3 #6)."""
+    from sqlgrep_ray.stages.bpe import bpe_token_counts
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_counts(docs, _bpe_static_merges())
+
+
+def _bpe_oracle_sql() -> str:
+    merges = "[" + ", ".join(
+        f"['{a}', '{b}']" for a, b in _bpe_static_merges()
+    ) + "]"
+    wsl = _SQL_WSNORM.format(c="lower(text)")
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, unnest(regexp_split_to_array({wsl}, ' ')) AS w
+  FROM documents WHERE {wsl} <> ''
+), uniq AS (
+  SELECT DISTINCT w FROM words
+), seed AS (
+  SELECT w, list_append(regexp_split_to_array(w, ''), '</w>') AS syms FROM uniq
+), enc AS (
+  -- greedy BPE: each step merges the LEFTMOST occurrence of the
+  -- BEST-RANKED applicable pair (rank = 1-based position in the merge
+  -- table; list_position returns 0 when absent); len(syms) strictly
+  -- decreases, so the final encoding per word is the min-length row
+  SELECT w, syms FROM seed
+  UNION ALL
+  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+  FROM (
+    SELECT w, syms,
+      (SELECT i FROM unnest(range(1, len(syms))) AS t(i)
+       WHERE list_position({merges}, [syms[i], syms[i+1]]) > 0
+       ORDER BY list_position({merges}, [syms[i], syms[i+1]]), i
+       LIMIT 1) AS bi
+    FROM enc
+  ) s WHERE bi IS NOT NULL
+), pieces AS (
+  SELECT w, min(len(syms))::BIGINT AS np FROM enc GROUP BY w
+), per_doc AS (
+  SELECT words.doc_id, count(*)::BIGINT AS n_words,
+         SUM(p.np)::BIGINT AS n_pieces
+  FROM words JOIN pieces p USING (w) GROUP BY words.doc_id
+)
+SELECT d.doc_id, COALESCE(pd.n_words, 0)::BIGINT AS n_words,
+       COALESCE(pd.n_pieces, 0)::BIGINT AS n_pieces
+FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_ranked_search(sf_dir: str) -> Result:
     """Integer-ranked retrieval over the term-frequency index
     (stages/index.ranked_search): top-15 docs by (matched terms desc,
@@ -2566,6 +2643,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "repetition_docs": q_repetition_docs,
     "segment_dedup_docs": q_segment_dedup_docs,
     "asof_join_orders_auto": q_asof_join_orders_auto,
+    "bpe_encode_docs": q_bpe_encode_docs,
     # -- last driver-checked before r3 --
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
@@ -2719,6 +2797,7 @@ ORACLES: dict[str, str] = {
     "conv_tools_hll": SQL_CONV_TOOLS_HLL,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "asof_join_orders_auto": SQL_ASOF_JOIN_ORDERS,  # same contract, auto gate
+    "bpe_encode_docs": _bpe_oracle_sql(),  # recursive-CTE greedy-merge replay
     # lang_quality / multimodal_features / kmeans_clusters / dsir_weights /
     # bpe_counts: probabilistic, heuristic, or iterative — rows-only
 }
