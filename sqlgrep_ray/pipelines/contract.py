@@ -1771,6 +1771,39 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_sql_running_rows(sf_dir: str) -> Result:
+    """Explicit ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``
+    frame through the SQL dialect (round-4 extension: running aggregates
+    default to SQL's RANGE-including-peers frame, and the ROWS frame is
+    now an explicit opt-in). (conv_id, turn_idx) is unique per row, the
+    documented ROWS determinism contract — hash-exact vs DuckDB's own
+    explicit ROWS frame."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, "
+        "COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen, "
+        "AVG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_turn "
+        "FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_RUNNING_ROWS = f"""
+SELECT conv_id, turn_idx,
+       CAST(COUNT(*) OVER w AS BIGINT) AS seen,
+       AVG(turn_idx) OVER w AS avg_turn
+FROM read_parquet('{_TR_GLOB}')
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_sql_rank_ties(sf_dir: str) -> Result:
     """RANK/DENSE_RANK through the SQL dialect on data WITH real ties
     (line items share quantities within an order): ranks are
@@ -2616,6 +2649,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,
     "sql_running_sum": q_sql_running_sum,
+    "sql_running_rows": q_sql_running_rows,
     "sql_rank_ties": q_sql_rank_ties,
     "sql_ntile": q_sql_ntile,
     "conv_latency_p90": q_conv_latency_p90,
@@ -2755,6 +2789,7 @@ ORACLES: dict[str, str] = {
     "sql_turn_latency": SQL_SQL_TURN_LATENCY,
     "sql_row_number": SQL_SQL_ROW_NUMBER,
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
+    "sql_running_rows": SQL_SQL_RUNNING_ROWS,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

@@ -58,6 +58,7 @@ class WindowSpec:
     key: str  # PARTITION BY column
     order: str  # ORDER BY column
     offset: int = 1
+    frame: str = "range"  # running aggs: "range" (SQL default) | "rows"
 
 
 @dataclass(frozen=True)

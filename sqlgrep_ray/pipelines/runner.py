@@ -373,13 +373,22 @@ def run_select(
                     )
                 elif w.func == "ntile":
                     funcs.append(WinFunc("ntile", w.out_col, param=w.offset))
-                elif w.func in (
-                    "row_number", "rank", "dense_rank", "run_count_star"
-                ):
+                elif w.func in ("row_number", "rank", "dense_rank"):
                     funcs.append(WinFunc(w.func, w.out_col))
-                else:  # run_sum / run_avg / run_count / first_value
+                elif w.func == "run_count_star":
+                    funcs.append(
+                        WinFunc(w.func, w.out_col, frame=w.frame)
+                    )
+                elif w.func == "first_value":
                     funcs.append(
                         WinFunc(w.func, w.out_col, value_col=w.value_col)
+                    )
+                else:  # run_sum / run_avg / run_count
+                    funcs.append(
+                        WinFunc(
+                            w.func, w.out_col, value_col=w.value_col,
+                            frame=w.frame,
+                        )
                     )
             ds = partition_windows(
                 ds,

@@ -713,13 +713,25 @@ class Parser:
                     self.expect_kw("order")
                     self.expect_kw("by")
                     order = self.expect_ident()
+                    # optional explicit frame: only the two
+                    # unbounded-preceding→current-row frames are supported
+                    # (RANGE = SQL default, peers share; ROWS = per-row)
+                    frame = "range"
+                    if self.at_kw("rows") or self.at_kw("range"):
+                        frame = self.expect_ident().lower()
+                        self.expect_kw("between")
+                        self.expect_kw("unbounded")
+                        self.expect_kw("preceding")
+                        self.expect_kw("and")
+                        self.expect_kw("current")
+                        self.expect_kw("row")
                     self.expect_op(")")
                     wfunc = (
                         "run_count_star"
                         if (fname == "count" and star)
                         else f"run_{fname}"
                     )
-                    return WindowCall(wfunc, value, key, order, 1)
+                    return WindowCall(wfunc, value, key, order, 1, frame)
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:
                 raise SqlError(f"DISTINCT/* not valid in {fname}()")
@@ -765,6 +777,7 @@ class WindowCall(Expr):
     key: str
     order: str
     offset: int = 1
+    frame: str = "range"  # running aggs only: "range" (default) | "rows"
 
 
 # ---------------------------------------------------------------------------
@@ -901,7 +914,7 @@ def convert_query(
                     specs.append(
                         WindowSpec(
                             out, wc.func, wc.value_col, wc.key, wc.order,
-                            wc.offset,
+                            wc.offset, wc.frame,
                         )
                     )
                     e = _replace(e, wc, Col(out))

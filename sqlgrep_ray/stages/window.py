@@ -514,14 +514,19 @@ class WinFunc:
     ORDER BY) frame in :func:`partition_windows`.
 
     ``func``: lag | lead | row_number | rank | dense_rank | ntile |
-    run_sum | run_avg | run_count | first_value.
+    run_sum | run_avg | run_count | run_count_star | first_value.
     ``param``: lag/lead offset (positive int) or the NTILE tile count.
+    ``frame``: "range" (SQL default — cumulative INCLUDING peers tied on
+    the order column) or "rows" (cumulative to the current row only);
+    honored by the running aggregates, ignored by the other functions
+    (SQL semantics: ranking/navigation functions take no frame).
     """
 
     func: str
     out_col: str
     value_col: "str | None" = None
     param: "int | None" = None
+    frame: str = "range"
 
 
 _WIN_FUNCS = frozenset(
@@ -598,6 +603,8 @@ def partition_windows(
             raise ValueError(f"{f.func} needs a value_col")
         if f.func == "run_count_star" and f.value_col is not None:
             raise ValueError("run_count_star takes no value_col (COUNT(*))")
+        if f.frame not in ("range", "rows"):
+            raise ValueError("frame must be 'range' or 'rows'")
     keys = _as_keys(key)
     num_buckets = resolve_buckets(num_buckets, ds)
     value_cols = [f.value_col for f in funcs if f.value_col]
@@ -703,11 +710,13 @@ def partition_windows(
                 )
             elif f.func == "run_count_star":
                 # COUNT(*) OVER: RANGE frame — peers count together, so
-                # the value is the tie-run end's 1-based partition ordinal
+                # the value is the tie-run end's 1-based partition ordinal;
+                # ROWS frame — the row's own ordinal
+                end = pos if f.frame == "rows" else tie_run_end()
                 out_cols.append(
                     (
                         f.out_col,
-                        pa.array((tie_run_end() - first_of_key + 1).astype(np.int64)),
+                        pa.array((end - first_of_key + 1).astype(np.int64)),
                     )
                 )
             else:  # run_sum / run_avg / run_count
@@ -723,9 +732,11 @@ def partition_windows(
                 cnt = np.cumsum(~null_mask)
                 seg_cnt = cnt - cnt[first_of_key] + (~null_mask)[first_of_key]
                 # SQL default RANGE frame: every row of a tie run reads
-                # the cumulative value at the run's LAST row (peers share)
-                re_ = tie_run_end()
-                seg_sum, seg_cnt = seg_sum[re_], seg_cnt[re_]
+                # the cumulative value at the run's LAST row (peers
+                # share); explicit ROWS frame keeps the per-row cumulative
+                if f.frame == "range":
+                    re_ = tie_run_end()
+                    seg_sum, seg_cnt = seg_sum[re_], seg_cnt[re_]
                 if f.func == "run_sum":
                     out = pa.array(seg_sum)
                     if pa.types.is_integer(varr.type):

@@ -124,3 +124,27 @@ def test_running_aggs_range_frame_ties_match_duckdb(ray_session, data):
     exp = _oracle(tbl, sql)
     for col in ["rs", "ra", "rc", "rcs"]:
         _eq(got[col], exp[col])
+
+
+@settings(max_examples=15, deadline=None)
+@given(window_data())
+def test_rows_frame_matches_duckdb(ray_session, data):
+    """Explicit ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW: per-row
+    cumulative (no peer sharing). Order keys unique per partition — the
+    determinism contract for ROWS frames (with ties the within-tie order,
+    and hence the per-row prefix, is engine-defined in every engine)."""
+    keys, vals, _ = data
+    tbl = _table(keys, vals, [0] * len(keys))
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    sql = (
+        "SELECT k, o, "
+        f"SUM(v) OVER (PARTITION BY k ORDER BY o {frame}) AS rs, "
+        f"AVG(v) OVER (PARTITION BY k ORDER BY o {frame}) AS ra, "
+        f"COUNT(v) OVER (PARTITION BY k ORDER BY o {frame}) AS rc, "
+        f"COUNT(*) OVER (PARTITION BY k ORDER BY o {frame}) AS rcs "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["rs", "ra", "rc", "rcs"]:
+        _eq(got[col], exp[col])

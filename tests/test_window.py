@@ -538,3 +538,42 @@ def test_partition_running_ranged_int_and_delegate(ray_session):
         .sort_values("o")
     )
     assert out2["running"].tolist() == [big, big + 1, big + 2, big + 3]
+
+
+def test_rows_frame_ties_multiset(ray_session):
+    """ROWS frame under tied order values: each row gets its own prefix
+    (tie order engine-defined), so per-partition the MULTISET of running
+    counts is exactly 1..n and the final running sum equals the partition
+    total — both invariant to tie order; RANGE peers share instead."""
+    import ray.data
+
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"] * 2),
+            "o": pa.array([1, 1, 1, 2, 5, 5], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 1, 2], pa.int64()),
+        }
+    )
+    out = (
+        partition_windows(
+            ray.data.from_arrow(t),
+            "k",
+            "o",
+            [
+                WinFunc("run_count_star", "rcs_rows", frame="rows"),
+                WinFunc("run_count_star", "rcs_range", frame="range"),
+                WinFunc("run_sum", "rs_rows", value_col="v", frame="rows"),
+                WinFunc("run_sum", "rs_range", value_col="v", frame="range"),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["k", "o", "rcs_rows"])
+    )
+    a = out[out["k"] == "a"]
+    assert sorted(a["rcs_rows"]) == [1, 2, 3, 4]      # per-row ordinals
+    assert a["rcs_range"].tolist() == [3, 3, 3, 4]     # peers share
+    assert a["rs_rows"].max() == 100 and a["rs_range"].tolist()[:3] == [60, 60, 60]
+    b = out[out["k"] == "b"]
+    assert sorted(b["rcs_rows"]) == [1, 2] and b["rcs_range"].tolist() == [2, 2]
