@@ -1804,6 +1804,33 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
 """
 
 
+def q_running_sum_ranged(sf_dir: str) -> Result:
+    """The chunk-safe two-phase running aggregate
+    (stages/window.partition_running_ranged) with ``chunk_rows`` forced
+    far below the corpus size, so the driver verifies the DISTRIBUTED
+    path end-to-end: order-value chunking, per-(key, chunk) totals,
+    distributed exclusive prefixes, hash-join back, bounded final pass —
+    bit-equal to the one-task path and to DuckDB's RANGE-frame window SQL
+    by construction (VERDICT r3 #7)."""
+    from sqlgrep_ray.stages.window import partition_running_ranged
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    return partition_running_ranged(
+        ds, "conv_id", "turn_idx", "turn_idx", func="sum", out_col="cum",
+        chunk_rows=5_000,  # sf0.01 = 60k rows → ≥12 chunks, forced multi-chunk
+    )
+
+
+SQL_RUNNING_SUM_RANGED = f"""
+SELECT conv_id, turn_idx,
+       CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS cum
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_sql_rank_ties(sf_dir: str) -> Result:
     """RANK/DENSE_RANK through the SQL dialect on data WITH real ties
     (line items share quantities within an order): ranks are
@@ -2650,6 +2677,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_row_number": q_sql_row_number,
     "sql_running_sum": q_sql_running_sum,
     "sql_running_rows": q_sql_running_rows,
+    "running_sum_ranged": q_running_sum_ranged,
     "sql_rank_ties": q_sql_rank_ties,
     "sql_ntile": q_sql_ntile,
     "conv_latency_p90": q_conv_latency_p90,
@@ -2790,6 +2818,7 @@ ORACLES: dict[str, str] = {
     "sql_row_number": SQL_SQL_ROW_NUMBER,
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
     "sql_running_rows": SQL_SQL_RUNNING_ROWS,
+    "running_sum_ranged": SQL_RUNNING_SUM_RANGED,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,
