@@ -917,7 +917,9 @@ def partition_running_ranged(
     if func not in ("sum", "avg", "count"):
         raise ValueError("func must be sum, avg or count")
     keys = _as_keys(key)
-    n_rows = ds.count()
+    # metadata-free on fresh reads; a wrong estimate only flips the
+    # path choice (both paths are bit-equal), never the result
+    n_rows = _estimate_rows(ds)
     if n_rows <= chunk_rows:
         return partition_running(
             ds.select_columns(list(dict.fromkeys([*keys, order_col, value_col]))),

@@ -474,3 +474,33 @@ def test_window_composite_partition_key(ray_session):
     got_lg, exp_lg = out["lg"], ref["lg"]
     assert got_lg.isna().tolist() == exp_lg.isna().tolist()
     assert got_lg.dropna().tolist() == exp_lg.dropna().tolist()
+
+
+def test_window_frame_clause_parse():
+    """Explicit frame clauses: both frames parse on running aggregates,
+    unsupported/incomplete frames are SqlErrors."""
+    q = parse_query(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM t"
+    )
+    assert q.plan.windows[0].frame == "rows"
+    q2 = parse_query(
+        "SELECT COUNT(*) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM t"
+    )
+    assert q2.plan.windows[0].frame == "range"
+    assert q2.plan.windows[0].func == "run_count_star"
+    # default (no clause) is the SQL default: RANGE
+    q3 = parse_query(
+        "SELECT AVG(v) OVER (PARTITION BY k ORDER BY o) AS a FROM t"
+    )
+    assert q3.plan.windows[0].frame == "range"
+    with pytest.raises(SqlError):  # incomplete frame clause
+        parse_query(
+            "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o ROWS) AS s FROM t"
+        )
+    with pytest.raises(SqlError):  # unsupported frame bound
+        parse_query(
+            "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
+        )
