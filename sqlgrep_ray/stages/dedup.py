@@ -883,37 +883,112 @@ def minhash_lsh_dedup(
         return _shingle_sets_batch(pc.fill_null(t[text_col], ""), shingle_k)
 
     def verify_small(group: pa.Table, sets=None) -> pa.Table:
+        """Exact-Jaccard verify, vectorized (replaces the round-3 O(m²)
+        Python pair loop with per-pair set intersections): rows are
+        deduped to UNIQUE shingle sets first (near-dup buckets are
+        identical-set-heavy, so u ≪ m), pairwise intersections over the
+        unique sets come from ONE postings co-occurrence accumulation
+        (for each shingle shared by ≥2 sets, a vectorized square add —
+        total work Σ run² adds instead of m²/2 Python set ops), and row
+        pairs read their Jaccard from the u×u matrix. Same pair set and
+        values as the loop (equal sets → 1.0 incl. the both-empty case)."""
         m = group.num_rows
-        a_out, b_out, j_out = [], [], []
-        if m >= 2:
-            ids = group[id_col].to_pylist()
-            if sets is None:
-                # no prepared payload (direct caller): one vectorized
-                # shingle pass for the bucket
-                sets = _shingle_sets_batch(
-                    pc.fill_null(group[text_col], ""), shingle_k
-                )
-            order = np.argsort(ids)
+        empty_out = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if m < 2:
+            return empty_out
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if sets is None:
+            # no prepared payload (direct caller): one vectorized
+            # shingle pass for the bucket
+            sets = _shingle_sets_batch(
+                pc.fill_null(group[text_col], ""), shingle_k
+            )
+        order = np.argsort(ids, kind="stable")  # id_a < id_b in output
+        ids = ids[order]
+        sets = [sets[k] for k in order]
+        if m <= 16:
+            # typical LSH bucket: a handful of rows — the direct pair
+            # loop beats the dedup/postings machinery's per-bucket setup
+            # (measured: the all-vectorized variant was 3x SLOWER at 200k
+            # docs because frozenset fingerprinting re-copied every
+            # shingle set per bucket)
+            a_out, b_out, j_out = [], [], []
             for x in range(m):
                 for y in range(x + 1, m):
-                    i, j = order[x], order[y]
-                    if ids[i] == ids[j]:
+                    if ids[x] == ids[y]:
                         continue
-                    sa, sb = sets[i], sets[j]
+                    sa, sb = sets[x], sets[y]
                     if not sa and not sb:
                         jac = 1.0
                     else:
                         inter = len(sa & sb)
                         jac = inter / (len(sa) + len(sb) - inter)
                     if jac >= threshold:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
+                        a_out.append(ids[x])
+                        b_out.append(ids[y])
                         j_out.append(jac)
+            return pa.table(
+                {
+                    "id_a": pa.array(a_out, pa.int64()),
+                    "id_b": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+        uniq_of: dict = {}
+        row_u = np.empty(m, np.int64)
+        reps: list = []
+        for r, s in enumerate(sets):
+            # (len, sum mod 2^64) set fingerprint: C-speed, no frozenset
+            # copy (the copy made the first version 3x slower end-to-end);
+            # a collision between DIFFERENT sets needs equal length AND
+            # equal 64-bit hash sum — same negligible-collision contract
+            # as every fingerprint in this module
+            key = (len(s), sum(s) & 0xFFFFFFFFFFFFFFFF)
+            uidx = uniq_of.get(key)
+            if uidx is None:
+                uidx = len(reps)
+                uniq_of[key] = uidx
+                reps.append(s)
+            row_u[r] = uidx
+        u = len(reps)
+        usizes = np.fromiter((len(s) for s in reps), np.int64, count=u)
+        jmat = np.ones((u, u))  # identical sets (diagonal): jaccard 1.0
+        if u > 1:
+            total = int(usizes.sum())
+            all_sh = np.fromiter(
+                (h for s in reps for h in s), np.uint64, count=total
+            )
+            set_of = np.repeat(np.arange(u, dtype=np.int64), usizes)
+            o2 = np.argsort(all_sh, kind="stable")
+            sh_s, so = all_sh[o2], set_of[o2]
+            starts = np.flatnonzero(np.r_[True, sh_s[1:] != sh_s[:-1]])
+            lens = np.diff(np.r_[starts, total])
+            mat = np.zeros((u, u), np.int64)
+            for st, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+                d = so[st : st + ln]
+                mat[np.ix_(d, d)] += 1
+            iu = np.triu_indices(u, 1)
+            inter = mat[iu].astype(np.float64)
+            union = (usizes[iu[0]] + usizes[iu[1]] - inter).astype(np.float64)
+            # union == 0 only when both sets are empty — but empty sets
+            # dedupe to ONE unique set, so off-diagonal union is ≥ 1
+            jac_u = inter / np.maximum(union, 1.0)
+            jmat[iu] = jac_u
+            jmat[(iu[1], iu[0])] = jac_u
+        ri, rj = np.triu_indices(m, 1)
+        jac = jmat[row_u[ri], row_u[rj]]
+        ok = (jac >= threshold) & (ids[ri] != ids[rj])
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                "id_a": pa.array(ids[ri[ok]].astype(np.int64)),
+                "id_b": pa.array(ids[rj[ok]].astype(np.int64)),
+                "jaccard": pa.array(jac[ok]),
             }
         )
 
