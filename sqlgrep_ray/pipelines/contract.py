@@ -1804,6 +1804,36 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
 """
 
 
+def q_sql_global_window(sf_dir: str) -> Result:
+    """GLOBAL window (no PARTITION BY — round-4 extension): corpus-wide
+    ROW_NUMBER / running SUM / LAG over one constant partition. Correct by
+    the documented one-task contract (the whole input on one worker —
+    fine at oracle scale; the scale path for the associative subset is
+    partition_running_ranged). Unique order column (event_id) so every
+    function is deterministic; int SUM column — float cumulative sums can
+    never hash-match cross-engine (DuckDB's windowed SUM uses a segment
+    tree, a different float addition order)."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT event_id, "
+        "ROW_NUMBER() OVER (ORDER BY event_id) AS rn, "
+        "SUM(user_id) OVER (ORDER BY event_id) AS rs, "
+        "LAG(user_id) OVER (ORDER BY event_id) AS prev_user "
+        "FROM t"
+    ).plan
+    return run_plan(_t(sf_dir, "events", ["event_id", "user_id"]), plan)
+
+
+SQL_SQL_GLOBAL_WINDOW = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS rn,
+       CAST(SUM(user_id) OVER (ORDER BY event_id) AS BIGINT) AS rs,
+       LAG(user_id) OVER (ORDER BY event_id) AS prev_user
+FROM events
+"""
+
+
 def q_running_sum_ranged(sf_dir: str) -> Result:
     """The chunk-safe two-phase running aggregate
     (stages/window.partition_running_ranged) with ``chunk_rows`` forced
@@ -2678,6 +2708,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_running_sum": q_sql_running_sum,
     "sql_running_rows": q_sql_running_rows,
     "running_sum_ranged": q_running_sum_ranged,
+    "sql_global_window": q_sql_global_window,
     "sql_rank_ties": q_sql_rank_ties,
     "sql_ntile": q_sql_ntile,
     "conv_latency_p90": q_conv_latency_p90,
@@ -2819,6 +2850,7 @@ ORACLES: dict[str, str] = {
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
     "sql_running_rows": SQL_SQL_RUNNING_ROWS,
     "running_sum_ranged": SQL_RUNNING_SUM_RANGED,
+    "sql_global_window": SQL_SQL_GLOBAL_WINDOW,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

@@ -55,7 +55,7 @@ class WindowSpec:
     out_col: str  # internal column the rewritten projection references
     func: str  # "lag" | "lead"
     value_col: str
-    key: str  # PARTITION BY column
+    key: "str | tuple | None"  # PARTITION BY column(s); None = GLOBAL window
     order: str  # ORDER BY column
     offset: int = 1
     frame: str = "range"  # running aggs: "range" (SQL default) | "rows"

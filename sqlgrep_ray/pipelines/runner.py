@@ -89,8 +89,9 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
             cols.discard(w.out_col)
             if w.value_col:
                 cols.add(w.value_col)
-            for k in [w.key] if isinstance(w.key, str) else list(w.key):
-                cols.add(k)
+            if w.key is not None:  # None = global window (constant key)
+                for k in [w.key] if isinstance(w.key, str) else list(w.key):
+                    cols.add(k)
             cols.add(w.order)
     else:
         for k in plan.group_by:
@@ -361,7 +362,25 @@ def run_select(
         for w in windows:
             frames.setdefault((w.key, w.order), []).append(w)
         nb = resolve_buckets(None, ds_entry)
+        gw_added = False
         for (key, order), specs in frames.items():
+            if key is None:
+                # GLOBAL window (no PARTITION BY): one constant partition.
+                # Correctness contract: the whole input must fit one
+                # worker task (same as any single hot key); the scale
+                # escape hatch for associative running aggregates is
+                # stages/window.partition_running_ranged.
+                if not gw_added:
+                    def _const_key(t: pa.Table) -> pa.Table:
+                        return t.append_column(
+                            "__gw", pa.array(np.zeros(t.num_rows, np.int8))
+                        )
+
+                    ds = ds.map_batches(
+                        _const_key, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    gw_added = True
+                key = "__gw"
             funcs = []
             for w in specs:
                 if w.func in ("lag", "lead"):

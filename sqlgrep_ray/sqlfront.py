@@ -669,12 +669,13 @@ class Parser:
                         raise SqlError(f"{fname}() takes (column[, offset])")
                 self.expect_kw("over")
                 self.expect_op("(")
-                self.expect_kw("partition")
-                self.expect_kw("by")
-                pkeys = [self.expect_ident()]
-                while self.eat_op(","):
-                    pkeys.append(self.expect_ident())
-                key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
+                key = None  # no PARTITION BY: one GLOBAL partition
+                if self.eat_kw("partition"):
+                    self.expect_kw("by")
+                    pkeys = [self.expect_ident()]
+                    while self.eat_op(","):
+                        pkeys.append(self.expect_ident())
+                    key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                 self.expect_kw("order")
                 self.expect_kw("by")
                 order = self.expect_ident()
@@ -704,12 +705,13 @@ class Parser:
                         )
                     self.expect_kw("over")
                     self.expect_op("(")
-                    self.expect_kw("partition")
-                    self.expect_kw("by")
-                    pkeys = [self.expect_ident()]
-                    while self.eat_op(","):
-                        pkeys.append(self.expect_ident())
-                    key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
+                    key = None  # no PARTITION BY: one GLOBAL partition
+                    if self.eat_kw("partition"):
+                        self.expect_kw("by")
+                        pkeys = [self.expect_ident()]
+                        while self.eat_op(","):
+                            pkeys.append(self.expect_ident())
+                        key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                     self.expect_kw("order")
                     self.expect_kw("by")
                     order = self.expect_ident()

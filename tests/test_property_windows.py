@@ -148,3 +148,27 @@ def test_rows_frame_matches_duckdb(ray_session, data):
     exp = _oracle(tbl, sql)
     for col in ["rs", "ra", "rc", "rcs"]:
         _eq(got[col], exp[col])
+
+
+@settings(max_examples=15, deadline=None)
+@given(window_data())
+def test_global_windows_match_duckdb(ray_session, data):
+    """OVER (ORDER BY ...) with no PARTITION BY — one global partition
+    (round-4 extension): navigation, ranking, and running functions all
+    match DuckDB. Rank functions get the tied column; the rest unique."""
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        "ROW_NUMBER() OVER (ORDER BY o) AS rn, "
+        "RANK() OVER (ORDER BY t) AS r, "
+        "LAG(v) OVER (ORDER BY o) AS lg, "
+        "SUM(v) OVER (ORDER BY t) AS rs, "
+        "COUNT(*) OVER (ORDER BY t) AS rcs, "
+        "FIRST_VALUE(v) OVER (ORDER BY o) AS fv "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["rn", "r", "lg", "rs", "rcs", "fv"]:
+        _eq(got[col], exp[col])
