@@ -1862,17 +1862,22 @@ FROM read_parquet('{_TR_GLOB}')
 
 
 def q_sql_rank_ties(sf_dir: str) -> Result:
-    """RANK/DENSE_RANK through the SQL dialect on data WITH real ties
-    (line items share quantities within an order): ranks are
-    tie-independent, so the result is deterministic and hash-exact
-    cross-engine even where row order is not."""
+    """RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST through the SQL dialect on
+    data WITH real ties (line items share quantities within an order):
+    all four are tie-independent, so the result is deterministic and
+    hash-exact cross-engine even where row order is not (the float
+    outputs are int/int divisions — the same IEEE op both engines)."""
     from sqlgrep_ray.sqlfront import parse_query
 
     plan = parse_query(
         "SELECT l_orderkey, l_linenumber, l_quantity, "
         "RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS r, "
         "DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) "
-        "AS dr FROM t"
+        "AS dr, "
+        "PERCENT_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) "
+        "AS pr, "
+        "CUME_DIST() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) "
+        "AS cd FROM t"
     ).plan
     return run_plan(
         _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]),
@@ -1885,7 +1890,9 @@ SELECT l_orderkey, l_linenumber, l_quantity,
        CAST(RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
             AS BIGINT) AS r,
        CAST(DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity)
-            AS BIGINT) AS dr
+            AS BIGINT) AS dr,
+       PERCENT_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS pr,
+       CUME_DIST() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS cd
 FROM lineitem
 """
 

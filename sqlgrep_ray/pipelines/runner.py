@@ -392,7 +392,10 @@ def run_select(
                     )
                 elif w.func == "ntile":
                     funcs.append(WinFunc("ntile", w.out_col, param=w.offset))
-                elif w.func in ("row_number", "rank", "dense_rank"):
+                elif w.func in (
+                    "row_number", "rank", "dense_rank",
+                    "percent_rank", "cume_dist",
+                ):
                     funcs.append(WinFunc(w.func, w.out_col))
                 elif w.func == "run_count_star":
                     funcs.append(

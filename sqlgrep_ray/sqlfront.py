@@ -626,7 +626,7 @@ class Parser:
             fname = _FUNC_ALIASES.get(lname, lname)
             if fname in (
                 "lag", "lead", "row_number", "rank", "dense_rank",
-                "first_value", "ntile",
+                "percent_rank", "cume_dist", "first_value", "ntile",
             ):
                 # ENGINE EXTENSION: LAG/LEAD(col[, offset]) /
                 # FIRST_VALUE(col) / ROW_NUMBER() / RANK() / DENSE_RANK()
@@ -646,7 +646,7 @@ class Parser:
                         )
                     value = ""
                     offset = int(args[0].value)
-                elif fname in ("row_number", "rank", "dense_rank"):
+                elif fname in ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist"):
                     if args:
                         raise SqlError(f"{fname}() takes no arguments")
                     value = ""

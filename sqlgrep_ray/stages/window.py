@@ -513,7 +513,8 @@ class WinFunc:
     """One window function to evaluate over a shared (PARTITION BY,
     ORDER BY) frame in :func:`partition_windows`.
 
-    ``func``: lag | lead | row_number | rank | dense_rank | ntile |
+    ``func``: lag | lead | row_number | rank | dense_rank | percent_rank
+    | cume_dist | ntile |
     run_sum | run_avg | run_count | run_count_star | first_value.
     ``param``: lag/lead offset (positive int) or the NTILE tile count.
     ``frame``: "range" (SQL default — cumulative INCLUDING peers tied on
@@ -536,6 +537,8 @@ _WIN_FUNCS = frozenset(
         "row_number",
         "rank",
         "dense_rank",
+        "percent_rank",
+        "cume_dist",
         "ntile",
         "run_sum",
         "run_avg",
@@ -549,7 +552,7 @@ _WIN_FUNCS = frozenset(
 def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
     if f.func in ("lag", "lead", "first_value"):
         return schema.field(f.value_col).type
-    if f.func == "run_avg":
+    if f.func in ("run_avg", "percent_rank", "cume_dist"):
         return pa.float64()
     if f.func == "run_sum":
         t = schema.field(f.value_col).type
@@ -685,20 +688,38 @@ def partition_windows(
                     r + (rn - big + np.maximum(q, 1) - 1) // np.maximum(q, 1),
                 )
                 out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
-            elif f.func in ("rank", "dense_rank"):
+            elif f.func in ("rank", "dense_rank", "percent_rank", "cume_dist"):
                 if run_change is None:
                     oarr = g[order_col].combine_chunks()
                     run_change = key_change | _key_change_mask(oarr, n)
-                if f.func == "rank":
+                if f.func in ("rank", "percent_rank"):
                     # 1 + ordinal of the current tie-run's first row
                     run_start = np.maximum.accumulate(
                         np.where(run_change, pos, 0)
                     )
                     out = run_start - first_of_key + 1
-                else:  # dense_rank: count of distinct order values so far
+                elif f.func == "dense_rank":
+                    # count of distinct order values so far
                     c = np.cumsum(run_change)
                     out = c - c[first_of_key] + 1
-                out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
+                if f.func in ("percent_rank", "cume_dist"):
+                    starts_k = np.flatnonzero(key_change)
+                    part_n = np.repeat(
+                        np.diff(np.r_[starts_k, n]),
+                        np.diff(np.r_[starts_k, n]),
+                    )
+                    if f.func == "percent_rank":
+                        # (rank - 1) / (n - 1); 0.0 for one-row partitions
+                        outf = (out - 1) / np.maximum(part_n - 1, 1)
+                    else:  # cume_dist: rows ≤ current incl peers, over n
+                        outf = (
+                            tie_run_end() - first_of_key + 1
+                        ) / part_n
+                    out_cols.append((f.out_col, pa.array(outf.astype(np.float64))))
+                else:
+                    out_cols.append(
+                        (f.out_col, pa.array(out.astype(np.int64)))
+                    )
             elif f.func == "first_value":
                 out_cols.append(
                     (

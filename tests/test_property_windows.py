@@ -91,6 +91,8 @@ def test_windows_match_duckdb(ray_session, data):
         "ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn, "
         "RANK() OVER (PARTITION BY k ORDER BY t) AS r, "
         "DENSE_RANK() OVER (PARTITION BY k ORDER BY t) AS dr, "
+        "PERCENT_RANK() OVER (PARTITION BY k ORDER BY t) AS pr, "
+        "CUME_DIST() OVER (PARTITION BY k ORDER BY t) AS cd, "
         "SUM(v) OVER (PARTITION BY k ORDER BY o) AS rs, "
         "AVG(v) OVER (PARTITION BY k ORDER BY o) AS ra, "
         "COUNT(v) OVER (PARTITION BY k ORDER BY o) AS rc, "
@@ -100,7 +102,7 @@ def test_windows_match_duckdb(ray_session, data):
     )
     got = _run(tbl, sql)
     exp = _oracle(tbl, sql)
-    for col in ["lg", "ld", "rn", "r", "dr", "rs", "ra", "rc", "fv", "nt"]:
+    for col in ["lg", "ld", "rn", "r", "dr", "pr", "cd", "rs", "ra", "rc", "fv", "nt"]:
         _eq(got[col], exp[col])
 
 
