@@ -401,9 +401,12 @@ def run_select(
                     funcs.append(
                         WinFunc(w.func, w.out_col, frame=w.frame)
                     )
-                elif w.func == "first_value":
+                elif w.func in ("first_value", "last_value"):
                     funcs.append(
-                        WinFunc(w.func, w.out_col, value_col=w.value_col)
+                        WinFunc(
+                            w.func, w.out_col, value_col=w.value_col,
+                            frame=w.frame,
+                        )
                     )
                 else:  # run_sum / run_avg / run_count
                     funcs.append(

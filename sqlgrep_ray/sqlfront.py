@@ -217,6 +217,25 @@ class Parser:
             raise SqlError(f"expected identifier, got {t}")
         return t.value
 
+    def parse_frame_clause(self) -> str:
+        """Optional window frame: ``ROWS|RANGE BETWEEN UNBOUNDED PRECEDING
+        AND (CURRENT ROW | UNBOUNDED FOLLOWING)``. Returns "range" (the
+        SQL default, also when absent), "rows", or "full" (unbounded →
+        unbounded: the whole partition, frame type irrelevant)."""
+        if not (self.at_kw("rows") or self.at_kw("range")):
+            return "range"
+        kind = self.expect_ident().lower()
+        self.expect_kw("between")
+        self.expect_kw("unbounded")
+        self.expect_kw("preceding")
+        self.expect_kw("and")
+        if self.eat_kw("unbounded"):
+            self.expect_kw("following")
+            return "full"
+        self.expect_kw("current")
+        self.expect_kw("row")
+        return kind
+
     # -- statements --------------------------------------------------------
 
     def parse_statements(self) -> list[Statement]:
@@ -626,7 +645,8 @@ class Parser:
             fname = _FUNC_ALIASES.get(lname, lname)
             if fname in (
                 "lag", "lead", "row_number", "rank", "dense_rank",
-                "percent_rank", "cume_dist", "first_value", "ntile",
+                "percent_rank", "cume_dist", "first_value", "last_value",
+                "ntile",
             ):
                 # ENGINE EXTENSION: LAG/LEAD(col[, offset]) /
                 # FIRST_VALUE(col) / ROW_NUMBER() / RANK() / DENSE_RANK()
@@ -679,8 +699,16 @@ class Parser:
                 self.expect_kw("order")
                 self.expect_kw("by")
                 order = self.expect_ident()
+                frame = self.parse_frame_clause()
+                if frame != "range" and fname not in (
+                    "first_value", "last_value"
+                ):
+                    raise SqlError(
+                        "frame clauses apply only to running aggregates "
+                        "and FIRST_VALUE/LAST_VALUE"
+                    )
                 self.expect_op(")")
-                return WindowCall(fname, value, key, order, offset)
+                return WindowCall(fname, value, key, order, offset, frame)
             if fname in AGGREGATE_FUNCS:
                 if self.at_kw("over"):
                     # ENGINE EXTENSION: running aggregate over a partition
@@ -715,18 +743,7 @@ class Parser:
                     self.expect_kw("order")
                     self.expect_kw("by")
                     order = self.expect_ident()
-                    # optional explicit frame: only the two
-                    # unbounded-preceding→current-row frames are supported
-                    # (RANGE = SQL default, peers share; ROWS = per-row)
-                    frame = "range"
-                    if self.at_kw("rows") or self.at_kw("range"):
-                        frame = self.expect_ident().lower()
-                        self.expect_kw("between")
-                        self.expect_kw("unbounded")
-                        self.expect_kw("preceding")
-                        self.expect_kw("and")
-                        self.expect_kw("current")
-                        self.expect_kw("row")
+                    frame = self.parse_frame_clause()
                     self.expect_op(")")
                     wfunc = (
                         "run_count_star"

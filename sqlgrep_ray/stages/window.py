@@ -518,9 +518,12 @@ class WinFunc:
     run_sum | run_avg | run_count | run_count_star | first_value.
     ``param``: lag/lead offset (positive int) or the NTILE tile count.
     ``frame``: "range" (SQL default — cumulative INCLUDING peers tied on
-    the order column) or "rows" (cumulative to the current row only);
-    honored by the running aggregates, ignored by the other functions
-    (SQL semantics: ranking/navigation functions take no frame).
+    the order column), "rows" (cumulative to the current row only), or
+    "full" (UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING: the whole
+    partition, making running aggregates per-partition constants and
+    LAST_VALUE the partition's final value); honored by the running
+    aggregates and FIRST_VALUE/LAST_VALUE, ignored by ranking/navigation
+    functions (SQL semantics: they take no frame).
     """
 
     func: str
@@ -545,12 +548,13 @@ _WIN_FUNCS = frozenset(
         "run_count",
         "run_count_star",
         "first_value",
+        "last_value",
     }
 )
 
 
 def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
-    if f.func in ("lag", "lead", "first_value"):
+    if f.func in ("lag", "lead", "first_value", "last_value"):
         return schema.field(f.value_col).type
     if f.func in ("run_avg", "percent_rank", "cume_dist"):
         return pa.float64()
@@ -601,13 +605,13 @@ def partition_windows(
             raise ValueError("lag/lead need a positive offset")
         if f.func == "ntile" and (f.param is None or f.param < 1):
             raise ValueError("ntile needs a positive tile count")
-        if f.func in ("lag", "lead", "first_value", "run_sum", "run_avg",
-                      "run_count") and f.value_col is None:
+        if f.func in ("lag", "lead", "first_value", "last_value",
+                      "run_sum", "run_avg", "run_count") and f.value_col is None:
             raise ValueError(f"{f.func} needs a value_col")
         if f.func == "run_count_star" and f.value_col is not None:
             raise ValueError("run_count_star takes no value_col (COUNT(*))")
-        if f.frame not in ("range", "rows"):
-            raise ValueError("frame must be 'range' or 'rows'")
+        if f.frame not in ("range", "rows", "full"):
+            raise ValueError("frame must be 'range', 'rows' or 'full'")
     keys = _as_keys(key)
     num_buckets = resolve_buckets(num_buckets, ds)
     value_cols = [f.value_col for f in funcs if f.value_col]
@@ -649,6 +653,26 @@ def partition_windows(
                 lens_r = np.diff(np.r_[starts_r, n])
                 run_end = np.repeat(starts_r + lens_r - 1, lens_r)
             return run_end
+
+        last_of_key = None  # per-row index of the partition's last row
+
+        def part_end() -> np.ndarray:
+            nonlocal last_of_key
+            if last_of_key is None:
+                starts_k = np.flatnonzero(key_change)
+                lens_k = np.diff(np.r_[starts_k, n])
+                last_of_key = np.repeat(starts_k + lens_k - 1, lens_k)
+            return last_of_key
+
+        def frame_end(frame: str) -> np.ndarray:
+            # index of the frame's last row per row: ROWS → the row
+            # itself; RANGE (SQL default) → its last peer; FULL → the
+            # partition's last row
+            if frame == "rows":
+                return pos
+            if frame == "full":
+                return part_end()
+            return tie_run_end()
         for f in funcs:
             if f.func in ("lag", "lead"):
                 off = f.param if f.func == "lag" else -f.param
@@ -720,24 +744,33 @@ def partition_windows(
                     out_cols.append(
                         (f.out_col, pa.array(out.astype(np.int64)))
                     )
-            elif f.func == "first_value":
+            elif f.func in ("first_value", "last_value"):
+                # every supported frame starts at the partition's first
+                # row, so FIRST_VALUE is frame-independent; LAST_VALUE
+                # reads the frame's last row (the classic SQL gotcha:
+                # under the default RANGE-to-current-row frame that is the
+                # last PEER, not the partition end — pass frame="full" /
+                # ... UNBOUNDED FOLLOWING for the partition's final value)
+                idx = (
+                    first_of_key
+                    if f.func == "first_value"
+                    else frame_end(f.frame)
+                )
                 out_cols.append(
                     (
                         f.out_col,
-                        g[f.value_col]
-                        .combine_chunks()
-                        .take(pa.array(first_of_key)),
+                        g[f.value_col].combine_chunks().take(pa.array(idx)),
                     )
                 )
             elif f.func == "run_count_star":
-                # COUNT(*) OVER: RANGE frame — peers count together, so
-                # the value is the tie-run end's 1-based partition ordinal;
-                # ROWS frame — the row's own ordinal
-                end = pos if f.frame == "rows" else tie_run_end()
+                # COUNT(*) OVER: the frame-end row's 1-based partition
+                # ordinal (RANGE: last peer; ROWS: own; FULL: partition n)
                 out_cols.append(
                     (
                         f.out_col,
-                        pa.array((end - first_of_key + 1).astype(np.int64)),
+                        pa.array(
+                            (frame_end(f.frame) - first_of_key + 1).astype(np.int64)
+                        ),
                     )
                 )
             else:  # run_sum / run_avg / run_count
@@ -752,11 +785,12 @@ def partition_windows(
                 seg_sum = cum - cum[first_of_key] + v[first_of_key]
                 cnt = np.cumsum(~null_mask)
                 seg_cnt = cnt - cnt[first_of_key] + (~null_mask)[first_of_key]
-                # SQL default RANGE frame: every row of a tie run reads
-                # the cumulative value at the run's LAST row (peers
-                # share); explicit ROWS frame keeps the per-row cumulative
-                if f.frame == "range":
-                    re_ = tie_run_end()
+                # the cumulative is read at the frame's last row: RANGE
+                # (SQL default) — the last PEER, so ties share; ROWS — the
+                # row itself; FULL — the partition end (per-partition
+                # constant, SQL's aggregate-over-whole-partition form)
+                if f.frame != "rows":
+                    re_ = frame_end(f.frame)
                     seg_sum, seg_cnt = seg_sum[re_], seg_cnt[re_]
                 if f.func == "run_sum":
                     out = pa.array(seg_sum)

@@ -97,12 +97,15 @@ def test_windows_match_duckdb(ray_session, data):
         "AVG(v) OVER (PARTITION BY k ORDER BY o) AS ra, "
         "COUNT(v) OVER (PARTITION BY k ORDER BY o) AS rc, "
         "FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY o) AS fv, "
+        "LAST_VALUE(v) OVER (PARTITION BY k ORDER BY o) AS lv, "
+        "LAST_VALUE(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvf, "
         "NTILE(3) OVER (PARTITION BY k ORDER BY o) AS nt "
         "FROM x"
     )
     got = _run(tbl, sql)
     exp = _oracle(tbl, sql)
-    for col in ["lg", "ld", "rn", "r", "dr", "pr", "cd", "rs", "ra", "rc", "fv", "nt"]:
+    for col in ["lg", "ld", "rn", "r", "dr", "pr", "cd", "rs", "ra", "rc", "fv", "lv", "lvf", "nt"]:
         _eq(got[col], exp[col])
 
 
@@ -119,12 +122,16 @@ def test_running_aggs_range_frame_ties_match_duckdb(ray_session, data):
         "SUM(v) OVER (PARTITION BY k ORDER BY t) AS rs, "
         "AVG(v) OVER (PARTITION BY k ORDER BY t) AS ra, "
         "COUNT(v) OVER (PARTITION BY k ORDER BY t) AS rc, "
-        "COUNT(*) OVER (PARTITION BY k ORDER BY t) AS rcs "
+        "COUNT(*) OVER (PARTITION BY k ORDER BY t) AS rcs, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rsf, "
+        "COUNT(*) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rcsf "
         "FROM x"
     )
     got = _run(tbl, sql)
     exp = _oracle(tbl, sql)
-    for col in ["rs", "ra", "rc", "rcs"]:
+    for col in ["rs", "ra", "rc", "rcs", "rsf", "rcsf"]:
         _eq(got[col], exp[col])
 
 
