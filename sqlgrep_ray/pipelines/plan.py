@@ -58,7 +58,8 @@ class WindowSpec:
     key: "str | tuple | None"  # PARTITION BY column(s); None = GLOBAL window
     order: str  # ORDER BY column
     offset: int = 1
-    frame: str = "range"  # running aggs: "range" (SQL default) | "rows"
+    frame: str = "range"  # "range" (SQL default) | "rows" | "full"
+    default: Any = None  # LAG/LEAD 3-arg: literal filled past the edge
 
 
 @dataclass(frozen=True)

@@ -388,6 +388,7 @@ def run_select(
                         WinFunc(
                             w.func, w.out_col,
                             value_col=w.value_col, param=w.offset,
+                            default=w.default,
                         )
                     )
                 elif w.func == "ntile":

@@ -654,6 +654,7 @@ class Parser:
                 if distinct or star:
                     raise SqlError(f"DISTINCT/* not valid in {fname}()")
                 offset = 1
+                default = None
                 if fname == "ntile":
                     if (
                         len(args) != 1
@@ -676,7 +677,7 @@ class Parser:
                             f"{fname}() needs a plain column argument"
                         )
                     value = args[0].name
-                    if len(args) == 2 and fname in ("lag", "lead"):
+                    if len(args) >= 2 and fname in ("lag", "lead"):
                         if not isinstance(args[1], Lit) or not isinstance(
                             args[1].value, int
                         ) or args[1].value < 1:
@@ -685,6 +686,18 @@ class Parser:
                                 "integer literal"
                             )
                         offset = int(args[1].value)
+                        if len(args) == 3:
+                            # LAG/LEAD(col, n, default): a literal fills
+                            # positions past the partition edge
+                            if not isinstance(args[2], Lit):
+                                raise SqlError(
+                                    f"{fname}() default must be a literal"
+                                )
+                            default = args[2].value
+                        elif len(args) > 3:
+                            raise SqlError(
+                                f"{fname}() takes (column[, offset[, default]])"
+                            )
                     elif len(args) > 1:
                         raise SqlError(f"{fname}() takes (column[, offset])")
                 self.expect_kw("over")
@@ -708,7 +721,9 @@ class Parser:
                         "and FIRST_VALUE/LAST_VALUE"
                     )
                 self.expect_op(")")
-                return WindowCall(fname, value, key, order, offset, frame)
+                return WindowCall(
+                    fname, value, key, order, offset, frame, default
+                )
             if fname in AGGREGATE_FUNCS:
                 if self.at_kw("over"):
                     # ENGINE EXTENSION: running aggregate over a partition
@@ -796,7 +811,8 @@ class WindowCall(Expr):
     key: str
     order: str
     offset: int = 1
-    frame: str = "range"  # running aggs only: "range" (default) | "rows"
+    frame: str = "range"  # "range" (default) | "rows" | "full"
+    default: Any = None  # LAG/LEAD 3-arg form: literal past the edge
 
 
 # ---------------------------------------------------------------------------
@@ -933,7 +949,7 @@ def convert_query(
                     specs.append(
                         WindowSpec(
                             out, wc.func, wc.value_col, wc.key, wc.order,
-                            wc.offset, wc.frame,
+                            wc.offset, wc.frame, wc.default,
                         )
                     )
                     e = _replace(e, wc, Col(out))

@@ -531,6 +531,7 @@ class WinFunc:
     value_col: "str | None" = None
     param: "int | None" = None
     frame: str = "range"
+    default: "object | None" = None  # LAG/LEAD: literal past the edge
 
 
 _WIN_FUNCS = frozenset(
@@ -676,8 +677,8 @@ def partition_windows(
         for f in funcs:
             if f.func in ("lag", "lead"):
                 off = f.param if f.func == "lag" else -f.param
-                take_idx = shift_cache.get(off)
-                if take_idx is None:
+                cached = shift_cache.get(off)
+                if cached is None:
                     idx = pos - off
                     valid = (idx >= 0) & (idx < n)
                     clipped = np.clip(idx, 0, n - 1)
@@ -686,11 +687,17 @@ def partition_windows(
                         s = _same_key(a.take(pa.array(clipped)), a)
                         same = s if same is None else pc.and_(same, s)
                     valid &= same.to_numpy(zero_copy_only=False).astype(bool)
-                    take_idx = pa.array(clipped, mask=~valid)
-                    shift_cache[off] = take_idx
-                out_cols.append(
-                    (f.out_col, g[f.value_col].combine_chunks().take(take_idx))
-                )
+                    cached = (pa.array(clipped, mask=~valid), valid)
+                    shift_cache[off] = cached
+                take_idx, valid = cached
+                out = g[f.value_col].combine_chunks().take(take_idx)
+                if f.default is not None:
+                    # 3-arg LAG/LEAD: the default literal fills ONLY the
+                    # past-the-edge positions — genuine NULL values stay
+                    out = pc.if_else(
+                        pa.array(valid), out, pa.scalar(f.default, out.type)
+                    )
+                out_cols.append((f.out_col, out))
             elif f.func == "row_number":
                 out_cols.append(
                     (f.out_col, pa.array(pos - first_of_key + 1))

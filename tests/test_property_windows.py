@@ -88,6 +88,7 @@ def test_windows_match_duckdb(ray_session, data):
         "SELECT k, o, "
         "LAG(v) OVER (PARTITION BY k ORDER BY o) AS lg, "
         "LEAD(v, 2) OVER (PARTITION BY k ORDER BY o) AS ld, "
+        "LAG(v, 1, -999) OVER (PARTITION BY k ORDER BY o) AS lgd, "
         "ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn, "
         "RANK() OVER (PARTITION BY k ORDER BY t) AS r, "
         "DENSE_RANK() OVER (PARTITION BY k ORDER BY t) AS dr, "
@@ -105,7 +106,7 @@ def test_windows_match_duckdb(ray_session, data):
     )
     got = _run(tbl, sql)
     exp = _oracle(tbl, sql)
-    for col in ["lg", "ld", "rn", "r", "dr", "pr", "cd", "rs", "ra", "rc", "fv", "lv", "lvf", "nt"]:
+    for col in ["lg", "ld", "lgd", "rn", "r", "dr", "pr", "cd", "rs", "ra", "rc", "fv", "lv", "lvf", "nt"]:
         _eq(got[col], exp[col])
 
 
