@@ -1834,6 +1834,34 @@ FROM events
 """
 
 
+def q_sql_qualify_dedup(sf_dir: str) -> Result:
+    """The canonical SQL dedup idiom through the dialect (round-4
+    extension): keep ONE row per key with ``QUALIFY ROW_NUMBER() OVER
+    (...) = 1`` — here each conversation's first turn. Identical OVER
+    calls in SELECT and QUALIFY dedupe to one shuffle; the filter runs
+    streaming on the hidden window column before projection."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, role, "
+        "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn "
+        "FROM t QUALIFY rn = 1"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_QUALIFY_DEDUP = f"""
+SELECT conv_id, turn_idx, role,
+       CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS BIGINT) AS rn
+FROM read_parquet('{_TR_GLOB}')
+QUALIFY rn = 1
+"""
+
+
 def q_running_sum_ranged(sf_dir: str) -> Result:
     """The chunk-safe two-phase running aggregate
     (stages/window.partition_running_ranged) with ``chunk_rows`` forced
@@ -2715,6 +2743,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_running_sum": q_sql_running_sum,
     "sql_running_rows": q_sql_running_rows,
     "running_sum_ranged": q_running_sum_ranged,
+    "sql_qualify_dedup": q_sql_qualify_dedup,
     "sql_global_window": q_sql_global_window,
     "sql_rank_ties": q_sql_rank_ties,
     "sql_ntile": q_sql_ntile,
@@ -2857,6 +2886,7 @@ ORACLES: dict[str, str] = {
     "sql_running_sum": SQL_SQL_RUNNING_SUM,
     "sql_running_rows": SQL_SQL_RUNNING_ROWS,
     "running_sum_ranged": SQL_RUNNING_SUM_RANGED,
+    "sql_qualify_dedup": SQL_SQL_QUALIFY_DEDUP,
     "sql_global_window": SQL_SQL_GLOBAL_WINDOW,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,

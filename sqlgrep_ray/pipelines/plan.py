@@ -78,6 +78,9 @@ class SelectPlan:
     order_by: tuple = ()
     # ENGINE EXTENSION: LAG/LEAD window stages (see WindowSpec)
     windows: tuple = ()
+    # ENGINE EXTENSION: QUALIFY — predicate over window outputs (and any
+    # input column), applied after the window stage, before projection
+    qualify: Optional[Expr] = None
 
 
 @dataclass(frozen=True)

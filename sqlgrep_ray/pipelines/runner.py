@@ -83,7 +83,8 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
         for p in plan.projections:
             walk(p.expr)
         walk(plan.where)
-        # window stages: the projections reference the HIDDEN output
+        walk(getattr(plan, "qualify", None))
+        # window stages: projections/QUALIFY reference the HIDDEN output
         # columns; the inputs are the window's value/partition/order cols
         for w in getattr(plan, "windows", ()):
             cols.discard(w.out_col)
@@ -424,6 +425,18 @@ def run_select(
                 keep_cols=None,  # SQL window semantics: the row survives
                 num_buckets=nb,
             )
+
+    qualify = getattr(plan, "qualify", None)
+    if qualify is not None:
+        # QUALIFY: filter on window outputs (hidden __win cols are live
+        # here), after the window stage, before projection — the
+        # ROW_NUMBER()=1 dedup idiom runs as one streaming filter
+        qpred = compile_predicate(qualify, ctx)
+        ds = ds.map_batches(
+            lambda t, _p=qpred: t.filter(_p(t)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     if plan.projections is not None:
         kernels = [(p.name, compile_expr(p.expr, ctx)) for p in plan.projections]

@@ -457,6 +457,11 @@ class Parser:
 
         having = self.parse_expr() if self.eat_kw("having") else None
 
+        # QUALIFY: engine extension — filter on window-function outputs
+        # (the ROW_NUMBER()=1 dedup idiom); applied after the window
+        # stage, before projection/DISTINCT/ORDER BY/LIMIT
+        qualify = self.parse_expr() if self.eat_kw("qualify") else None
+
         # ORDER BY: engine extension (the reference dialect has none,
         # SURVEY §2.7) — sort keys over the OUTPUT columns, NULLs first
         order_by: list[tuple] = []
@@ -480,7 +485,7 @@ class Parser:
 
         plan = convert_query(
             projections, where, group_by, having, distinct, limit,
-            order_by=tuple(order_by),
+            order_by=tuple(order_by), qualify=qualify,
         )
         return Query(
             plan=plan,
@@ -929,6 +934,7 @@ def convert_query(
     distinct: bool,
     limit: Optional[int],
     order_by: tuple = (),
+    qualify: Optional[Expr] = None,
 ) -> Plan:
     is_agg = bool(group_by) or (
         projections is not None and any(_contains_agg(e) for _, e in projections)
@@ -937,30 +943,54 @@ def convert_query(
         if where is not None and _find_windows(where):
             raise SqlError("window functions are not allowed in WHERE")
         specs: list[WindowSpec] = []
-        projs = None
-        if projections is not None:
-            rewritten: list[tuple[Optional[str], Expr, str]] = []
-            for i, (alias, e) in enumerate(projections):
-                # name resolved BEFORE the window rewrite so a bare
-                # LAG(...) projection defaults to p{i}, not the hidden col
-                name = alias or (e.name if isinstance(e, Col) else f"p{i}")
-                for wc in _find_windows(e):
+        spec_of: dict = {}  # identical OVER calls compute once
+
+        def lift(e: Expr) -> Expr:
+            for wc in _find_windows(e):
+                out = spec_of.get(wc)
+                if out is None:
                     out = f"__win{len(specs)}"
+                    spec_of[wc] = out
                     specs.append(
                         WindowSpec(
                             out, wc.func, wc.value_col, wc.key, wc.order,
                             wc.offset, wc.frame, wc.default,
                         )
                     )
-                    e = _replace(e, wc, Col(out))
+                e = _replace(e, wc, Col(out))
+            return e
+
+        projs = None
+        alias_expr: dict[str, Expr] = {}
+        if projections is not None:
+            rewritten: list[tuple[Optional[str], Expr, str]] = []
+            for i, (alias, e) in enumerate(projections):
+                # name resolved BEFORE the window rewrite so a bare
+                # LAG(...) projection defaults to p{i}, not the hidden col
+                name = alias or (e.name if isinstance(e, Col) else f"p{i}")
+                e = lift(e)
+                if alias:
+                    alias_expr[alias] = e
                 rewritten.append((alias, e, name))
             projs = tuple(Projection(n, e) for _, e, n in rewritten)
+        if qualify is not None:
+            qualify = lift(qualify)
+            # projection ALIASES are legal in QUALIFY (the `QUALIFY rn = 1`
+            # idiom); substitute them with their rewritten expressions
+            for alias, ae in alias_expr.items():
+                qualify = _replace(qualify, Col(alias), ae)
+            if not specs:
+                raise SqlError(
+                    "QUALIFY requires a window function in the query"
+                )
         return SelectPlan(
             projections=projs, where=where, distinct=distinct, limit=limit,
-            order_by=order_by, windows=tuple(specs),
+            order_by=order_by, windows=tuple(specs), qualify=qualify,
         )
 
     # aggregate statement
+    if qualify is not None:
+        raise SqlError("QUALIFY cannot be combined with aggregation")
     if projections is None:
         raise SqlError("SELECT * not allowed with GROUP BY / aggregates")
     if any(_find_windows(e) for _, e in projections) or (

@@ -504,3 +504,26 @@ def test_window_frame_clause_parse():
             "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
         )
+
+
+def test_qualify_parse_and_errors():
+    """QUALIFY: window required; invalid with aggregation; alias and
+    direct-call forms both lift into plan.qualify with spec dedup."""
+    q = parse_query(
+        "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn "
+        "FROM t QUALIFY rn = 1"
+    )
+    assert q.plan.qualify is not None
+    assert len(q.plan.windows) == 1  # SELECT + QUALIFY share one spec
+    q2 = parse_query(
+        "SELECT k, o FROM t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) <= 2"
+    )
+    assert q2.plan.qualify is not None and len(q2.plan.windows) == 1
+    with pytest.raises(SqlError):  # no window anywhere
+        parse_query("SELECT k FROM t QUALIFY k = 1")
+    with pytest.raises(SqlError):  # aggregation + qualify
+        parse_query(
+            "SELECT k, COUNT(*) FROM t GROUP BY k "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY k) = 1"
+        )
