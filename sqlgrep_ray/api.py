@@ -43,7 +43,14 @@ from sqlgrep_ray.pipelines.plan import (
 )
 from sqlgrep_ray.pipelines.runner import run_plan
 from sqlgrep_ray.schema import TableDef
-from sqlgrep_ray.sqlfront import Query, SqlError, parse, parse_query
+from sqlgrep_ray.sqlfront import (
+    Query,
+    SetQuery,
+    SqlError,
+    WithQuery,
+    parse,
+    parse_query,
+)
 from sqlgrep_ray.stages.parse import ParseTable
 
 Source = Union["ray.data.Dataset", str, list]
@@ -76,6 +83,162 @@ def _rewrite_cols(e: Expr, fn) -> Expr:
     if isinstance(e, Index):
         return Index(_rewrite_cols(e.operand, fn), _rewrite_cols(e.index, fn))
     return e
+
+
+def _rebind_plan(plan, bind_expr, join):
+    """Apply a column-binding rewrite to every expression slot of a
+    Select/Aggregate plan and attach the join spec (shared by the
+    TableDef-backed ``compile_query`` path and the dataset-bound
+    ``run_sql`` path)."""
+    if isinstance(plan, SelectPlan):
+        projs = plan.projections
+        if projs is not None:
+            projs = tuple(
+                Projection(p.name, bind_expr(p.expr)) for p in projs
+            )
+        return dataclasses.replace(
+            plan,
+            projections=projs,
+            where=bind_expr(plan.where),
+            qualify=bind_expr(plan.qualify),
+            join=join,
+        )
+    return dataclasses.replace(
+        plan,
+        group_by=tuple(
+            dataclasses.replace(k, expr=bind_expr(k.expr))
+            for k in plan.group_by
+        ),
+        aggs=tuple(
+            dataclasses.replace(a, arg=bind_expr(a.arg)) for a in plan.aggs
+        ),
+        where=bind_expr(plan.where),
+        having=bind_expr(plan.having),
+        join=join,
+    )
+
+
+def _materialize_right(rds: "ray.data.Dataset") -> pa.Table:
+    """Fully materialize a join side (reference semantics: the joined
+    table is 'loaded completely in memory', README.md:56 / join.rs:30-79).
+    Bounded by the same contract as ``Tables._build_join_side``."""
+    batches = list(rds.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches, promote_options="default")
+    sch = getattr(rds.schema(), "base_schema", None)
+    return sch.empty_table() if sch is not None else pa.table({})
+
+
+def _bind_dataset_query(
+    q: Query,
+    left_ds: "ray.data.Dataset",
+    resolve_join,
+):
+    """Bind a parsed Query whose FROM is an already-structured Dataset
+    (columns exist as-is; no TableDef parse stage). Strips own-table
+    qualification; join columns become ``<join_table>.<col>``; an
+    unqualified name found on the right but not the left resolves to the
+    qualified joined column (mirrors ``Tables.compile_query``)."""
+    join = None
+    prefix = ""
+    right_cols: list[str] = []
+    if q.join_table is not None:
+        right = _materialize_right(resolve_join(q.join_table))
+        prefix = f"{q.join_table}."
+        right_cols = right.column_names
+        join = JoinSpec(
+            right=right,
+            left_key=q.join_left_col,
+            right_key=q.join_right_col,
+            how="left" if q.join_how == "left" else "inner",
+            right_prefix=prefix,
+        )
+
+    left_names_cache: list = []
+
+    def left_names() -> list:
+        if not left_names_cache:
+            try:
+                sch = left_ds.schema()
+                left_names_cache.append(list(sch.names))
+            except Exception:
+                left_names_cache.append([])
+        return left_names_cache[0]
+
+    def bind(c: Col) -> Expr:
+        n = c.name
+        if "." in n:
+            t, col = n.split(".", 1)
+            if t == q.table:
+                return Col(col)
+            if q.join_table is not None and t == q.join_table:
+                return Col(prefix + col)
+            return c
+        if (
+            q.join_table is not None
+            and n in right_cols
+            and n not in left_names()
+        ):
+            return Col(prefix + n)
+        return c
+
+    def bind_expr(e: Optional[Expr]) -> Optional[Expr]:
+        return None if e is None else _rewrite_cols(e, bind)
+
+    return _rebind_plan(q.plan, bind_expr, join)
+
+
+def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
+    """Recursive executor for Query / SetQuery / WithQuery over bound
+    Datasets. ``env`` maps CTE (or caller-supplied table) names to
+    Datasets; ``default`` is the fallback for unknown FROM names (the
+    single-dataset convenience), or None to make them an error."""
+
+    def resolve(name: str) -> "ray.data.Dataset":
+        ds = env.get(name, default)
+        if ds is None:
+            raise SqlError(f"unknown table {name!r}")
+        return ds
+
+    if isinstance(stmt, WithQuery):
+        scope = dict(env)
+        for name, sub in stmt.ctes:
+            scope[name] = _run_sql_stmt(sub, scope, default)
+        return _run_sql_stmt(stmt.body, scope, default)
+    if isinstance(stmt, SetQuery):
+        parts = [_run_sql_stmt(m, env, default) for m in stmt.queries]
+        ds = parts[0].union(*parts[1:])
+        if stmt.order_by or stmt.limit is not None or not stmt.all:
+            ds = run_plan(
+                ds,
+                SelectPlan(
+                    distinct=not stmt.all,
+                    order_by=stmt.order_by,
+                    limit=stmt.limit,
+                ),
+            )
+        return ds
+    plan = _bind_dataset_query(stmt, resolve(stmt.table), resolve)
+    return run_plan(resolve(stmt.table), plan)
+
+
+def run_sql(
+    sql: str,
+    sources: "Union[ray.data.Dataset, dict]",
+) -> "ray.data.Dataset":
+    """Execute one SELECT / UNION / WITH statement over already-structured
+    Ray Datasets (ENGINE EXTENSION — the reference dialect has neither
+    CTEs nor set operations; this is the dataset-bound surface used when
+    the input is Parquet rather than raw text lines).
+
+    ``sources`` is either a dict mapping table names to Datasets, or a
+    single Dataset that every non-CTE FROM name resolves to. CTE names
+    shadow source names; plain ``UNION`` deduplicates; trailing ORDER BY
+    / LIMIT bind to the whole set."""
+    stmt = parse_query(sql)
+    if isinstance(sources, dict):
+        return _run_sql_stmt(stmt, dict(sources), None)
+    return _run_sql_stmt(stmt, {}, sources)
 
 
 class ReadLinesIterator:
@@ -234,6 +397,19 @@ class Tables:
         """Compile sql → (Query, bound plan builder). Returns a closure
         ``run(ds) -> Dataset`` plus the parse stage pre-applied."""
         q = parse_query(sql)
+        if not isinstance(q, Query):
+            raise SqlError(
+                "compile_query takes a single SELECT; "
+                "use execute_query for WITH / UNION statements"
+            )
+        return self._compile_parsed(q, join_source, text_col)
+
+    def _compile_parsed(
+        self,
+        q: Query,
+        join_source: Optional[Source] = None,
+        text_col: str = "text",
+    ):
         tdef = self[q.table]
         streamed_cols = [c.name for c in tdef.columns]
 
@@ -290,31 +466,10 @@ class Tables:
             for child in _children(e):
                 scan_input(child)
 
-        if isinstance(plan, SelectPlan):
-            projs = plan.projections
-            if projs is not None:
-                for p in projs:
-                    scan_input(p.expr)
-                projs = tuple(
-                    Projection(p.name, bind_expr(p.expr)) for p in projs
-                )
-            plan = dataclasses.replace(
-                plan, projections=projs, where=bind_expr(plan.where), join=join
-            )
-        else:
-            plan = dataclasses.replace(
-                plan,
-                group_by=tuple(
-                    dataclasses.replace(k, expr=bind_expr(k.expr))
-                    for k in plan.group_by
-                ),
-                aggs=tuple(
-                    dataclasses.replace(a, arg=bind_expr(a.arg)) for a in plan.aggs
-                ),
-                where=bind_expr(plan.where),
-                having=bind_expr(plan.having),
-                join=join,
-            )
+        if isinstance(plan, SelectPlan) and plan.projections is not None:
+            for p in plan.projections:
+                scan_input(p.expr)
+        plan = _rebind_plan(plan, bind_expr, join)
 
         def run(ds: "ray.data.Dataset") -> "ray.data.Dataset":
             parsed = self._parse_stage(ds, tdef, text_col, add_input=needs_input)
@@ -336,11 +491,83 @@ class Tables:
         text_col: str = "text",
     ) -> "ray.data.Dataset":
         """SQL → lazy Ray Data pipeline over the raw-text source."""
-        q, run = self.compile_query(sql, source, join_source, text_col)
+        stmt = parse_query(sql)
+        if not isinstance(stmt, Query):
+            return self._execute_multi(stmt, source, join_source, text_col)
+        q, run = self._compile_parsed(stmt, join_source, text_col)
         src = q.file if q.file is not None else source
         if src is None:
             raise SqlError("no input source (pass source= or use FROM t::'file')")
         return run(self._as_dataset(src, text_col))
+
+    def _execute_multi(
+        self,
+        stmt: Union[SetQuery, WithQuery],
+        source: Optional[Source],
+        join_source: Optional[Source],
+        text_col: str,
+    ) -> "ray.data.Dataset":
+        """WITH / UNION over the raw-text surface. A member whose FROM
+        names a defined table gets the usual parse stage; a member whose
+        FROM names an earlier CTE runs its plan directly over that CTE's
+        (already structured) Dataset. A join side resolves to a CTE first,
+        then to a defined table (materialized via the parse stage)."""
+        env: dict[str, "ray.data.Dataset"] = {}
+
+        def resolve_join(name: str) -> "ray.data.Dataset":
+            if name in env:
+                return env[name]
+            jdef = self[name]
+            src = join_source if join_source is not None else source
+            if src is None:
+                raise SqlError(f"no source for joined table {name!r}")
+            return self._parse_stage(
+                self._as_dataset(src, text_col), jdef, text_col, add_input=False
+            )
+
+        def run_member(m) -> "ray.data.Dataset":
+            if isinstance(m, SetQuery):
+                parts = [run_member(x) for x in m.queries]
+                ds = parts[0].union(*parts[1:])
+                if m.order_by or m.limit is not None or not m.all:
+                    ds = run_plan(
+                        ds,
+                        SelectPlan(
+                            distinct=not m.all,
+                            order_by=m.order_by,
+                            limit=m.limit,
+                        ),
+                    )
+                return ds
+            if m.table in env:
+                plan = _bind_dataset_query(m, env[m.table], resolve_join)
+                return run_plan(env[m.table], plan)
+            if m.join_table is not None and m.join_table in env:
+                # TableDef FROM joined against a CTE: bind by hand
+                tdef = self[m.table]
+                src = m.file if m.file is not None else source
+                if src is None:
+                    raise SqlError(
+                        "no input source (pass source= or use FROM t::'file')"
+                    )
+                parsed = self._parse_stage(
+                    self._as_dataset(src, text_col), tdef, text_col, False
+                )
+                plan = _bind_dataset_query(m, parsed, resolve_join)
+                return run_plan(parsed, plan)
+            _, run = self._compile_parsed(m, join_source, text_col)
+            src = m.file if m.file is not None else source
+            if src is None:
+                raise SqlError(
+                    "no input source (pass source= or use FROM t::'file')"
+                )
+            return run(self._as_dataset(src, text_col))
+
+        if isinstance(stmt, WithQuery):
+            for name, sub in stmt.ctes:
+                env[name] = run_member(sub)
+            return run_member(stmt.body)
+        return run_member(stmt)
 
     def execute_query_rows(
         self,

@@ -1862,6 +1862,72 @@ QUALIFY rn = 1
 """
 
 
+def q_sql_union_chars(sf_dir: str) -> Result:
+    """UNION ALL through the SQL dialect (round-4 extension: set
+    operations — the reference dialect has none). Two filtered selects
+    over documents concatenate block-wise (Ray's zero-shuffle union);
+    the trailing ORDER BY / LIMIT bind to the whole set and run as the
+    usual bounded top-n."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT lang, n_chars FROM docs WHERE n_chars < 120 "
+        "UNION ALL "
+        "SELECT lang, n_chars FROM docs WHERE n_chars > 3500 "
+        "ORDER BY n_chars, lang LIMIT 500",
+        {"docs": _t(sf_dir, "documents", ["lang", "n_chars"])},
+    )
+
+
+SQL_SQL_UNION_CHARS = """
+SELECT lang, n_chars FROM documents WHERE n_chars < 120
+UNION ALL
+SELECT lang, n_chars FROM documents WHERE n_chars > 3500
+ORDER BY n_chars, lang LIMIT 500
+"""
+
+
+def q_sql_cte_quality(sf_dir: str) -> Result:
+    """CTE chain through the SQL dialect (round-4 extension: WITH — the
+    reference dialect has none): an aggregate CTE feeds a second CTE's
+    filter, the body re-aggregates, and a plain UNION (distinct) folds
+    in a second branch. Exercises CTE→CTE chaining, aggregate-over-CTE,
+    and set-level dedup in one driver-checked query."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "WITH per_src AS (SELECT source, lang, COUNT(*) AS n, "
+        "AVG(n_chars) AS avg_chars FROM docs GROUP BY source, lang), "
+        "big AS (SELECT source, lang, n FROM per_src WHERE n >= 5) "
+        "SELECT source, COUNT(*) AS n_langs, SUM(n) AS n_docs FROM big "
+        "GROUP BY source "
+        "UNION "
+        "SELECT source, COUNT(*) AS n_langs, SUM(n) AS n_docs FROM big "
+        "GROUP BY source "
+        "ORDER BY source",
+        {"docs": _t(sf_dir, "documents", ["source", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_CTE_QUALITY = """
+WITH per_src AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(n_chars) AS avg_chars
+  FROM documents GROUP BY source, lang
+), big AS (
+  SELECT source, lang, n FROM per_src WHERE n >= 5
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM big GROUP BY source
+UNION
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM big GROUP BY source
+ORDER BY source
+"""
+
+
 def q_running_sum_ranged(sf_dir: str) -> Result:
     """The chunk-safe two-phase running aggregate
     (stages/window.partition_running_ranged) with ``chunk_rows`` forced
@@ -2733,6 +2799,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     # FIRST 50 entries, so never-driver-checked queries lead, then the
     # ones last checked before round 3, then a rotation of recent greens.
     # -- never driver-checked (through r3) --
+    "sql_union_chars": q_sql_union_chars,
+    "sql_cte_quality": q_sql_cte_quality,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -2836,6 +2904,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sql_union_chars": SQL_SQL_UNION_CHARS,
+    "sql_cte_quality": SQL_SQL_CTE_QUALITY,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -235,7 +235,10 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     unordered blocks — result SET equality is the contract)."""
     from ray.data.aggregate import Count
 
-    cols = ds.schema().names
+    schema = ds.schema(fetch_if_missing=True)
+    if schema is None:  # zero-block input: nothing to dedup
+        return ds
+    cols = schema.names
     enc, res = _encode_keys(cols), _restore_keys(cols)
 
     # per-block pre-dedup (combiner) then ONE vectorized hash-aggregate

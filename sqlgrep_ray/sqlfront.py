@@ -152,7 +152,37 @@ class Query:
     join_how: Optional[str] = None  # inner | left
 
 
-Statement = Union[TableDef, Query]
+@dataclass
+class SetQuery:
+    """``SELECT … UNION [ALL] SELECT … [ORDER BY …] [LIMIT n]``.
+
+    ENGINE EXTENSION — the reference dialect has no set operations
+    (parser.rs has no UNION token). Members are plain :class:`Query`
+    statements whose plans carry no ORDER BY/LIMIT of their own; the
+    trailing ORDER BY / LIMIT bind to the whole set, and plain UNION
+    (``all=False``) deduplicates the concatenated rows. Members must
+    produce identical column names (union is by name, not position —
+    no positional coercion)."""
+
+    queries: tuple  # of Query
+    all: bool = True
+    order_by: tuple = ()
+    limit: Optional[int] = None
+
+
+@dataclass
+class WithQuery:
+    """``WITH name AS (query) [, …] body`` — ENGINE EXTENSION.
+
+    Each CTE is a :class:`Query` or :class:`SetQuery`; later CTEs and
+    the body may name earlier CTEs in FROM (no recursion, no nested
+    WITH)."""
+
+    ctes: tuple  # of (name, Query | SetQuery)
+    body: Union[Query, SetQuery]
+
+
+Statement = Union[TableDef, Query, SetQuery, WithQuery]
 
 _PRECEDENCE = {
     "or": 1, "and": 2,
@@ -243,10 +273,12 @@ class Parser:
         while self.peek() is not None:
             if self.at_kw("create"):
                 out.append(self.parse_create_table())
-            elif self.at_kw("select"):
+            elif self.at_kw("select", "with"):
                 out.append(self.parse_query())
             else:
-                raise SqlError(f"expected CREATE or SELECT at {self.peek()}")
+                raise SqlError(
+                    f"expected CREATE, SELECT or WITH at {self.peek()}"
+                )
             self.eat_op(";")
         return out
 
@@ -396,7 +428,83 @@ class Parser:
 
     # -- SELECT ------------------------------------------------------------
 
-    def parse_query(self) -> Query:
+    def parse_query(self) -> Union[Query, "SetQuery", "WithQuery"]:
+        """Entry point for one query statement: WITH / SELECT / UNION."""
+        if self.at_kw("with"):
+            return self.parse_with_query()
+        return self.parse_set_query()
+
+    def parse_with_query(self) -> "WithQuery":
+        self.expect_kw("with")
+        ctes: list[tuple[str, Union[Query, SetQuery]]] = []
+        seen: set[str] = set()
+        while True:
+            name = self.expect_ident()
+            if name in seen:
+                raise SqlError(f"duplicate CTE name {name!r}")
+            seen.add(name)
+            self.expect_kw("as")
+            self.expect_op("(")
+            q = self.parse_set_query()  # nested WITH not supported
+            self.expect_op(")")
+            ctes.append((name, q))
+            if not self.eat_op(","):
+                break
+        body = self.parse_set_query()
+        return WithQuery(tuple(ctes), body)
+
+    def parse_set_query(self) -> Union[Query, "SetQuery"]:
+        parts = [self._parse_select_parts()]
+        set_all: Optional[bool] = None
+        while self.at_kw("union"):
+            self.expect_kw("union")
+            is_all = self.eat_kw("all")
+            if set_all is None:
+                set_all = is_all
+            elif set_all != is_all:
+                # mixed UNION / UNION ALL is left-associative in standard
+                # SQL and not expressible as one final distinct — reject
+                raise SqlError("mixing UNION and UNION ALL is not supported")
+            parts.append(self._parse_select_parts())
+        if len(parts) == 1:
+            return self._build_query(parts[0])
+        # the greedy member parse consumed any trailing ORDER BY / LIMIT
+        # into the LAST member; in a set query they bind to the whole set
+        for p in parts[:-1]:
+            if p["order_by"] or p["limit"] is not None:
+                raise SqlError(
+                    "ORDER BY / LIMIT are only allowed after the last "
+                    "UNION member (they apply to the whole set)"
+                )
+        tail_order = tuple(parts[-1]["order_by"])
+        tail_limit = parts[-1]["limit"]
+        parts[-1]["order_by"] = []
+        parts[-1]["limit"] = None
+        return SetQuery(
+            tuple(self._build_query(p) for p in parts),
+            all=bool(set_all),
+            order_by=tail_order,
+            limit=tail_limit,
+        )
+
+    def _build_query(self, parts: dict) -> Query:
+        plan = convert_query(
+            parts["projections"], parts["where"], parts["group_by"],
+            parts["having"], parts["distinct"], parts["limit"],
+            order_by=tuple(parts["order_by"]), qualify=parts["qualify"],
+        )
+        return Query(
+            plan=plan,
+            table=parts["table"],
+            file=parts["file"],
+            join_table=parts["join_table"],
+            join_file=parts["join_file"],
+            join_left_col=parts["join_left"],
+            join_right_col=parts["join_right"],
+            join_how=parts["join_how"],
+        )
+
+    def _parse_select_parts(self) -> dict:
         self.expect_kw("select")
         distinct = self.eat_kw("distinct")
         projections: Optional[list[tuple[Optional[str], Expr]]] = None
@@ -483,20 +591,14 @@ class Parser:
                 raise SqlError(f"expected integer LIMIT, got {t}")
             limit = int(t.value)
 
-        plan = convert_query(
-            projections, where, group_by, having, distinct, limit,
-            order_by=tuple(order_by), qualify=qualify,
-        )
-        return Query(
-            plan=plan,
-            table=table,
-            file=file,
-            join_table=join_table,
-            join_file=join_file,
-            join_left_col=join_left,
-            join_right_col=join_right,
-            join_how=join_how,
-        )
+        return {
+            "projections": projections, "where": where,
+            "group_by": group_by, "having": having, "distinct": distinct,
+            "limit": limit, "order_by": order_by, "qualify": qualify,
+            "table": table, "file": file, "join_table": join_table,
+            "join_file": join_file, "join_left": join_left,
+            "join_right": join_right, "join_how": join_how,
+        }
 
     def _parse_qualified(self) -> tuple[Optional[str], str]:
         a = self.expect_ident()
@@ -1088,9 +1190,9 @@ def parse(text: str) -> list[Statement]:
     return Parser(text).parse_statements()
 
 
-def parse_query(text: str) -> Query:
+def parse_query(text: str) -> Union[Query, SetQuery, WithQuery]:
     stmts = parse(text)
-    qs = [s for s in stmts if isinstance(s, Query)]
+    qs = [s for s in stmts if isinstance(s, (Query, SetQuery, WithQuery))]
     if len(qs) != 1:
         raise SqlError(f"expected exactly one query, got {len(qs)}")
     return qs[0]

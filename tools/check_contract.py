@@ -35,7 +35,8 @@ def to_df(res) -> pd.DataFrame:
         if df.empty and len(df.columns) == 0:
             # Ray to_pandas drops columns for empty datasets; rebuild from
             # the (known) schema so empty results keep their shape
-            df = pd.DataFrame(columns=res.schema().names)
+            sch = res.schema(fetch_if_missing=True)
+            df = pd.DataFrame(columns=sch.names if sch is not None else [])
         return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
