@@ -2163,6 +2163,60 @@ _SQL_GRAM8 = (
 )
 
 
+def q_bloom_semi_orders(sf_dir: str) -> Result:
+    """Bloom-accelerated EXACT semi-join (round-4 addition,
+    stages/bloom): orders whose customer has a high balance. The key
+    side compiles to a fixed-size bitmap broadcast once; corpus batches
+    probe it vectorized and only bloom hits pay the exact verify — the
+    100-TB decontamination/blocklist pattern. Result is exact (bloom
+    only prunes), so it hash-matches DuckDB's IN-subquery."""
+    from sqlgrep_ray.stages.bloom import bloom_semi_join
+
+    return bloom_semi_join(
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+            expr="c_acctbal > 9000"
+        ),
+        "o_custkey",
+        "c_custkey",
+        keep=True,
+    )
+
+
+SQL_BLOOM_SEMI_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+def q_bloom_anti_orders(sf_dir: str) -> Result:
+    """The anti direction (decontamination proper: drop corpus rows whose
+    key appears in the blocklist), forced through the DISTRIBUTED verify
+    (broadcast_max=0): bloom candidates hash-partition against the key
+    set, verified hits anti-join back against the corpus — no driver
+    state, no broadcast of the exact key set. o_custkey is NOT NULL so
+    SQL's NOT-IN null quirk doesn't apply."""
+    from sqlgrep_ray.stages.bloom import bloom_semi_join
+
+    return bloom_semi_join(
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+            expr="c_acctbal > 9000"
+        ),
+        "o_custkey",
+        "c_custkey",
+        keep=False,
+        broadcast_max=0,
+        num_partitions=16,
+    )
+
+
+SQL_BLOOM_ANTI_ORDERS = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
 def q_decontam_docs(sf_dir: str) -> Result:
     """Test-set decontamination (stages/decontam.py): benchmark = the texts
     of doc_id < 40, corpus = all documents; any doc sharing a lowercased
@@ -2801,6 +2855,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     # -- never driver-checked (through r3) --
     "sql_union_chars": q_sql_union_chars,
     "sql_cte_quality": q_sql_cte_quality,
+    "bloom_semi_orders": q_bloom_semi_orders,
+    "bloom_anti_orders": q_bloom_anti_orders,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -2906,6 +2962,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
 ORACLES: dict[str, str] = {
     "sql_union_chars": SQL_SQL_UNION_CHARS,
     "sql_cte_quality": SQL_SQL_CTE_QUALITY,
+    "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
+    "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

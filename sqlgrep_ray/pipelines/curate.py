@@ -65,42 +65,87 @@ def _semi_filter(
     )
 
 
-def _anti_join(
+def _membership_join(
     left: "ray.data.Dataset",
     right_ids: "ray.data.Dataset",
     id_col: str,
     num_partitions: int,
+    keep_matched: bool = False,
+    key_type: "pa.DataType | None" = None,
 ) -> "ray.data.Dataset":
-    """left rows whose ``id_col`` does NOT appear in ``right_ids`` —
-    left-outer join against the deduped id set + null-marker filter (both
-    sides hash-partition on the id; no driver state)."""
+    """left rows whose ``id_col`` does (``keep_matched=True``, semi-join)
+    or does not (anti-join) appear in ``right_ids`` — left-outer join
+    against the deduped id set + null-marker filter (both sides
+    hash-partition on the id; no driver state).
+
+    ``key_type``: pass the id's Arrow type when ``right_ids`` derives
+    from a prior shuffle/join output — those emit schema-less EMPTY
+    blocks that pyarrow's partition join rejects ("no match for key
+    field on right side"); knowing the type lets every block be
+    normalized to the exact (id, __nd) schema first."""
     from ray.data.aggregate import Max
 
+    def mark(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or (key_type is not None and id_col not in t.column_names):
+            if key_type is None:
+                raise ValueError(
+                    f"schema-less block in membership join on {id_col!r}; "
+                    "pass key_type when the id side derives from a shuffle"
+                )
+            ids = pa.array([], key_type)
+        else:
+            ids = t[id_col]
+            if key_type is not None:
+                ids = pc.cast(ids, key_type)
+        return pa.table(
+            {id_col: ids, "__nd": pa.array([1] * len(ids), pa.int8())}
+        )
+
     marked = right_ids.map_batches(
-        lambda t: pa.table(
-            {
-                id_col: t[id_col],
-                "__nd": pa.array([1] * t.num_rows, pa.int8()),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        mark, batch_format="pyarrow", zero_copy_batch=True
     )
     # dedup the right side: duplicate keys in a join's build side would
     # fan out left rows
     marked = marked.groupby(id_col).aggregate(
         Max("__nd", alias_name="__nd", ignore_nulls=True)
     )
+    if key_type is not None:
+        # the groupby shuffle can also emit schema-less empty blocks
+        target = pa.schema([(id_col, key_type), ("__nd", pa.int8())])
+
+        def normalize(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return target.empty_table()
+            return t.select([id_col, "__nd"]).cast(target)
+
+        marked = marked.map_batches(
+            normalize, batch_format="pyarrow", zero_copy_batch=True
+        )
     joined = left.join(
         marked, join_type="left_outer", on=(id_col,), num_partitions=num_partitions
     )
 
-    def keep_unmatched(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_null(t["__nd"])).drop_columns(["__nd"])
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        mask = pc.is_null(t["__nd"])
+        if keep_matched:
+            mask = pc.invert(mask)
+        return t.filter(mask).drop_columns(["__nd"])
 
     return joined.map_batches(
-        keep_unmatched, batch_format="pyarrow", zero_copy_batch=True
+        finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _anti_join(
+    left: "ray.data.Dataset",
+    right_ids: "ray.data.Dataset",
+    id_col: str,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """left rows whose ``id_col`` does NOT appear in ``right_ids``."""
+    return _membership_join(left, right_ids, id_col, num_partitions)
 
 
 def curate(
