@@ -2117,6 +2117,32 @@ WHERE (d.lang = 'en' AND (d.doc_id * 2654435761) % 4294967296
 """
 
 
+def q_cms_event_counts(sf_dir: str) -> Result:
+    """Count-Min sketch point frequencies (round-4 addition,
+    stages/sketch.count_min_counts) in its SPARSE-EXACT regime: ≤
+    width/2 distinct event types keeps every partial an exact
+    (hash, count) table, so the answer is deterministic and hash-exact
+    vs plain GROUP BY counts — the same exact-regime trick the HLL++
+    and KLL oracles use. One streaming pass, no shuffle, bounded
+    partials."""
+    from sqlgrep_ray.stages.sketch import count_min_counts
+
+    return count_min_counts(
+        _t(sf_dir, "events", ["event_type"]),
+        "event_type",
+        ["click", "error", "purchase", "signup", "view", "absent"],
+    )
+
+
+SQL_CMS_EVENT_COUNTS = """
+SELECT v.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'),
+             ('absent')) AS v(event_type)
+LEFT JOIN (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+       AS c USING (event_type)
+"""
+
+
 def q_kll_quantiles(sf_dir: str) -> Result:
     """KLL quantile sketch in its EXACT regime (n=2000 part rows < k=4096,
     no compaction ever fires): reproduces the engine's truncation-index
@@ -2857,6 +2883,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_cte_quality": q_sql_cte_quality,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
+    "cms_event_counts": q_cms_event_counts,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -2964,6 +2991,7 @@ ORACLES: dict[str, str] = {
     "sql_cte_quality": SQL_SQL_CTE_QUALITY,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
+    "cms_event_counts": SQL_CMS_EVENT_COUNTS,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -503,6 +503,144 @@ def approx_quantiles(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable point-frequency summary (Cormode &
+# Muthukrishnan 2005), with an HLL++-style SPARSE-EXACT regime: while a
+# partial holds ≤ ``width//2`` distinct hashed values it stays an exact
+# (hash, count) table, and partials convert losslessly to the dense
+# depth×width counter matrix only on overflow. Small-cardinality answers
+# are therefore EXACT and deterministic (same trick as
+# ``approx_count_distinct``'s sparse mode), which is what makes the
+# driver oracle possible; at scale the dense matrix bounds every partial
+# at depth×width×8 bytes regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _cms_hash2(col) -> tuple[np.ndarray, np.ndarray]:
+    from sqlgrep_ray.stages.bloom import _hash2
+
+    return _hash2(col)
+
+
+def _cms_rows(h1: np.ndarray, h2: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices via Kirsch-Mitzenmacher double hashing."""
+    w = np.uint64(width)
+    return np.stack(
+        [((h1 + np.uint64(i) * h2) % w).astype(np.int64) for i in range(depth)]
+    )
+
+
+def count_min_counts(
+    ds: "ray.data.Dataset",
+    col: str,
+    items: list,
+    width: int = 8192,
+    depth: int = 4,
+    merge_batch: int = 256,
+) -> pa.Table:
+    """Estimated frequency of each of ``items`` among the non-null values
+    of ``col``: exact in the sparse regime, else the CMS upper-bound
+    estimate (≥ true count; ≤ true + εN w.h.p., ε = e/width).
+
+    Returns a pa.Table ``(col, n)`` in the order of ``items`` (absent
+    items count 0). Build is one streaming pass: per-block value_counts →
+    sparse partials → size-capped merges; no shuffle, driver receives one
+    bounded row."""
+    sparse_max = width // 2
+
+    def _sparse(h: np.ndarray, c: np.ndarray) -> pa.Table:
+        return pa.table(
+            {"flag": pa.array([0], pa.int8()),
+             "payload": pa.array([h.tobytes() + c.tobytes()], pa.binary())}
+        )
+
+    def _dense(cms: np.ndarray) -> pa.Table:
+        return pa.table(
+            {"flag": pa.array([1], pa.int8()),
+             "payload": pa.array([cms.tobytes()], pa.binary())}
+        )
+
+    def _to_dense(h: np.ndarray, c: np.ndarray) -> np.ndarray:
+        cms = np.zeros((depth, width), dtype=np.uint64)
+        if len(h):
+            rows = _cms_rows(h, np.bitwise_or(h >> np.uint64(32), np.uint64(1)), depth, width)
+            for i in range(depth):
+                np.add.at(cms[i], rows[i], c)
+        return cms
+
+    def block(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(c.drop_null())
+        vals, counts = vc.field("values"), vc.field("counts")
+        h1, _ = _cms_hash2(vals)
+        counts_np = counts.to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(h1)
+        h1, counts_np = h1[order], counts_np[order]
+        if len(h1) <= sparse_max:
+            return _sparse(h1, counts_np)
+        return _dense(_to_dense(h1, counts_np))
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _sparse(np.empty(0, np.uint64), np.empty(0, np.uint64))
+        flags = t["flag"].to_pylist()
+        pls = t["payload"].to_pylist()
+        hs, cs, dense = [], [], None
+        for f, b in zip(flags, pls):
+            if f == 0:
+                n = len(b) // 16
+                hs.append(np.frombuffer(b[: n * 8], np.uint64))
+                cs.append(np.frombuffer(b[n * 8:], np.uint64))
+            else:
+                d = np.frombuffer(b, np.uint64).reshape(depth, width)
+                dense = d.copy() if dense is None else dense + d
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        c = np.concatenate(cs) if cs else np.empty(0, np.uint64)
+        if len(h):
+            u, inv = np.unique(h, return_inverse=True)
+            uc = np.zeros(len(u), np.uint64)
+            np.add.at(uc, inv, c)
+            h, c = u, uc
+        if dense is None and len(h) <= sparse_max:
+            return _sparse(h, c)
+        summed = _to_dense(h, c)
+        if dense is not None:
+            summed += dense
+        return _dense(summed)
+
+    partials = (
+        ds.select_columns([col])
+        .map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(merge, batch_format="pyarrow", batch_size=merge_batch)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+    rows = partials.take_all()
+    q = pa.array(items)
+    qh, _ = _cms_hash2(q)
+    if not rows:
+        est = np.zeros(len(items), np.int64)
+    elif rows[0]["flag"] == 0:
+        b = rows[0]["payload"]
+        n = len(b) // 16
+        if n == 0:
+            est = np.zeros(len(items), np.int64)
+        else:
+            h = np.frombuffer(b[: n * 8], np.uint64)
+            c = np.frombuffer(b[n * 8:], np.uint64)
+            pos = np.minimum(np.searchsorted(h, qh), n - 1)
+            est = np.where(h[pos] == qh, c[pos], 0).astype(np.int64)
+    else:
+        cms = np.frombuffer(rows[0]["payload"], np.uint64).reshape(depth, width)
+        rows_idx = _cms_rows(qh, np.bitwise_or(qh >> np.uint64(32), np.uint64(1)), depth, width)
+        est = np.min(
+            np.stack([cms[i][rows_idx[i]] for i in range(depth)]), axis=0
+        ).astype(np.int64)
+    return pa.table({col: q, "n": pa.array(est, pa.int64())})
+
+
 def heavy_tokens(
     ds: "ray.data.Dataset",
     k: int = 256,

@@ -491,3 +491,44 @@ def test_grouped_approx_distinct_nulls_empty(ray_session):
         pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
     )
     assert grouped_approx_distinct(empty, "k", "v").count() == 0
+
+
+def test_count_min_sparse_exact(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import count_min_counts
+
+    vals = ["a"] * 10 + ["b"] * 3 + ["c"] * 7 + [None] * 2
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(4)
+    t = count_min_counts(ds, "v", ["a", "b", "c", "zz"])
+    assert t["n"].to_pylist() == [10, 3, 7, 0]
+    assert t["v"].to_pylist() == ["a", "b", "c", "zz"]
+
+
+def test_count_min_dense_upper_bound(ray_session):
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import count_min_counts
+
+    rng = np.random.default_rng(7)
+    vals = (rng.zipf(1.3, 100_000) % 5000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    # width 512 << 5000 distinct: dense regime, CMS one-sided guarantee
+    items = [0, 1, 2, 3, 4, 4999]
+    t = count_min_counts(ds, "v", items, width=512, depth=4)
+    true = {q: int((vals == q).sum()) for q in items}
+    eps_n = (np.e / 512) * len(vals)
+    for q, est in zip(items, t["n"].to_pylist()):
+        assert est >= true[q]  # never undercounts
+        assert est <= true[q] + 4 * eps_n  # loose wpp bound, deterministic seed
+
+
+def test_count_min_empty_and_single_block(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import count_min_counts
+
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    t = count_min_counts(empty, "v", ["x"])
+    assert t["n"].to_pylist() == [0]
