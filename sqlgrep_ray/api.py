@@ -188,6 +188,40 @@ def _bind_dataset_query(
     return _rebind_plan(q.plan, bind_expr, join)
 
 
+def _single_out_col(keys: "ray.data.Dataset") -> str:
+    """The one projected column of an IN-subquery's result."""
+    sch = keys.schema(fetch_if_missing=True)
+    names = list(sch.names) if sch is not None else []
+    if len(names) != 1:
+        raise SqlError(
+            f"IN (SELECT …) subquery must project exactly one column, "
+            f"got {names!r}"
+        )
+    return names[0]
+
+
+def _apply_in_subqueries(
+    ds: "ray.data.Dataset",
+    q: Query,
+    run_sub,
+) -> "ray.data.Dataset":
+    """Execute each lifted ``col [NOT] IN (SELECT …)`` as an exact
+    bloom-accelerated semi/anti-join against the subquery's key column
+    (``run_sub(stmt) -> Dataset`` evaluates the subquery). Applied to the
+    FROM stream before the plan's own WHERE/aggregation."""
+    from sqlgrep_ray.stages.bloom import bloom_semi_join
+
+    for col_name, sub, negated in q.in_subqueries:
+        if "." in col_name:
+            tab, col = col_name.split(".", 1)
+            col_name = col if tab == q.table else col_name
+        keys = run_sub(sub)
+        ds = bloom_semi_join(
+            ds, keys, col_name, _single_out_col(keys), keep=not negated
+        )
+    return ds
+
+
 def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
     """Recursive executor for Query / SetQuery / WithQuery over bound
     Datasets. ``env`` maps CTE (or caller-supplied table) names to
@@ -218,8 +252,13 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
                 ),
             )
         return ds
-    plan = _bind_dataset_query(stmt, resolve(stmt.table), resolve)
-    return run_plan(resolve(stmt.table), plan)
+    src = resolve(stmt.table)
+    if stmt.in_subqueries:
+        src = _apply_in_subqueries(
+            src, stmt, lambda s: _run_sql_stmt(s, env, default)
+        )
+    plan = _bind_dataset_query(stmt, src, resolve)
+    return run_plan(src, plan)
 
 
 def run_sql(
@@ -397,10 +436,10 @@ class Tables:
         """Compile sql → (Query, bound plan builder). Returns a closure
         ``run(ds) -> Dataset`` plus the parse stage pre-applied."""
         q = parse_query(sql)
-        if not isinstance(q, Query):
+        if not isinstance(q, Query) or q.in_subqueries:
             raise SqlError(
-                "compile_query takes a single SELECT; "
-                "use execute_query for WITH / UNION statements"
+                "compile_query takes a single SELECT without subqueries; "
+                "use execute_query for WITH / UNION / IN (SELECT …)"
             )
         return self._compile_parsed(q, join_source, text_col)
 
@@ -492,7 +531,7 @@ class Tables:
     ) -> "ray.data.Dataset":
         """SQL → lazy Ray Data pipeline over the raw-text source."""
         stmt = parse_query(sql)
-        if not isinstance(stmt, Query):
+        if not isinstance(stmt, Query) or stmt.in_subqueries:
             return self._execute_multi(stmt, source, join_source, text_col)
         q, run = self._compile_parsed(stmt, join_source, text_col)
         src = q.file if q.file is not None else source
@@ -540,10 +579,16 @@ class Tables:
                     )
                 return ds
             if m.table in env:
-                plan = _bind_dataset_query(m, env[m.table], resolve_join)
-                return run_plan(env[m.table], plan)
-            if m.join_table is not None and m.join_table in env:
-                # TableDef FROM joined against a CTE: bind by hand
+                parsed = env[m.table]
+                if m.in_subqueries:
+                    parsed = _apply_in_subqueries(parsed, m, run_member)
+                plan = _bind_dataset_query(m, parsed, resolve_join)
+                return run_plan(parsed, plan)
+            if m.in_subqueries or (
+                m.join_table is not None and m.join_table in env
+            ):
+                # the FROM stream needs pre-plan stages (subquery
+                # semi-joins and/or a CTE join side): bind by hand
                 tdef = self[m.table]
                 src = m.file if m.file is not None else source
                 if src is None:
@@ -553,6 +598,8 @@ class Tables:
                 parsed = self._parse_stage(
                     self._as_dataset(src, text_col), tdef, text_col, False
                 )
+                if m.in_subqueries:
+                    parsed = _apply_in_subqueries(parsed, m, run_member)
                 plan = _bind_dataset_query(m, parsed, resolve_join)
                 return run_plan(parsed, plan)
             _, run = self._compile_parsed(m, join_source, text_col)

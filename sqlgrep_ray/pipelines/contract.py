@@ -1928,6 +1928,34 @@ ORDER BY source
 """
 
 
+def q_sql_in_subquery(sf_dir: str) -> Result:
+    """``IN (SELECT …)`` through the SQL dialect (round-4 extension):
+    the parser lifts the top-level WHERE conjunct into
+    ``Query.in_subqueries`` and execution runs it as the exact
+    bloom-accelerated semi-join (stages/bloom) against the subquery's
+    key column — identical SQL runs on DuckDB as the oracle."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000 AND o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 7000)",
+        {
+            "orders": _t(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+            ),
+            "customer": _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        },
+    )
+
+
+SQL_SQL_IN_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > 100000 AND o_custkey IN
+(SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+"""
+
+
 def q_running_sum_ranged(sf_dir: str) -> Result:
     """The chunk-safe two-phase running aggregate
     (stages/window.partition_running_ranged) with ``chunk_rows`` forced
@@ -2884,6 +2912,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
+    "sql_in_subquery": q_sql_in_subquery,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -2992,6 +3021,7 @@ ORACLES: dict[str, str] = {
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,
+    "sql_in_subquery": SQL_SQL_IN_SUBQUERY,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

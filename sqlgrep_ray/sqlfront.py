@@ -150,6 +150,10 @@ class Query:
     join_left_col: Optional[str] = None
     join_right_col: Optional[str] = None
     join_how: Optional[str] = None  # inner | left
+    # ``col IN (SELECT …)`` conjuncts lifted out of WHERE — ENGINE
+    # EXTENSION; executed as exact bloom-accelerated semi/anti-joins.
+    # Entries are (column name, subquery statement, negated).
+    in_subqueries: tuple = ()
 
 
 @dataclass
@@ -488,8 +492,43 @@ class Parser:
         )
 
     def _build_query(self, parts: dict) -> Query:
+        # lift `col [NOT] IN (SELECT …)` out of WHERE's top-level AND
+        # conjuncts; anywhere deeper (under OR/NOT, in projections,
+        # HAVING, …) is unsupported and must error, not mis-evaluate
+        where = parts["where"]
+        in_subs: list[tuple] = []
+        if _contains_subquery(where):
+            kept: list[Expr] = []
+            for c in _split_conjuncts(where):
+                if isinstance(c, InSubquery):
+                    if not isinstance(c.operand, Col):
+                        raise SqlError(
+                            "IN (SELECT …) needs a plain column operand"
+                        )
+                    in_subs.append((c.operand.name, c.query, c.negated))
+                elif _contains_subquery(c):
+                    raise SqlError(
+                        "IN (SELECT …) is only supported as a top-level "
+                        "AND-conjunct of WHERE"
+                    )
+                else:
+                    kept.append(c)
+            where = None
+            for c in kept:
+                where = c if where is None else Bin("and", where, c)
+        for slot in ("having", "qualify"):
+            if _contains_subquery(parts[slot]):
+                raise SqlError(f"subqueries are not allowed in {slot.upper()}")
+        if any(_contains_subquery(g) for g in parts["group_by"] or []):
+            raise SqlError("subqueries are not allowed in GROUP BY")
+        if any(_contains_subquery(e) for e, _ in parts["order_by"]):
+            raise SqlError("subqueries are not allowed in ORDER BY")
+        if parts["projections"] is not None and any(
+            _contains_subquery(e) for _, e in parts["projections"]
+        ):
+            raise SqlError("subqueries are not allowed in the SELECT list")
         plan = convert_query(
-            parts["projections"], parts["where"], parts["group_by"],
+            parts["projections"], where, parts["group_by"],
             parts["having"], parts["distinct"], parts["limit"],
             order_by=tuple(parts["order_by"]), qualify=parts["qualify"],
         )
@@ -502,6 +541,7 @@ class Parser:
             join_left_col=parts["join_left"],
             join_right_col=parts["join_right"],
             join_how=parts["join_how"],
+            in_subqueries=tuple(in_subs),
         )
 
     def _parse_select_parts(self) -> dict:
@@ -645,6 +685,11 @@ class Parser:
                     negated = True
                 self.expect_kw("in")
                 self.expect_op("(")
+                if self.at_kw("select", "with"):
+                    sub = self.parse_query()
+                    self.expect_op(")")
+                    left = InSubquery(left, sub, negated)
+                    continue
                 items = [self.parse_expr()]
                 while self.eat_op(","):
                     items.append(self.parse_expr())
@@ -922,6 +967,38 @@ class WindowCall(Expr):
     default: Any = None  # LAG/LEAD 3-arg form: literal past the edge
 
 
+@dataclass(frozen=True, eq=True)
+class InSubquery(Expr):
+    """``operand [NOT] IN (SELECT …)`` (pre-conversion only) — ENGINE
+    EXTENSION, the reference dialect has no subqueries. Only legal as a
+    top-level AND-conjunct of WHERE with a plain column operand; lifted
+    into ``Query.in_subqueries`` and executed as an exact
+    bloom-accelerated semi/anti-join (stages/bloom). NULL semantics
+    follow the reference's NULL⇒false comparisons: a NULL operand is
+    never IN (dropped) and always NOT IN (kept) — standard SQL's
+    NOT-IN-with-NULLs quirk is deliberately not reproduced."""
+
+    operand: Expr
+    query: Any  # Query | SetQuery | WithQuery
+    negated: bool = False
+
+
+def _split_conjuncts(e: Optional[Expr]) -> list[Expr]:
+    if e is None:
+        return []
+    if isinstance(e, Bin) and e.op == "and":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
+def _contains_subquery(e: Optional[Expr]) -> bool:
+    if e is None:
+        return False
+    if isinstance(e, InSubquery):
+        return True
+    return any(_contains_subquery(c) for c in _children(e))
+
+
 # ---------------------------------------------------------------------------
 # AST → plan conversion (parser_tree_converter.rs:82-755)
 # ---------------------------------------------------------------------------
@@ -951,6 +1028,8 @@ def _children(e: Expr) -> list[Expr]:
         return [e.operand]
     if isinstance(e, Index):
         return [e.operand, e.index]
+    if isinstance(e, InSubquery):
+        return [e.operand]
     return []
 
 

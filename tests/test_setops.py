@@ -199,3 +199,99 @@ def test_tables_join_against_cte(ray_session, ev_tables):
 def test_compile_query_rejects_multi(ray_session, ev_tables):
     with pytest.raises(SqlError, match="execute_query"):
         ev_tables.compile_query("SELECT kind FROM ev UNION SELECT kind FROM ev")
+
+
+# -- IN (SELECT …) subqueries -------------------------------------------------
+
+ORDERS = "/root/testdata/sf0.001/orders.parquet"
+CUSTOMER = "/root/testdata/sf0.001/customer.parquet"
+
+
+def _duck2(sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{ORDERS}')")
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{CUSTOMER}')"
+    )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def test_in_subquery_semi(ray_session):
+    import ray.data as rd
+
+    src = {
+        "orders": rd.read_parquet(ORDERS),
+        "customer": rd.read_parquet(CUSTOMER),
+    }
+    sql = (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE "
+        "o_totalprice > 100000 AND o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000) "
+        "ORDER BY o_orderkey LIMIT 25"
+    )
+    got = [
+        (r["o_orderkey"], r["o_totalprice"]) for r in run_sql(sql, src).take_all()
+    ]
+    assert got == _duck2(sql)
+
+
+def test_not_in_subquery_anti(ray_session):
+    import ray.data as rd
+
+    src = {
+        "orders": rd.read_parquet(ORDERS),
+        "customer": rd.read_parquet(CUSTOMER),
+    }
+    sql = (
+        "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"
+    )
+    assert run_sql(sql, src).take_all()[0]["n"] == _duck2(sql)[0][0]
+
+
+def test_in_subquery_over_cte(ray_session):
+    import ray.data as rd
+
+    src = {
+        "orders": rd.read_parquet(ORDERS),
+        "customer": rd.read_parquet(CUSTOMER),
+    }
+    sql = (
+        "WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"
+        " SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM rich)"
+    )
+    assert run_sql(sql, src).take_all()[0]["n"] == _duck2(sql)[0][0]
+
+
+def test_in_subquery_parse_errors():
+    with pytest.raises(SqlError, match="top-level AND-conjunct"):
+        parse_query(
+            "SELECT a FROM t WHERE a = 1 OR b IN (SELECT x FROM u)"
+        )
+    with pytest.raises(SqlError, match="plain column operand"):
+        parse_query("SELECT a FROM t WHERE a + 1 IN (SELECT x FROM u)")
+    with pytest.raises(SqlError, match="SELECT list"):
+        parse_query("SELECT b IN (SELECT x FROM u) AS f FROM t")
+
+
+def test_tables_in_subquery_raw_text(ray_session, ev_tables):
+    rows = ev_tables.execute_query_rows(
+        "SELECT kind, uid FROM ev WHERE kind IN "
+        "(SELECT kind FROM ev WHERE uid = 2) ORDER BY kind, uid",
+        source=LINES,
+    )
+    assert rows == [
+        {"kind": "click", "uid": 2},
+        {"kind": "login", "uid": 1},
+        {"kind": "login", "uid": 2},
+    ]
+
+
+def test_compile_query_rejects_subquery(ray_session, ev_tables):
+    with pytest.raises(SqlError, match="execute_query"):
+        ev_tables.compile_query(
+            "SELECT kind FROM ev WHERE kind IN (SELECT kind FROM ev)"
+        )
