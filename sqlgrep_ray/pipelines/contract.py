@@ -1928,6 +1928,51 @@ ORDER BY source
 """
 
 
+def q_sql_moving_window(sf_dir: str) -> Result:
+    """Bounded window frames through the SQL dialect (round-4
+    extension): ``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` moving
+    SUM/AVG/COUNT(*) plus MIN/MAX OVER (both the default RANGE frame and
+    a bounded ROWS frame). All four compute in the ONE shared-frame
+    bucket pass; the bounded aggregates are exclusive-prefix differences
+    and MIN/MAX ride pandas' cython expanding/rolling kernels
+    (window.py). (conv_id, turn_idx) is unique, satisfying the ROWS
+    determinism contract — hash-exact vs DuckDB."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS msum, "
+        "AVG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg, "
+        "COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mcnt, "
+        "MIN(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+        "AS mn, "
+        "MAX(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_MOVING_WINDOW = f"""
+SELECT conv_id, turn_idx,
+ CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS msum,
+ AVG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg,
+ CAST(COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mcnt,
+ MIN(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS mn,
+ MAX(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_sql_in_subquery(sf_dir: str) -> Result:
     """``IN (SELECT …)`` through the SQL dialect (round-4 extension):
     the parser lifts the top-level WHERE conjunct into
@@ -2913,6 +2958,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
     "sql_in_subquery": q_sql_in_subquery,
+    "sql_moving_window": q_sql_moving_window,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -3022,6 +3068,7 @@ ORACLES: dict[str, str] = {
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,
     "sql_in_subquery": SQL_SQL_IN_SUBQUERY,
+    "sql_moving_window": SQL_SQL_MOVING_WINDOW,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -60,6 +60,7 @@ class WindowSpec:
     offset: int = 1
     frame: str = "range"  # "range" (SQL default) | "rows" | "full"
     default: Any = None  # LAG/LEAD 3-arg: literal filled past the edge
+    preceding: Any = None  # bounded frame: ROWS <n> PRECEDING lookback
 
 
 @dataclass(frozen=True)

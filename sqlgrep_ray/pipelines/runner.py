@@ -404,7 +404,10 @@ def run_select(
                     funcs.append(WinFunc(w.func, w.out_col))
                 elif w.func == "run_count_star":
                     funcs.append(
-                        WinFunc(w.func, w.out_col, frame=w.frame)
+                        WinFunc(
+                            w.func, w.out_col, frame=w.frame,
+                            preceding=getattr(w, "preceding", None),
+                        )
                     )
                 elif w.func in ("first_value", "last_value"):
                     funcs.append(
@@ -413,11 +416,12 @@ def run_select(
                             frame=w.frame,
                         )
                     )
-                else:  # run_sum / run_avg / run_count
+                else:  # run_sum / run_avg / run_count / run_min / run_max
                     funcs.append(
                         WinFunc(
                             w.func, w.out_col, value_col=w.value_col,
                             frame=w.frame,
+                            preceding=getattr(w, "preceding", None),
                         )
                     )
             ds = partition_windows(

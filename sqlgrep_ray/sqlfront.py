@@ -251,24 +251,46 @@ class Parser:
             raise SqlError(f"expected identifier, got {t}")
         return t.value
 
-    def parse_frame_clause(self) -> str:
-        """Optional window frame: ``ROWS|RANGE BETWEEN UNBOUNDED PRECEDING
-        AND (CURRENT ROW | UNBOUNDED FOLLOWING)``. Returns "range" (the
-        SQL default, also when absent), "rows", or "full" (unbounded →
-        unbounded: the whole partition, frame type irrelevant)."""
+    def parse_frame_clause(self) -> tuple[str, Optional[int]]:
+        """Optional window frame: ``ROWS|RANGE BETWEEN (UNBOUNDED | <n>)
+        PRECEDING AND (CURRENT ROW | UNBOUNDED FOLLOWING)``. Returns
+        ``(frame, preceding)``: frame is "range" (the SQL default, also
+        when absent), "rows", or "full" (unbounded → unbounded: the whole
+        partition); preceding is the integer lookback of a bounded
+        ``ROWS <n> PRECEDING`` frame (the moving-average form), else
+        None. A bounded RANGE frame (order-value arithmetic) is not
+        supported."""
         if not (self.at_kw("rows") or self.at_kw("range")):
-            return "range"
+            return "range", None
         kind = self.expect_ident().lower()
         self.expect_kw("between")
-        self.expect_kw("unbounded")
+        preceding: Optional[int] = None
+        if not self.eat_kw("unbounded"):
+            t = self.next()
+            if t.kind != "number" or isinstance(t.value, float):
+                raise SqlError(
+                    f"expected UNBOUNDED or an integer before PRECEDING, "
+                    f"got {t}"
+                )
+            if kind != "rows":
+                raise SqlError(
+                    "bounded frames are only supported as ROWS <n> "
+                    "PRECEDING (RANGE needs order-value arithmetic)"
+                )
+            preceding = int(t.value)
+            self.expect_kw("preceding")
+            self.expect_kw("and")
+            self.expect_kw("current")
+            self.expect_kw("row")
+            return "rows", preceding
         self.expect_kw("preceding")
         self.expect_kw("and")
         if self.eat_kw("unbounded"):
             self.expect_kw("following")
-            return "full"
+            return "full", None
         self.expect_kw("current")
         self.expect_kw("row")
-        return kind
+        return kind, None
 
     # -- statements --------------------------------------------------------
 
@@ -864,13 +886,18 @@ class Parser:
                 self.expect_kw("order")
                 self.expect_kw("by")
                 order = self.expect_ident()
-                frame = self.parse_frame_clause()
-                if frame != "range" and fname not in (
+                frame, preceding = self.parse_frame_clause()
+                if (frame != "range" or preceding is not None) and fname not in (
                     "first_value", "last_value"
                 ):
                     raise SqlError(
                         "frame clauses apply only to running aggregates "
                         "and FIRST_VALUE/LAST_VALUE"
+                    )
+                if preceding is not None:
+                    raise SqlError(
+                        "bounded (ROWS n PRECEDING) frames apply only to "
+                        "running aggregates"
                     )
                 self.expect_op(")")
                 return WindowCall(
@@ -881,10 +908,10 @@ class Parser:
                     # ENGINE EXTENSION: running aggregate over a partition
                     # (cumulative from the partition start, the default SQL
                     # frame for ORDER BY inside OVER)
-                    if fname not in ("sum", "avg", "count"):
+                    if fname not in ("sum", "avg", "count", "min", "max"):
                         raise SqlError(
                             f"{fname}() OVER is not supported "
-                            "(sum/avg/count only)"
+                            "(sum/avg/count/min/max only)"
                         )
                     if distinct:
                         raise SqlError("DISTINCT not valid in a window")
@@ -910,14 +937,17 @@ class Parser:
                     self.expect_kw("order")
                     self.expect_kw("by")
                     order = self.expect_ident()
-                    frame = self.parse_frame_clause()
+                    frame, preceding = self.parse_frame_clause()
                     self.expect_op(")")
                     wfunc = (
                         "run_count_star"
                         if (fname == "count" and star)
                         else f"run_{fname}"
                     )
-                    return WindowCall(wfunc, value, key, order, 1, frame)
+                    return WindowCall(
+                        wfunc, value, key, order, 1, frame,
+                        preceding=preceding,
+                    )
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:
                 raise SqlError(f"DISTINCT/* not valid in {fname}()")
@@ -965,6 +995,7 @@ class WindowCall(Expr):
     offset: int = 1
     frame: str = "range"  # "range" (default) | "rows" | "full"
     default: Any = None  # LAG/LEAD 3-arg form: literal past the edge
+    preceding: Any = None  # bounded ROWS <n> PRECEDING lookback
 
 
 @dataclass(frozen=True, eq=True)
@@ -1135,7 +1166,7 @@ def convert_query(
                     specs.append(
                         WindowSpec(
                             out, wc.func, wc.value_col, wc.key, wc.order,
-                            wc.offset, wc.frame, wc.default,
+                            wc.offset, wc.frame, wc.default, wc.preceding,
                         )
                     )
                 e = _replace(e, wc, Col(out))

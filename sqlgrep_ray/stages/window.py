@@ -524,6 +524,10 @@ class WinFunc:
     LAST_VALUE the partition's final value); honored by the running
     aggregates and FIRST_VALUE/LAST_VALUE, ignored by ranking/navigation
     functions (SQL semantics: they take no frame).
+    ``preceding``: bounded frame — ``ROWS BETWEEN preceding PRECEDING AND
+    CURRENT ROW`` (the moving-average/sliding-window form); running
+    aggregates only, requires ``frame="rows"`` (a bounded RANGE frame
+    needs order-value arithmetic and is not supported).
     """
 
     func: str
@@ -532,6 +536,7 @@ class WinFunc:
     param: "int | None" = None
     frame: str = "range"
     default: "object | None" = None  # LAG/LEAD: literal past the edge
+    preceding: "int | None" = None  # bounded ROWS frame lookback
 
 
 _WIN_FUNCS = frozenset(
@@ -548,9 +553,15 @@ _WIN_FUNCS = frozenset(
         "run_avg",
         "run_count",
         "run_count_star",
+        "run_min",
+        "run_max",
         "first_value",
         "last_value",
     }
+)
+
+_RUNNING_FUNCS = frozenset(
+    {"run_sum", "run_avg", "run_count", "run_count_star", "run_min", "run_max"}
 )
 
 
@@ -562,6 +573,8 @@ def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
     if f.func == "run_sum":
         t = schema.field(f.value_col).type
         return pa.int64() if pa.types.is_integer(t) else pa.float64()
+    if f.func in ("run_min", "run_max"):
+        return schema.field(f.value_col).type
     return pa.int64()
 
 
@@ -607,12 +620,23 @@ def partition_windows(
         if f.func == "ntile" and (f.param is None or f.param < 1):
             raise ValueError("ntile needs a positive tile count")
         if f.func in ("lag", "lead", "first_value", "last_value",
-                      "run_sum", "run_avg", "run_count") and f.value_col is None:
+                      "run_sum", "run_avg", "run_count", "run_min",
+                      "run_max") and f.value_col is None:
             raise ValueError(f"{f.func} needs a value_col")
         if f.func == "run_count_star" and f.value_col is not None:
             raise ValueError("run_count_star takes no value_col (COUNT(*))")
         if f.frame not in ("range", "rows", "full"):
             raise ValueError("frame must be 'range', 'rows' or 'full'")
+        if f.preceding is not None:
+            if f.func not in _RUNNING_FUNCS:
+                raise ValueError(
+                    "a bounded (k PRECEDING) frame applies only to "
+                    "running aggregates"
+                )
+            if f.frame != "rows":
+                raise ValueError("bounded frames require ROWS")
+            if f.preceding < 0:
+                raise ValueError("preceding must be >= 0")
     keys = _as_keys(key)
     num_buckets = resolve_buckets(num_buckets, ds)
     value_cols = [f.value_col for f in funcs if f.value_col]
@@ -771,15 +795,48 @@ def partition_windows(
                 )
             elif f.func == "run_count_star":
                 # COUNT(*) OVER: the frame-end row's 1-based partition
-                # ordinal (RANGE: last peer; ROWS: own; FULL: partition n)
-                out_cols.append(
-                    (
-                        f.out_col,
-                        pa.array(
-                            (frame_end(f.frame) - first_of_key + 1).astype(np.int64)
-                        ),
+                # ordinal (RANGE: last peer; ROWS: own; FULL: partition n);
+                # bounded ROWS k PRECEDING → rows since max(start, i-k)
+                if f.preceding is not None:
+                    out = pos - np.maximum(first_of_key, pos - f.preceding) + 1
+                else:
+                    out = frame_end(f.frame) - first_of_key + 1
+                out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
+            elif f.func in ("run_min", "run_max"):
+                # running / sliding MIN-MAX: no O(n) inverse exists for
+                # min (unlike the cumsum trick), so the kernel rides
+                # pandas' cython groupby expanding/rolling — still one
+                # vectorized call per bucket. NULLs are skipped (SQL:
+                # NULL only over an all-NULL frame); integers round-trip
+                # through float64, exact for |v| < 2^53 (documented).
+                import pandas as pd
+
+                varr = g[f.value_col].combine_chunks()
+                if not (
+                    pa.types.is_integer(varr.type)
+                    or pa.types.is_floating(varr.type)
+                ):
+                    raise ValueError(
+                        f"{f.func} supports numeric columns, got {varr.type}"
                     )
-                )
+                s = pd.Series(varr.to_numpy(zero_copy_only=False), copy=False)
+                seg_id = np.cumsum(key_change)
+                grp = s.groupby(seg_id)
+                if f.preceding is not None:
+                    win = grp.rolling(f.preceding + 1, min_periods=1)
+                else:
+                    win = grp.expanding(min_periods=1)
+                r = (win.min() if f.func == "run_min" else win.max()).to_numpy()
+                if f.preceding is None and f.frame != "rows":
+                    r = r[frame_end(f.frame)]
+                nan = np.isnan(r)
+                if pa.types.is_integer(varr.type):
+                    out = pa.array(
+                        np.where(nan, 0, r).astype(np.int64), mask=nan
+                    ).cast(varr.type)
+                else:
+                    out = pa.array(r, mask=nan)
+                out_cols.append((f.out_col, out))
             else:  # run_sum / run_avg / run_count
                 varr = g[f.value_col].combine_chunks()
                 null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
@@ -789,16 +846,28 @@ def partition_windows(
                     pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
                 )
                 cum = np.cumsum(v)
-                seg_sum = cum - cum[first_of_key] + v[first_of_key]
                 cnt = np.cumsum(~null_mask)
-                seg_cnt = cnt - cnt[first_of_key] + (~null_mask)[first_of_key]
-                # the cumulative is read at the frame's last row: RANGE
-                # (SQL default) — the last PEER, so ties share; ROWS — the
-                # row itself; FULL — the partition end (per-partition
-                # constant, SQL's aggregate-over-whole-partition form)
-                if f.frame != "rows":
-                    re_ = frame_end(f.frame)
-                    seg_sum, seg_cnt = seg_sum[re_], seg_cnt[re_]
+                if f.preceding is not None:
+                    # bounded ROWS frame: exclusive-prefix difference over
+                    # [max(start, i-k), i]
+                    cum_x = np.r_[np.zeros(1, cum.dtype), cum]
+                    cnt_x = np.r_[np.zeros(1, cnt.dtype), cnt]
+                    j = np.maximum(first_of_key, pos - f.preceding)
+                    seg_sum = cum_x[pos + 1] - cum_x[j]
+                    seg_cnt = cnt_x[pos + 1] - cnt_x[j]
+                else:
+                    seg_sum = cum - cum[first_of_key] + v[first_of_key]
+                    seg_cnt = (
+                        cnt - cnt[first_of_key] + (~null_mask)[first_of_key]
+                    )
+                    # the cumulative is read at the frame's last row: RANGE
+                    # (SQL default) — the last PEER, so ties share; ROWS —
+                    # the row itself; FULL — the partition end
+                    # (per-partition constant, SQL's
+                    # aggregate-over-whole-partition form)
+                    if f.frame != "rows":
+                        re_ = frame_end(f.frame)
+                        seg_sum, seg_cnt = seg_sum[re_], seg_cnt[re_]
                 if f.func == "run_sum":
                     out = pa.array(seg_sum)
                     if pa.types.is_integer(varr.type):

@@ -326,7 +326,7 @@ def test_running_aggregates_execution(ray_session):
 
 def test_running_aggregate_errors():
     with pytest.raises(SqlError):  # unsupported window aggregate
-        parse_query("SELECT max(v) OVER (PARTITION BY k ORDER BY o) FROM t")
+        parse_query("SELECT stddev(v) OVER (PARTITION BY k ORDER BY o) FROM t")
     with pytest.raises(SqlError):  # DISTINCT in window
         parse_query("SELECT sum(DISTINCT v) OVER (PARTITION BY k ORDER BY o) FROM t")
     with pytest.raises(SqlError):  # expression argument
@@ -499,10 +499,16 @@ def test_window_frame_clause_parse():
         parse_query(
             "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o ROWS) AS s FROM t"
         )
-    with pytest.raises(SqlError):  # unsupported frame bound
+    # bounded ROWS frames are supported since round 4 (moving windows)
+    qb = parse_query(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
+    )
+    assert qb.plan.windows[0].preceding == 2
+    with pytest.raises(SqlError):  # bounded RANGE stays unsupported
         parse_query(
             "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
-            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
+            "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
         )
 
 

@@ -577,3 +577,140 @@ def test_rows_frame_ties_multiset(ray_session):
     assert a["rs_rows"].max() == 100 and a["rs_range"].tolist()[:3] == [60, 60, 60]
     b = out[out["k"] == "b"]
     assert sorted(b["rcs_rows"]) == [1, 2] and b["rcs_range"].tolist() == [2, 2]
+
+
+def test_bounded_rows_frames_vs_duckdb(ray_session):
+    """ROWS BETWEEN k PRECEDING AND CURRENT ROW for sum/avg/count(*)
+    plus MIN/MAX OVER (unbounded RANGE and bounded ROWS), with NULL
+    values interleaved — all six vs DuckDB on a multi-block corpus."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 30, n)),
+            "o": pa.array(rng.permutation(n)),
+            "v": pa.array(
+                [
+                    None if i % 7 == 0 else int(rng.integers(-40, 40))
+                    for i in range(n)
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    out = partition_windows(
+        ray.data.from_arrow(t).repartition(5),
+        "k",
+        "o",
+        [
+            WinFunc("run_sum", "ms", value_col="v", frame="rows", preceding=3),
+            WinFunc("run_avg", "ma", value_col="v", frame="rows", preceding=3),
+            WinFunc("run_count_star", "mc", frame="rows", preceding=2),
+            WinFunc("run_min", "mn", value_col="v"),
+            WinFunc("run_max", "mx", value_col="v"),
+            WinFunc("run_max", "mxb", value_col="v", frame="rows", preceding=4),
+        ],
+        num_buckets=4,
+    )
+    df = out.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        """
+        SELECT k, o,
+          CAST(SUM(v) OVER (PARTITION BY k ORDER BY o
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) ms,
+          AVG(v) OVER (PARTITION BY k ORDER BY o
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ma,
+          CAST(COUNT(*) OVER (PARTITION BY k ORDER BY o
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) mc,
+          MIN(v) OVER (PARTITION BY k ORDER BY o) mn,
+          MAX(v) OVER (PARTITION BY k ORDER BY o) mx,
+          MAX(v) OVER (PARTITION BY k ORDER BY o
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) mxb
+        FROM t ORDER BY k, o
+        """
+    ).fetchdf()
+    for c in ["ms", "ma", "mc", "mn", "mx", "mxb"]:
+        a, b = df[c], exp[c]
+        assert bool(((a.isna() & b.isna()) | (a == b)).all()), c
+
+
+def test_min_max_range_frame_ties(ray_session):
+    """MIN/MAX OVER the default RANGE frame share the tie-run-end value
+    (peers see the same frame), matching DuckDB on tied order values."""
+    import duckdb
+    import ray.data
+
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 5),
+            "o": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "v": pa.array([5, -2, 9, 1, 0], pa.int64()),
+        }
+    )
+    out = (
+        partition_windows(
+            ray.data.from_arrow(t),
+            "k",
+            "o",
+            [
+                WinFunc("run_min", "mn", value_col="v"),
+                WinFunc("run_max", "mx", value_col="v"),
+            ],
+            num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values(["o", "v"])
+    )
+    # RANGE: both o=1 peers see min(5,-2)=-2, max 5; o=2 peers see 9
+    assert out["mn"].tolist() == [-2, -2, -2, -2, -2]
+    assert out["mx"].tolist() == [5, 5, 9, 9, 9]
+
+
+def test_bounded_frame_validation(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    t = pa.table({"k": ["a"], "o": [1], "v": [1]})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="running aggregates"):
+        partition_windows(
+            ds, "k", "o",
+            [WinFunc("row_number", "rn", frame="rows", preceding=2)],
+        )
+    with pytest.raises(ValueError, match="require ROWS"):
+        partition_windows(
+            ds, "k", "o",
+            [WinFunc("run_sum", "s", value_col="v", preceding=2)],
+        )
+
+
+def test_sql_bounded_frame_parses():
+    from sqlgrep_ray.sqlfront import SqlError, parse_query
+
+    plan = parse_query(
+        "SELECT k, MAX(v) OVER (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t"
+    ).plan
+    w = plan.windows[0]
+    assert w.func == "run_max" and w.preceding == 5 and w.frame == "rows"
+    with pytest.raises(SqlError, match="ROWS"):
+        parse_query(
+            "SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY o "
+            "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t"
+        )
+    with pytest.raises(SqlError, match="running aggregates"):
+        parse_query(
+            "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t"
+        )
