@@ -33,6 +33,7 @@ from sqlgrep_ray.functions.exprs import (
     Func,
     Index,
     InList,
+    Lit,
     Un,
 )
 from sqlgrep_ray.pipelines.plan import (
@@ -45,6 +46,7 @@ from sqlgrep_ray.pipelines.runner import run_plan
 from sqlgrep_ray.schema import TableDef
 from sqlgrep_ray.sqlfront import (
     Query,
+    ScalarSubquery,
     SetQuery,
     SqlError,
     WithQuery,
@@ -188,6 +190,119 @@ def _bind_dataset_query(
     return _rebind_plan(q.plan, bind_expr, join)
 
 
+def _plan_exprs(plan) -> list:
+    """Every expression slot of a Select/Aggregate plan (None-free)."""
+    out: list = []
+    if isinstance(plan, SelectPlan):
+        if plan.projections is not None:
+            out.extend(p.expr for p in plan.projections)
+        out.extend([plan.where, plan.qualify])
+    else:
+        out.extend(k.expr for k in plan.group_by)
+        for a in plan.aggs:
+            out.extend([a.arg, a.transform])
+        out.extend([plan.where, plan.having])
+    out.extend(e for e, _ in plan.order_by)
+    return [e for e in out if e is not None]
+
+
+def _contains_scalar_sub(e) -> bool:
+    from sqlgrep_ray.sqlfront import _children
+
+    if isinstance(e, ScalarSubquery):
+        return True
+    return any(_contains_scalar_sub(c) for c in _children(e))
+
+
+def _has_scalar_subs(plan) -> bool:
+    return any(_contains_scalar_sub(e) for e in _plan_exprs(plan))
+
+
+def _substitute_scalar_subs(plan, run_sub):
+    """Evaluate each ScalarSubquery node ONCE (one column, ≤ one row;
+    zero rows ⇒ NULL) and splice the value into the plan as a literal."""
+    from sqlgrep_ray.schema import BOOL, FLOAT, INT, STRING
+
+    cache: list = []  # (node, Lit) — ScalarSubquery holds an unhashable plan
+
+    def evaluate(node: ScalarSubquery) -> Lit:
+        for seen, lit in cache:
+            if seen == node:
+                return lit
+        ds = run_sub(node.query)
+        rows = ds.take(2)
+        if len(rows) > 1:
+            raise SqlError("scalar subquery returned more than one row")
+        if rows and len(rows[0]) != 1:
+            raise SqlError(
+                "scalar subquery must project exactly one column, got "
+                f"{list(rows[0])!r}"
+            )
+        v = next(iter(rows[0].values())) if rows else None
+        if hasattr(v, "item"):  # numpy scalar
+            v = v.item()
+        if isinstance(v, bool):
+            lit = Lit(v, BOOL)
+        elif isinstance(v, int):
+            lit = Lit(v, INT)
+        elif isinstance(v, float):
+            lit = Lit(v, FLOAT)
+        elif isinstance(v, str):
+            lit = Lit(v, STRING)
+        else:
+            lit = Lit(v)
+        cache.append((node, lit))
+        return lit
+
+    def rewrite(e):
+        from sqlgrep_ray.sqlfront import _children, _replace
+
+        if e is None:
+            return None
+        # post-order: find each ScalarSubquery and replace by its value
+        def find(x):
+            if isinstance(x, ScalarSubquery):
+                return x
+            for c in _children(x):
+                f = find(c)
+                if f is not None:
+                    return f
+            return None
+
+        while True:
+            node = find(e)
+            if node is None:
+                return e
+            e = _replace(e, node, evaluate(node))
+
+    if isinstance(plan, SelectPlan):
+        projs = plan.projections
+        if projs is not None:
+            projs = tuple(Projection(p.name, rewrite(p.expr)) for p in projs)
+        return dataclasses.replace(
+            plan,
+            projections=projs,
+            where=rewrite(plan.where),
+            qualify=rewrite(plan.qualify),
+            order_by=tuple((rewrite(e), d) for e, d in plan.order_by),
+        )
+    return dataclasses.replace(
+        plan,
+        group_by=tuple(
+            dataclasses.replace(k, expr=rewrite(k.expr)) for k in plan.group_by
+        ),
+        aggs=tuple(
+            dataclasses.replace(
+                a, arg=rewrite(a.arg), transform=rewrite(a.transform)
+            )
+            for a in plan.aggs
+        ),
+        where=rewrite(plan.where),
+        having=rewrite(plan.having),
+        order_by=tuple((rewrite(e), d) for e, d in plan.order_by),
+    )
+
+
 def _single_out_col(keys: "ray.data.Dataset") -> str:
     """The one projected column of an IN-subquery's result."""
     sch = keys.schema(fetch_if_missing=True)
@@ -253,11 +368,12 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
             )
         return ds
     src = resolve(stmt.table)
+    run_sub = lambda s: _run_sql_stmt(s, env, default)  # noqa: E731
     if stmt.in_subqueries:
-        src = _apply_in_subqueries(
-            src, stmt, lambda s: _run_sql_stmt(s, env, default)
-        )
+        src = _apply_in_subqueries(src, stmt, run_sub)
     plan = _bind_dataset_query(stmt, src, resolve)
+    if _has_scalar_subs(plan):
+        plan = _substitute_scalar_subs(plan, run_sub)
     return run_plan(src, plan)
 
 
@@ -531,7 +647,11 @@ class Tables:
     ) -> "ray.data.Dataset":
         """SQL → lazy Ray Data pipeline over the raw-text source."""
         stmt = parse_query(sql)
-        if not isinstance(stmt, Query) or stmt.in_subqueries:
+        if (
+            not isinstance(stmt, Query)
+            or stmt.in_subqueries
+            or _has_scalar_subs(stmt.plan)
+        ):
             return self._execute_multi(stmt, source, join_source, text_col)
         q, run = self._compile_parsed(stmt, join_source, text_col)
         src = q.file if q.file is not None else source
@@ -583,6 +703,8 @@ class Tables:
                 if m.in_subqueries:
                     parsed = _apply_in_subqueries(parsed, m, run_member)
                 plan = _bind_dataset_query(m, parsed, resolve_join)
+                if _has_scalar_subs(plan):
+                    plan = _substitute_scalar_subs(plan, run_member)
                 return run_plan(parsed, plan)
             if m.in_subqueries or (
                 m.join_table is not None and m.join_table in env
@@ -601,6 +723,8 @@ class Tables:
                 if m.in_subqueries:
                     parsed = _apply_in_subqueries(parsed, m, run_member)
                 plan = _bind_dataset_query(m, parsed, resolve_join)
+                if _has_scalar_subs(plan):
+                    plan = _substitute_scalar_subs(plan, run_member)
                 return run_plan(parsed, plan)
             _, run = self._compile_parsed(m, join_source, text_col)
             src = m.file if m.file is not None else source
@@ -608,7 +732,12 @@ class Tables:
                 raise SqlError(
                     "no input source (pass source= or use FROM t::'file')"
                 )
-            return run(self._as_dataset(src, text_col))
+            raw = self._as_dataset(src, text_col)
+            plan = run.plan
+            if _has_scalar_subs(plan):
+                plan = _substitute_scalar_subs(plan, run_member)
+                return run_plan(run.parse(raw), plan)
+            return run(raw)
 
         if isinstance(stmt, WithQuery):
             for name, sub in stmt.ctes:

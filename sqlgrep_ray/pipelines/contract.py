@@ -1928,6 +1928,27 @@ ORDER BY source
 """
 
 
+def q_sql_scalar_subquery(sf_dir: str) -> Result:
+    """Scalar subqueries through the SQL dialect (round-4 extension):
+    ``(SELECT AVG(…))`` evaluates once to a literal spliced into the
+    plan, so the outer WHERE stays one vectorized kernel. Output columns
+    are exact ints (the float scalar only selects rows) — hash-exact vs
+    DuckDB running the identical SQL."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)",
+        {"orders": _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])},
+    )
+
+
+SQL_SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
 def q_sql_moving_window(sf_dir: str) -> Result:
     """Bounded window frames through the SQL dialect (round-4
     extension): ``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` moving
@@ -2959,6 +2980,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "cms_event_counts": q_cms_event_counts,
     "sql_in_subquery": q_sql_in_subquery,
     "sql_moving_window": q_sql_moving_window,
+    "sql_scalar_subquery": q_sql_scalar_subquery,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -3069,6 +3091,7 @@ ORACLES: dict[str, str] = {
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,
     "sql_in_subquery": SQL_SQL_IN_SUBQUERY,
     "sql_moving_window": SQL_SQL_MOVING_WINDOW,
+    "sql_scalar_subquery": SQL_SQL_SCALAR_SUBQUERY,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -769,6 +769,12 @@ class Parser:
             return Lit(t.value, STRING)
         if t.kind == "op" and t.value == "(":
             self.next()
+            if self.at_kw("select", "with"):
+                # scalar subquery: evaluated once to a literal at
+                # execution time (ENGINE EXTENSION)
+                sub = self.parse_query()
+                self.expect_op(")")
+                return ScalarSubquery(sub)
             e = self.parse_expr()
             self.expect_op(")")
             return e
@@ -996,6 +1002,19 @@ class WindowCall(Expr):
     frame: str = "range"  # "range" (default) | "rows" | "full"
     default: Any = None  # LAG/LEAD 3-arg form: literal past the edge
     preceding: Any = None  # bounded ROWS <n> PRECEDING lookback
+
+
+@dataclass(frozen=True, eq=True)
+class ScalarSubquery(Expr):
+    """``(SELECT …)`` used as a VALUE inside an expression — ENGINE
+    EXTENSION. Evaluated ONCE per query at execution time (the subquery
+    must produce exactly one column and at most one row; zero rows ⇒
+    NULL, SQL parity) and substituted as a literal into the plan, so the
+    surrounding expression stays a plain vectorized kernel. Legal
+    anywhere a literal is: WHERE, SELECT list, HAVING, $value
+    transforms. The classic form: ``WHERE x > (SELECT AVG(x) FROM t)``."""
+
+    query: Any  # Query | SetQuery | WithQuery
 
 
 @dataclass(frozen=True, eq=True)

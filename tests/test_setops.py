@@ -295,3 +295,70 @@ def test_compile_query_rejects_subquery(ray_session, ev_tables):
         ev_tables.compile_query(
             "SELECT kind FROM ev WHERE kind IN (SELECT kind FROM ev)"
         )
+
+
+# -- scalar subqueries ---------------------------------------------------------
+
+
+def test_scalar_subquery_in_where(ray_session):
+    import ray.data as rd
+
+    src = {"orders": rd.read_parquet(ORDERS)}
+    sql = (
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders)"
+    )
+    assert run_sql(sql, src).take_all()[0]["n"] == _duck2(sql)[0][0]
+
+
+def test_scalar_subquery_in_projection(ray_session):
+    import ray.data as rd
+
+    src = {"orders": rd.read_parquet(ORDERS)}
+    sql = (
+        "SELECT o_orderkey, o_totalprice - (SELECT AVG(o_totalprice) "
+        "FROM orders) AS delta FROM orders ORDER BY o_orderkey LIMIT 5"
+    )
+    got = [(r["o_orderkey"], r["delta"]) for r in run_sql(sql, src).take_all()]
+    exp = _duck2(sql)
+    assert [k for k, _ in got] == [k for k, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        # the scalar AVG is a distributed sum: summation order may differ
+        # from DuckDB by an ulp
+        assert abs(a - b) < 1e-6
+
+
+def test_scalar_subquery_multi_row_errors(ray_session):
+    import ray.data as rd
+
+    src = {"orders": rd.read_parquet(ORDERS)}
+    with pytest.raises(SqlError, match="more than one row"):
+        run_sql(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > "
+            "(SELECT o_totalprice FROM orders)",
+            src,
+        ).take_all()
+
+
+def test_scalar_subquery_zero_rows_is_null(ray_session):
+    import ray.data as rd
+
+    src = {"orders": rd.read_parquet(ORDERS)}
+    # NULL comparison => false => empty aggregate => zero rows
+    # (reference parity: the global group appears on the first row)
+    out = run_sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > "
+        "(SELECT o_totalprice FROM orders WHERE o_orderkey = -1)",
+        src,
+    )
+    assert out.take_all() == []
+
+
+def test_tables_scalar_subquery_raw_text(ray_session, ev_tables):
+    rows = ev_tables.execute_query_rows(
+        "SELECT kind, uid FROM ev WHERE uid > "
+        "(SELECT AVG(uid) FROM ev) ORDER BY uid, kind",
+        source=LINES,
+    )
+    # avg(uid) = 8/4 = 2 (int division); uid > 2 => only uid=3
+    assert rows == [{"kind": "buy", "uid": 3}]
