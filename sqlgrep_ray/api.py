@@ -45,6 +45,7 @@ from sqlgrep_ray.pipelines.plan import (
 from sqlgrep_ray.pipelines.runner import run_plan
 from sqlgrep_ray.schema import TableDef
 from sqlgrep_ray.sqlfront import (
+    ExistsSubquery,
     Query,
     ScalarSubquery,
     SetQuery,
@@ -209,7 +210,7 @@ def _plan_exprs(plan) -> list:
 def _contains_scalar_sub(e) -> bool:
     from sqlgrep_ray.sqlfront import _children
 
-    if isinstance(e, ScalarSubquery):
+    if isinstance(e, (ScalarSubquery, ExistsSubquery)):
         return True
     return any(_contains_scalar_sub(c) for c in _children(e))
 
@@ -225,11 +226,15 @@ def _substitute_scalar_subs(plan, run_sub):
 
     cache: list = []  # (node, Lit) — ScalarSubquery holds an unhashable plan
 
-    def evaluate(node: ScalarSubquery) -> Lit:
+    def evaluate(node) -> Lit:
         for seen, lit in cache:
             if seen == node:
                 return lit
         ds = run_sub(node.query)
+        if isinstance(node, ExistsSubquery):
+            lit = Lit(bool(ds.take(1)) != node.negated, BOOL)
+            cache.append((node, lit))
+            return lit
         rows = ds.take(2)
         if len(rows) > 1:
             raise SqlError("scalar subquery returned more than one row")
@@ -261,7 +266,7 @@ def _substitute_scalar_subs(plan, run_sub):
             return None
         # post-order: find each ScalarSubquery and replace by its value
         def find(x):
-            if isinstance(x, ScalarSubquery):
+            if isinstance(x, (ScalarSubquery, ExistsSubquery)):
                 return x
             for c in _children(x):
                 f = find(c)

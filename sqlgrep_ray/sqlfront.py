@@ -790,6 +790,12 @@ class Parser:
             return Lit(None)
         if lname == "case":
             return self._parse_case()
+        if lname == "exists" and self.at_op("("):
+            # [NOT] EXISTS (SELECT …): NOT composes via the unary NOT
+            self.expect_op("(")
+            sub = self.parse_query()
+            self.expect_op(")")
+            return ExistsSubquery(sub)
         if lname == "extract":
             # EXTRACT(part FROM ts) → timestamp_extract_{part} (parser.rs:966-988)
             self.expect_op("(")
@@ -1015,6 +1021,17 @@ class ScalarSubquery(Expr):
     transforms. The classic form: ``WHERE x > (SELECT AVG(x) FROM t)``."""
 
     query: Any  # Query | SetQuery | WithQuery
+
+
+@dataclass(frozen=True, eq=True)
+class ExistsSubquery(Expr):
+    """``[NOT] EXISTS (SELECT …)`` — ENGINE EXTENSION, uncorrelated
+    only (the subquery cannot reference outer columns; there is no
+    correlation machinery). Evaluated once to a boolean literal (does
+    the subquery produce any row?) via the scalar-substitution pass."""
+
+    query: Any  # Query | SetQuery | WithQuery
+    negated: bool = False
 
 
 @dataclass(frozen=True, eq=True)

@@ -362,3 +362,33 @@ def test_tables_scalar_subquery_raw_text(ray_session, ev_tables):
     )
     # avg(uid) = 8/4 = 2 (int division); uid > 2 => only uid=3
     assert rows == [{"kind": "buy", "uid": 3}]
+
+
+def test_exists_subquery(ray_session):
+    import ray.data as rd
+
+    src = {
+        "orders": rd.read_parquet(ORDERS),
+        "customer": rd.read_parquet(CUSTOMER),
+    }
+    total = rd.read_parquet(ORDERS).count()
+    hit = run_sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE EXISTS "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+        src,
+    ).take_all()
+    assert hit == [{"n": total}]
+    # FALSE exists => zero rows survive the filter => empty aggregate
+    # (reference parity: the global group appears on the first row)
+    miss = run_sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE EXISTS "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 99999999)",
+        src,
+    ).take_all()
+    assert miss == []
+    neg = run_sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE NOT EXISTS "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 99999999)",
+        src,
+    ).take_all()
+    assert neg == [{"n": total}]
