@@ -153,6 +153,36 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     run_plan(ray.data.read_parquet(win_dir), plan).count()
     timings["sql_window_mixed_sf1"] = time.time() - t0
 
+    # bounded moving frames + MIN/MAX at sf1.0 (~6.2M turns): the round-4
+    # sliding-window kernels (exclusive-prefix sums; pandas cython rolling
+    # for MAX) sharing the one bucket exchange with an unbounded MIN.
+    sql_mw = (
+        "SELECT conv_id, turn_idx, "
+        "AVG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mavg, "
+        "MAX(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mmax, "
+        "MIN(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS mn "
+        "FROM x"
+    )
+    t0 = time.time()
+    run_plan(ray.data.read_parquet(win_dir), parse_query(sql_mw).plan).count()
+    timings["sql_moving_window_sf1"] = time.time() - t0
+
+    # bloom-accelerated exact anti-join (decontamination) on the 200k-doc
+    # corpus against a 20k-id blocklist: distributed bitmap build, ONE
+    # broadcast, vectorized probe + candidate-only exact verify.
+    from sqlgrep_ray.stages.bloom import bloom_semi_join
+
+    block_ids = ray.data.from_arrow(
+        __import__("pyarrow").table({"doc_id": list(range(0, 200_000, 10))})
+    )
+    t0 = time.time()
+    bloom_semi_join(
+        ray.data.read_parquet(docs_dir), block_ids, "doc_id", keep=False
+    ).count()
+    timings["bloom_anti_200k"] = time.time() - t0
+
     return timings, turns
 
 

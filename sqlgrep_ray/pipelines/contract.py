@@ -2986,8 +2986,6 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "trailing_window": q_trailing_window,
     "conv_tools_hll": q_conv_tools_hll,
     "turn_latency": q_turn_latency,
-    "sql_turn_latency": q_sql_turn_latency,
-    "sql_row_number": q_sql_row_number,
     "sql_running_sum": q_sql_running_sum,
     "sql_running_rows": q_sql_running_rows,
     "running_sum_ranged": q_running_sum_ranged,
@@ -3022,14 +3020,16 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "asof_join_orders_auto": q_asof_join_orders_auto,
     "bpe_encode_docs": q_bpe_encode_docs,
     # -- last driver-checked before r3 --
-    "sessionize_users": q_sessionize_users,
-    "conv_stats": q_conv_stats,
-    "conv_distinct_tools": q_conv_distinct_tools,
-    "hot_conv_roles": q_hot_conv_roles,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
     "flagship_enriched": q_flagship_enriched,
+    "sql_turn_latency": q_sql_turn_latency,
+    "sql_row_number": q_sql_row_number,
+    "sessionize_users": q_sessionize_users,
+    "conv_stats": q_conv_stats,
+    "conv_distinct_tools": q_conv_distinct_tools,
+    "hot_conv_roles": q_hot_conv_roles,
     # -- driver-green in r3 (rotation tail) --
     "select_where_project": q_select_where_project,
     "orderby_topn": q_orderby_topn,

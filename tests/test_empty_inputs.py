@@ -119,3 +119,40 @@ def test_lag_reassemble_kll_empty(ray_session):
     assert lag_shift(empty_turns, "conv_id", "turn_idx", ["text"]).count() == 0
     assert reassemble_conversations(empty_turns).count() == 0
     assert approx_quantiles(_empty_docs(), "doc_id") == []
+
+
+def test_bloom_cms_setops_empty(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+    from sqlgrep_ray.stages.bloom import bloom_semi_join
+    from sqlgrep_ray.stages.sketch import count_min_counts
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    empty = ray.data.from_arrow(
+        pa.table({"x": pa.array([], pa.int64()), "t": pa.array([], pa.string())})
+    )
+    keys = ray.data.from_arrow(pa.table({"x": pa.array([1, 2], pa.int64())}))
+    # empty corpus through both bloom directions
+    assert bloom_semi_join(empty, keys, "x").count() == 0
+    assert bloom_semi_join(empty, keys, "x", keep=False).count() == 0
+    # CMS over nothing: all queried counts zero
+    assert count_min_counts(empty, "t", ["a", "b"])["n"].to_pylist() == [0, 0]
+    # bounded-frame windows over nothing
+    assert (
+        partition_windows(
+            empty, "t", "x",
+            [WinFunc("run_max", "m", value_col="x", frame="rows", preceding=2)],
+            num_buckets=2,
+        ).count()
+        == 0
+    )
+    # UNION of two empty selects, WITH over empty
+    assert run_sql("SELECT x FROM a UNION ALL SELECT x FROM a", empty).count() == 0
+    assert (
+        run_sql(
+            "WITH c AS (SELECT x FROM a WHERE x > 0) SELECT x FROM c",
+            {"a": empty},
+        ).count()
+        == 0
+    )
