@@ -371,7 +371,13 @@ def _cast_value(v: Any, vt: VType, n: int) -> Any:
             return pc.divide(arr.cast(pa.int64()).cast(pa.float64()), 1e6)
     if k == "string":
         return pa.array([_format_value_display(x) for x in arr.to_pylist()], pa.string())
-    return arr.cast(vt.to_arrow())
+    tgt = vt.to_arrow()
+    if pa.types.is_floating(src) and pa.types.is_integer(tgt):
+        # reference float→int cast truncates toward zero (Rust `as i64`,
+        # expression_execution.rs) — Arrow's safe cast would error on any
+        # non-integral value instead
+        return pc.cast(pc.trunc(arr), tgt, safe=False)
+    return arr.cast(tgt)
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +428,189 @@ _FUNCS["round"] = _simple(
         round_mode="half_towards_infinity",
     )
 )
+
+
+# -- engine-extension scalar functions (beyond the reference's §2.3 set:
+# the common SQL string/math utilities a pipeline author expects; each is
+# one pyarrow kernel, DuckDB-parity semantics unless noted) -----------------
+
+_FUNCS["coalesce"] = _simple(pc.coalesce)
+_FUNCS["floor"] = _simple(pc.floor)
+_FUNCS["ceil"] = _simple(pc.ceil)
+_FUNCS["ceiling"] = _simple(pc.ceil)
+_FUNCS["exp"] = _simple(pc.exp)
+_FUNCS["ln"] = _simple(pc.ln)
+_FUNCS["log10"] = _simple(pc.log10)
+_FUNCS["log2"] = _simple(pc.log2)
+_FUNCS["sign"] = _simple(pc.sign)
+_FUNCS["reverse"] = _simple(pc.utf8_reverse)
+_FUNCS["starts_with"] = _simple(
+    lambda s, p: pc.starts_with(s, pattern=_lit_str(p, "starts_with"))
+)
+_FUNCS["ends_with"] = _simple(
+    lambda s, p: pc.ends_with(s, pattern=_lit_str(p, "ends_with"))
+)
+_FUNCS["contains"] = _simple(
+    lambda s, p: pc.match_substring(s, pattern=_lit_str(p, "contains"))
+)
+_FUNCS["replace"] = _simple(
+    lambda s, a, b: pc.replace_substring(
+        s, pattern=_lit_str(a, "replace"), replacement=_lit_str(b, "replace")
+    )
+)
+_FUNCS["repeat"] = _simple(pc.binary_repeat)
+# mod: C-style truncating remainder (sign of the dividend), int or float
+_FUNCS["mod"] = _simple(
+    lambda a, b: pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+)
+
+
+def _lit_str(v: Any, fname: str) -> str:
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    if not isinstance(v, str):
+        raise ValueError(f"{fname}() needs a string literal argument")
+    return v
+
+
+def _lit_int(v: Any, fname: str) -> int:
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise ValueError(f"{fname}() needs an integer literal argument")
+    return v
+
+
+@register_function("nullif")
+def _f_nullif(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    ak, bk = args
+
+    def k(t: pa.Table) -> Any:
+        a, b = ak(t), bk(t)
+        a_arr = _as_array(a, t.num_rows)
+        eq = pc.fill_null(pc.equal(a_arr, b), False)
+        return pc.if_else(eq, pa.scalar(None, a_arr.type), a_arr)
+
+    return k
+
+
+@register_function("concat")
+def _f_concat(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """String concatenation; NULL arguments become '' (DuckDB CONCAT)."""
+
+    def k(t: pa.Table) -> Any:
+        vals = [a(t) for a in args]
+        return pc.binary_join_element_wise(
+            *vals, "", null_handling="replace", null_replacement=""
+        )
+
+    return k
+
+
+def _f_substring(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """substring(s, start[, len]) — 1-based SQL start, codepoint units
+    (matches length()'s char-count convention); start/len literals."""
+
+    def k(t: pa.Table) -> Any:
+        s = args[0](t)
+        start = _lit_int(args[1](t), "substring")
+        if start < 1:
+            raise ValueError("substring() start is 1-based (>= 1)")
+        if len(args) == 2:
+            return pc.utf8_slice_codeunits(s, start=start - 1)
+        ln = _lit_int(args[2](t), "substring")
+        return pc.utf8_slice_codeunits(s, start=start - 1, stop=start - 1 + max(ln, 0))
+
+    return k
+
+
+_FUNCS["substring"] = _f_substring
+_FUNCS["substr"] = _f_substring
+
+
+@register_function("left")
+def _f_left(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    sk, nk = args
+
+    def k(t: pa.Table) -> Any:
+        n = _lit_int(nk(t), "left")
+        return pc.utf8_slice_codeunits(sk(t), start=0, stop=max(n, 0))
+
+    return k
+
+
+@register_function("right")
+def _f_right(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    sk, nk = args
+
+    def k(t: pa.Table) -> Any:
+        n = _lit_int(nk(t), "right")
+        s = sk(t)
+        if n <= 0:
+            return pc.utf8_slice_codeunits(s, start=0, stop=0)
+        return pc.utf8_slice_codeunits(s, start=-n)
+
+    return k
+
+
+def _f_trim_builder(whitespace_kernel, chars_kernel):
+    def build(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        def k(t: pa.Table) -> Any:
+            s = args[0](t)
+            if len(args) == 1:
+                return whitespace_kernel(s)
+            return chars_kernel(s, characters=_lit_str(args[1](t), "trim"))
+
+        return k
+
+    return build
+
+
+_FUNCS["trim"] = _f_trim_builder(pc.utf8_trim_whitespace, pc.utf8_trim)
+_FUNCS["ltrim"] = _f_trim_builder(pc.utf8_ltrim_whitespace, pc.utf8_ltrim)
+_FUNCS["rtrim"] = _f_trim_builder(pc.utf8_rtrim_whitespace, pc.utf8_rtrim)
+
+
+@register_function("strpos")
+def _f_strpos(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """1-based CHARACTER position of the first occurrence, 0 when absent
+    (DuckDB strpos). find_substring counts bytes, so multi-byte text
+    would drift — instead split once on the needle and measure the
+    prefix in codepoints."""
+    sk, pk = args
+
+    def k(t: pa.Table) -> Any:
+        pat = _lit_str(pk(t), "strpos")
+        s = sk(t)
+        parts = pc.split_pattern(s, pattern=pat, max_splits=1)
+        found = pc.greater(pc.list_value_length(parts), 1)
+        prefix_len = pc.utf8_length(pc.list_element(parts, 0))
+        return pc.if_else(
+            found, pc.add(prefix_len, 1), pc.multiply(prefix_len, 0)
+        )
+
+    return k
+
+
+@register_function("split_part")
+def _f_split_part(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """split_part(s, sep, n) — 1-based field; '' past the last field
+    (DuckDB). Implemented collision-free for any literal separator by
+    padding each string with n extra separators before the split, so
+    list_element never sees a too-short list."""
+    sk, sepk, nk = args
+
+    def k(t: pa.Table) -> Any:
+        sep = _lit_str(sepk(t), "split_part")
+        n = _lit_int(nk(t), "split_part")
+        if not sep or n < 1:
+            raise ValueError("split_part() needs a non-empty separator, n >= 1")
+        s = sk(t)
+        padded = pc.binary_join_element_wise(s, sep * n, "")
+        parts = pc.split_pattern(padded, pattern=sep)
+        return pc.list_element(parts, n - 1)
+
+    return k
 
 
 @register_function("regexp_matches")

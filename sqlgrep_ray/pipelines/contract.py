@@ -1928,6 +1928,49 @@ ORDER BY source
 """
 
 
+_SCALAR_EXT_SQL = """
+SELECT doc_id,
+       concat(upper(left(lang, 1)), '-', source) AS tag,
+       coalesce(nullif(lang, 'und'), 'unknown') AS lang2,
+       substring(text, 1, 12) AS head,
+       replace(lang, 'e', 'E') AS lang3,
+       strpos(text, 'the') AS pos_the,
+       split_part(source, 'c', 2) AS src_tail,
+       starts_with(text, 'the') AS t0,
+       contains(text, 'data') AS has_data,
+       reverse(lang) AS gnal,
+       CAST(sign(n_chars - 500) AS BIGINT) AS size_sign,
+       mod(n_chars, 7) AS m7,
+       CAST(floor(n_chars / 3.0) AS BIGINT) AS third
+FROM documents
+WHERE right(source, 1) = '3' OR ends_with(source, '7')
+"""
+
+
+def q_sql_scalar_ext(sf_dir: str) -> Result:
+    """The engine-extension scalar-function family (round-4 addition:
+    coalesce/nullif/concat/substring/replace/trim family/starts_with/
+    ends_with/contains/strpos/split_part/left/right/reverse/floor/ceil/
+    sign/mod/repeat/ln/log2/log10/exp — each ONE pyarrow kernel,
+    exprs.py) exercised in one projection+filter over documents; the
+    identical SQL runs on DuckDB. strpos counts CHARACTERS (multi-byte
+    safe); split_part returns '' past the last field."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        _SCALAR_EXT_SQL.replace("documents", "docs"),
+        {
+            "docs": _t(
+                sf_dir, "documents",
+                ["doc_id", "text", "lang", "source", "n_chars"],
+            )
+        },
+    )
+
+
+SQL_SQL_SCALAR_EXT = _SCALAR_EXT_SQL
+
+
 def q_sql_scalar_subquery(sf_dir: str) -> Result:
     """Scalar subqueries through the SQL dialect (round-4 extension):
     ``(SELECT AVG(…))`` evaluates once to a literal spliced into the
@@ -2981,6 +3024,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_in_subquery": q_sql_in_subquery,
     "sql_moving_window": q_sql_moving_window,
     "sql_scalar_subquery": q_sql_scalar_subquery,
+    "sql_scalar_ext": q_sql_scalar_ext,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -3092,6 +3136,7 @@ ORACLES: dict[str, str] = {
     "sql_in_subquery": SQL_SQL_IN_SUBQUERY,
     "sql_moving_window": SQL_SQL_MOVING_WINDOW,
     "sql_scalar_subquery": SQL_SQL_SCALAR_SUBQUERY,
+    "sql_scalar_ext": SQL_SQL_SCALAR_EXT,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -286,13 +286,21 @@ def flagship(
     When ``out_dir`` is given the routed rows are also fanned out to
     per-sink Parquet directories.
     """
-    # one block per shard file: avoids the SplitBlocks operator, which breaks
-    # read→map fusion and doubles object-store traffic for the raw text blocks
+    # block sizing: never MORE blocks than shard files (a SplitBlocks
+    # operator breaks read→map fusion and doubles object-store traffic for
+    # the raw text blocks), but also never more than ~4 tasks per CPU —
+    # at 800 shards, one-block-per-file pays ~3 s of pure task overhead
+    # per stage at 32 CPUs (round-4 block-size sweep in BASELINE.md:
+    # 800 blocks 7.6 s vs 128 blocks 4.6 s for the same pipeline)
     n_files = len(
         [f for f in os.listdir(transcripts_dir) if f.endswith(".parquet")]
     )
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
     ds = ray.data.read_parquet(
-        transcripts_dir, override_num_blocks=max(1, n_files)
+        transcripts_dir, override_num_blocks=max(1, min(n_files, cpus * 4))
     )
     routed = enrich_tools(parse_and_route(ds), lookup)
     if out_dir is not None:

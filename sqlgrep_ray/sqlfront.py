@@ -790,6 +790,14 @@ class Parser:
             return Lit(None)
         if lname == "case":
             return self._parse_case()
+        if lname == "cast" and self.at_op("("):
+            # standard CAST(expr AS TYPE) — sugar for the dialect's ::
+            self.expect_op("(")
+            e = self.parse_expr()
+            self.expect_kw("as")
+            vt = self._parse_type()
+            self.expect_op(")")
+            return Cast(e, vt)
         if lname == "exists" and self.at_op("("):
             # [NOT] EXISTS (SELECT …): NOT composes via the unary NOT
             self.expect_op("(")

@@ -1,0 +1,126 @@
+"""Engine-extension scalar functions (beyond the reference §2.3 set):
+DuckDB-parity battery over strings with NULLs/unicode and ints with
+negatives/zeros. Each function is one pyarrow kernel (exprs.py)."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from sqlgrep_ray.functions.exprs import CompileCtx, compile_expr
+from sqlgrep_ray.sqlfront import Parser
+
+T = pa.table(
+    {
+        "s": pa.array(
+            ["hello world", "a,b,c", "", None, "  pad  ", "héllo", "x,y"]
+        ),
+        "x": pa.array([5, -7, 0, None, 12, 3, -1], pa.int64()),
+        "y": pa.array([3, 3, 3, 3, 5, 2, 4], pa.int64()),
+        "f": pa.array([1.5, -2.5, 0.0, None, 3.25, -0.75, 9.0]),
+    }
+)
+
+CASES = [
+    "coalesce(s, 'none')",
+    "coalesce(x, y)",
+    "nullif(x, 0)",
+    "nullif(s, '')",
+    "concat(s, '!', s)",  # NULL args -> '' (DuckDB CONCAT)
+    "substring(s, 2, 3)",
+    "substr(s, 3)",
+    "replace(s, 'l', 'LL')",
+    "trim(s)",
+    "ltrim(s)",
+    "rtrim(s)",
+    "trim(s, 'dp ')",
+    "starts_with(s, 'he')",
+    "ends_with(s, 'c')",
+    "contains(s, ',')",
+    "strpos(s, 'l')",  # char positions, not bytes (héllo)
+    "strpos(s, ',')",
+    "split_part(s, ',', 1)",
+    "split_part(s, ',', 2)",
+    "split_part(s, ',', 9)",  # past the last field -> ''
+    "floor(f)",
+    "ceil(f)",
+    "ceiling(f)",
+    "sign(x)",
+    "sign(f)",
+    "mod(x, y)",  # C-style remainder, sign of dividend
+    "reverse(s)",
+    "repeat(s, 2)",
+    "left(s, 3)",
+    "right(s, 3)",
+    "ln(y)",
+    "log2(y)",
+    "log10(y)",
+    "exp(y)",
+]
+
+
+def _norm(v):
+    return round(v, 9) if isinstance(v, float) else v
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_scalar_ext_matches_duckdb(case):
+    e = Parser(f"SELECT {case} AS r FROM t").parse_query().plan.projections[0].expr
+    got = compile_expr(e, CompileCtx())(T)
+    if isinstance(got, pa.Scalar):
+        got = [got.as_py()] * T.num_rows
+    else:
+        got = got.to_pylist()
+    con = duckdb.connect()
+    con.register("t", T.to_pandas())
+    exp = [r[0] for r in con.execute(f"SELECT {case} FROM t").fetchall()]
+    con.close()
+    if case.startswith("split_part"):
+        # documented divergence: NULL input stays NULL (Postgres
+        # semantics); DuckDB coerces NULL -> ''
+        exp = [None if s is None else e for s, e in zip(T["s"].to_pylist(), exp)]
+    assert [_norm(v) for v in got] == [_norm(v) for v in exp], case
+
+
+def test_scalar_ext_literal_requirements():
+    for bad in [
+        "substring(s, x)",  # non-literal start
+        "split_part(s, s, 1)",  # non-literal separator
+        "replace(s, x, 'a')",  # non-literal pattern
+    ]:
+        e = Parser(f"SELECT {bad} AS r FROM t").parse_query().plan.projections[0].expr
+        with pytest.raises(ValueError, match="literal"):
+            compile_expr(e, CompileCtx())(T)
+
+
+def test_scalar_ext_through_runner(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT concat(upper(left(s, 2)), '-', coalesce(nullif(s, ''), '?')) "
+        "AS tag FROM t WHERE contains(s, 'l') ORDER BY tag"
+    ).plan
+    out = run_plan(ray.data.from_arrow(T), plan).take_all()
+    assert out == [
+        {"tag": "HE-hello world"},
+        {"tag": "HÉ-héllo"},
+    ]
+
+
+def test_cast_function_syntax(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        # ORDER BY binds to OUTPUT columns (dialect contract), so sort on i
+        "SELECT CAST(f AS INT) AS i, CAST(x AS TEXT) AS s FROM t "
+        "WHERE x IS NOT NULL ORDER BY i, s LIMIT 2"
+    ).plan
+    out = run_plan(ray.data.from_arrow(T), plan).take_all()
+    # float->int truncates toward zero (reference Rust `as i64`):
+    # f=-2.5 -> -2 (x=-7); f=0.0 -> 0 (x=0)
+    assert out == [{"i": -2, "s": "-7"}, {"i": 0, "s": "0"}]
