@@ -571,6 +571,29 @@ _FUNCS["ltrim"] = _f_trim_builder(pc.utf8_ltrim_whitespace, pc.utf8_ltrim)
 _FUNCS["rtrim"] = _f_trim_builder(pc.utf8_rtrim_whitespace, pc.utf8_rtrim)
 
 
+def _f_like_builder(ignore_case: bool):
+    """SQL LIKE / ILIKE (%, _ wildcards, backslash escapes) — parser
+    desugars ``s [NOT] LIKE 'pat'`` into this; NULL input ⇒ false
+    (reference NULL⇒false comparison semantics, same as
+    regexp_matches)."""
+
+    def build(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        sk, pk = args
+
+        def k(t: pa.Table) -> Any:
+            pat = _lit_str(pk(t), "like")
+            res = pc.match_like(sk(t), pattern=pat, ignore_case=ignore_case)
+            return pc.fill_null(res, False)
+
+        return k
+
+    return build
+
+
+_FUNCS["_like"] = _f_like_builder(False)
+_FUNCS["_ilike"] = _f_like_builder(True)
+
+
 @register_function("strpos")
 def _f_strpos(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     """1-based CHARACTER position of the first occurrence, 0 when absent

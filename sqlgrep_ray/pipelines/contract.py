@@ -1947,6 +1947,31 @@ WHERE right(source, 1) = '3' OR ends_with(source, '7')
 """
 
 
+SQL_SQL_LIKE_BETWEEN = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE (lang LIKE 'e%' OR source ILIKE 'SRC1%')
+  AND n_chars BETWEEN 100 AND 2000
+  AND source NOT LIKE '%9'
+"""
+
+
+def q_sql_like_between(sf_dir: str) -> Result:
+    """LIKE / ILIKE / NOT LIKE and BETWEEN through the SQL dialect
+    (round-4 extension; pc.match_like kernels, BETWEEN desugars to
+    ge∧le). Columns are non-null so the engine's NULL⇒false comparison
+    semantics and SQL's NULL agree — identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        SQL_SQL_LIKE_BETWEEN.replace("documents", "docs"),
+        {
+            "docs": _t(
+                sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+            )
+        },
+    )
+
+
 def q_sql_scalar_ext(sf_dir: str) -> Result:
     """The engine-extension scalar-function family (round-4 addition:
     coalesce/nullif/concat/substring/replace/trim family/starts_with/
@@ -3025,6 +3050,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_moving_window": q_sql_moving_window,
     "sql_scalar_subquery": q_sql_scalar_subquery,
     "sql_scalar_ext": q_sql_scalar_ext,
+    "sql_like_between": q_sql_like_between,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
     "trailing_window": q_trailing_window,
@@ -3137,6 +3163,7 @@ ORACLES: dict[str, str] = {
     "sql_moving_window": SQL_SQL_MOVING_WINDOW,
     "sql_scalar_subquery": SQL_SQL_SCALAR_SUBQUERY,
     "sql_scalar_ext": SQL_SQL_SCALAR_EXT,
+    "sql_like_between": SQL_SQL_LIKE_BETWEEN,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

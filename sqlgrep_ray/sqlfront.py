@@ -191,7 +191,7 @@ Statement = Union[TableDef, Query, SetQuery, WithQuery]
 _PRECEDENCE = {
     "or": 1, "and": 2,
     "=": 4, "!=": 4, "<>": 4, "<": 4, "<=": 4, ">": 4, ">=": 4,
-    "is": 4, "in": 4,
+    "is": 4, "in": 4, "like": 4, "ilike": 4, "between": 4,
     "+": 5, "-": 5, "*": 6, "/": 6,
 }
 _CMP_OPS = {"=": "eq", "!=": "ne", "<>": "ne", "<": "lt", "<=": "le",
@@ -679,13 +679,20 @@ class Parser:
             opname: Optional[str] = None
             if t.kind == "op" and t.value in _PRECEDENCE:
                 opname = t.value
-            elif t.kind == "ident" and t.value.lower() in ("and", "or", "is", "in", "not"):
+            elif t.kind == "ident" and t.value.lower() in (
+                "and", "or", "is", "in", "not", "like", "ilike", "between",
+            ):
                 lv = t.value.lower()
                 if lv == "not":
-                    # only as part of NOT IN
+                    # only as part of NOT IN / NOT LIKE / NOT BETWEEN
                     nxt = self.peek(1)
-                    if nxt is not None and nxt.kind == "ident" and nxt.value.lower() == "in":
-                        opname = "in"  # handled below with negation
+                    follow = (
+                        nxt.value.lower()
+                        if nxt is not None and nxt.kind == "ident"
+                        else None
+                    )
+                    if follow in ("in", "like", "ilike", "between"):
+                        opname = follow  # handled below with negation
                     else:
                         break
                 else:
@@ -699,6 +706,24 @@ class Parser:
                 negated = self.eat_kw("not")
                 right = self.parse_expr(prec + 1)
                 left = Bin("is_not" if negated else "is", left, right)
+                continue
+            if opname in ("like", "ilike"):
+                negated = self.eat_kw("not")
+                self.next()  # LIKE / ILIKE
+                pat = self.parse_expr(prec + 1)
+                e = Func(f"_{opname}", (left, pat))
+                left = Un("not", e) if negated else e
+                continue
+            if opname == "between":
+                negated = self.eat_kw("not")
+                self.expect_kw("between")
+                # bounds parse ABOVE comparison precedence so the
+                # connecting AND is not consumed as a conjunction
+                lo = self.parse_expr(5)
+                self.expect_kw("and")
+                hi = self.parse_expr(5)
+                e = Bin("and", Bin("ge", left, lo), Bin("le", left, hi))
+                left = Un("not", e) if negated else e
                 continue
             if opname == "in":
                 negated = False

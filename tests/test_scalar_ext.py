@@ -124,3 +124,36 @@ def test_cast_function_syntax(ray_session):
     # float->int truncates toward zero (reference Rust `as i64`):
     # f=-2.5 -> -2 (x=-7); f=0.0 -> 0 (x=0)
     assert out == [{"i": -2, "s": "-7"}, {"i": 0, "s": "0"}]
+
+
+def test_like_between_vs_duckdb():
+    con = duckdb.connect()
+    con.register("t", T.to_pandas())
+    cases = [
+        "s LIKE 'he%'",
+        "s LIKE '%l%'",
+        "s ILIKE 'HE%'",
+        "s NOT LIKE 'he%'",
+        "x BETWEEN 3 AND 7",
+        "x NOT BETWEEN 3 AND 7",
+        "x BETWEEN 1 + 1 AND 10 - 2",
+    ]
+    for c in cases:
+        e = Parser(f"SELECT {c} AS r FROM t").parse_query().plan.projections[0].expr
+        got = compile_expr(e, CompileCtx())(T).to_pylist()
+        exp = [r[0] for r in con.execute(f"SELECT {c} FROM t").fetchall()]
+        # engine NULL => false (reference NULL=>false comparisons); for
+        # LIKE the parser wraps NOT around the filled value, so NULL rows
+        # come out True under NOT LIKE — normalize SQL's NULL to match
+        # NULL under a negated predicate comes out True (NOT false)
+        exp = [("NOT" in c) if v is None else v for v in exp]
+        assert got == exp, c
+    con.close()
+
+
+def test_between_precedence_with_and():
+    # BETWEEN's connecting AND must not swallow a following conjunction
+    e = Parser(
+        "SELECT a FROM t WHERE x BETWEEN 1 AND 5 AND y = 2"
+    ).parse_query().plan.where
+    assert e.op == "and" and e.right.op == "eq"
