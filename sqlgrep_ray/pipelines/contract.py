@@ -3073,12 +3073,10 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "scrub_pii_docs": q_scrub_pii_docs,
     "quality_counts_docs": q_quality_counts_docs,
     "approx_distinct_users": q_approx_distinct_users,
-    "kmeans_clusters": q_kmeans_clusters,
     "semdedup_emb": q_semdedup_emb,
     "heavy_tokens_docs": q_heavy_tokens_docs,
     "pack_docs": q_pack_docs,
     "lm_oov_docs": q_lm_oov_docs,
-    "dsir_weights": q_dsir_weights,
     "inverted_df": q_inverted_df,
     "index_search": q_index_search,
     "ranked_search": q_ranked_search,
@@ -3096,6 +3094,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "flagship_enriched": q_flagship_enriched,
     "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,
+    "kmeans_clusters": q_kmeans_clusters,
+    "dsir_weights": q_dsir_weights,
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
