@@ -191,6 +191,14 @@ def _sf_label(sf: float) -> str:
     return f"sf{sf:g}"
 
 
+# beyond ~20M rows one generated table overflows Arrow's 2 GiB string
+# offsets (and the texts list gets huge), so large corpora generate in
+# independent SEGMENTS: each derives from (seed + k) and gets a
+# per-segment conv-id prefix so conversation keys stay globally unique.
+# The single-table path is kept byte-identical for the existing scales.
+SEG_ROWS = 6_000_000
+
+
 def ensure_transcripts(
     sf: float, root: str = CACHE_ROOT, seed: int = SEED, force: bool = False
 ) -> str:
@@ -204,20 +212,50 @@ def ensure_transcripts(
     if os.path.exists(done) and not force:
         return out_dir
     n_rows = int(ROWS_PER_SF * sf)
-    tbl = generate_transcripts(n_rows, seed)
     os.makedirs(out_dir, exist_ok=True)
     # 18.75k rows/shard: ~0.15 s of parse work per task — fine-grained
     # enough that 32 cpus stay packed even at sf0.1 (29 shards) and wave
     # quantization at larger scales stays under a few percent
     shard_rows = 18_750
-    n_shards = max(1, (n_rows + shard_rows - 1) // shard_rows)
-    for i in range(n_shards):
-        part = tbl.slice(i * shard_rows, shard_rows)
-        pq.write_table(
-            part,
-            os.path.join(out_dir, f"shard-{i:05d}.parquet"),
-            row_group_size=32_768,
-        )
+    seg_rows = SEG_ROWS
+    n_shards = 0
+    if n_rows <= seg_rows:
+        segments = [(generate_transcripts(n_rows, seed), None)]
+    else:
+        segments = None  # generated lazily below
+    if segments is not None:
+        for tbl, _ in segments:
+            for i in range(max(1, (tbl.num_rows + shard_rows - 1) // shard_rows)):
+                part = tbl.slice(i * shard_rows, shard_rows)
+                pq.write_table(
+                    part,
+                    os.path.join(out_dir, f"shard-{n_shards:05d}.parquet"),
+                    row_group_size=32_768,
+                )
+                n_shards += 1
+    else:
+        import pyarrow.compute as _pc
+
+        for k, off in enumerate(range(0, n_rows, seg_rows)):
+            seg_n = min(seg_rows, n_rows - off)
+            tbl = generate_transcripts(seg_n, seed + 1009 * (k + 1))
+            ci = tbl.schema.get_field_index("conv_id")
+            tbl = tbl.set_column(
+                ci,
+                "conv_id",
+                _pc.replace_substring(
+                    tbl["conv_id"], pattern="conv-", replacement=f"conv{k}-"
+                ),
+            )
+            for i in range(max(1, (seg_n + shard_rows - 1) // shard_rows)):
+                part = tbl.slice(i * shard_rows, shard_rows)
+                pq.write_table(
+                    part,
+                    os.path.join(out_dir, f"shard-{n_shards:05d}.parquet"),
+                    row_group_size=32_768,
+                )
+                n_shards += 1
+            del tbl
     with open(done, "w") as f:
         f.write(f"rows={n_rows} seed={seed} shards={n_shards}\n")
     return out_dir

@@ -233,3 +233,26 @@ def test_route_to_sinks_partitioned(ray_session, tiny_dir, tmp_path):
     flagship(tiny_dir, out_dir=out)
     parts = {d for d in os.listdir(out) if d.startswith("sink=")}
     assert parts == {"sink=ftpd", "sink=ssh", "sink=clients", "sink=csv"}
+
+
+def test_segmented_generation_unique_convs(tmp_path, monkeypatch):
+    """Large-corpus segmented generation: globally unique conv ids across
+    segments, full row count, shard numbering continuous."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sqlgrep_ray.sources import synth
+
+    monkeypatch.setattr(synth, "SEG_ROWS", 400)
+    d = synth.ensure_transcripts(
+        1000 / synth.ROWS_PER_SF, root=str(tmp_path), force=True
+    )
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    tbl = pq.read_table(d)
+    assert tbl.num_rows == 1000
+    convs = set(tbl["conv_id"].to_pylist())
+    # per-segment prefixes conv0-/conv1-/conv2- all present, no collisions
+    prefixes = {c.split("-")[0] for c in convs}
+    assert prefixes == {"conv0", "conv1", "conv2"}
+    assert len(files) >= 3
