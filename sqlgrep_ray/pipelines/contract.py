@@ -2205,6 +2205,41 @@ def q_conv_latency_p90(sf_dir: str) -> Result:
     )
 
 
+def q_grouped_kll_chars(sf_dir: str) -> Result:
+    """Per-key KLL quantiles (round-4 addition,
+    sketch.grouped_approx_quantiles) in the EXACT regime: every
+    (lang) key holds ≤ k values at sf0.01, so no compaction fires and
+    the weighted gather reproduces the truncation-index percentile rule
+    per key — hash-exact vs DuckDB's ROW_NUMBER replay. The scale twin
+    of grouped_percentile: a hot key's state is O(k·log n), never its
+    full value set."""
+    from sqlgrep_ray.stages.sketch import grouped_approx_quantiles
+
+    return grouped_approx_quantiles(
+        _t(sf_dir, "documents", ["lang", "n_chars"]),
+        "lang",
+        "n_chars",
+        qs=(0.5, 0.9),
+        k=2048,
+    )
+
+
+SQL_GROUPED_KLL_CHARS = """
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT lang,
+       MAX(CASE WHEN rn = 1 + LEAST(CAST(FLOOR(0.5 * n) AS BIGINT), n - 1)
+                THEN v END) AS q50,
+       MAX(CASE WHEN rn = 1 + LEAST(CAST(FLOOR(0.9 * n) AS BIGINT), n - 1)
+                THEN v END) AS q90
+FROM ranked GROUP BY lang
+"""
+
+
 SQL_CONV_LATENCY_P90 = f"""
 WITH lat AS (
   SELECT conv_id,
@@ -3051,9 +3086,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_scalar_subquery": q_sql_scalar_subquery,
     "sql_scalar_ext": q_sql_scalar_ext,
     "sql_like_between": q_sql_like_between,
-    "hopping_window": q_hopping_window,
-    "assign_sessions": q_assign_sessions,
-    "trailing_window": q_trailing_window,
+    "grouped_kll_chars": q_grouped_kll_chars,
     "conv_tools_hll": q_conv_tools_hll,
     "turn_latency": q_turn_latency,
     "sql_running_sum": q_sql_running_sum,
@@ -3061,30 +3094,20 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "running_sum_ranged": q_running_sum_ranged,
     "sql_qualify_dedup": q_sql_qualify_dedup,
     "sql_global_window": q_sql_global_window,
-    "sql_rank_ties": q_sql_rank_ties,
-    "sql_ntile": q_sql_ntile,
-    "conv_latency_p90": q_conv_latency_p90,
-    "reassemble_convs": q_reassemble_convs,
     "kll_quantiles": q_kll_quantiles,
-    "latency_quantiles": q_latency_quantiles,
     "mixture_sample_docs": q_mixture_sample_docs,
-    "decontam_docs": q_decontam_docs,
     "top_tokens_docs": q_top_tokens_docs,
     "scrub_pii_docs": q_scrub_pii_docs,
     "quality_counts_docs": q_quality_counts_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "semdedup_emb": q_semdedup_emb,
     "heavy_tokens_docs": q_heavy_tokens_docs,
-    "pack_docs": q_pack_docs,
     "lm_oov_docs": q_lm_oov_docs,
     "inverted_df": q_inverted_df,
     "index_search": q_index_search,
     "ranked_search": q_ranked_search,
     "bpe_counts": q_bpe_counts,
     "grouped_sample": q_grouped_sample,
-    "connected_components": q_connected_components,
-    "repetition_docs": q_repetition_docs,
-    "segment_dedup_docs": q_segment_dedup_docs,
     "asof_join_orders_auto": q_asof_join_orders_auto,
     "bpe_encode_docs": q_bpe_encode_docs,
     # -- last driver-checked before r3 --
@@ -3095,6 +3118,19 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,
     "kmeans_clusters": q_kmeans_clusters,
+    "hopping_window": q_hopping_window,
+    "assign_sessions": q_assign_sessions,
+    "trailing_window": q_trailing_window,
+    "decontam_docs": q_decontam_docs,
+    "connected_components": q_connected_components,
+    "pack_docs": q_pack_docs,
+    "reassemble_convs": q_reassemble_convs,
+    "latency_quantiles": q_latency_quantiles,
+    "conv_latency_p90": q_conv_latency_p90,
+    "segment_dedup_docs": q_segment_dedup_docs,
+    "repetition_docs": q_repetition_docs,
+    "sql_rank_ties": q_sql_rank_ties,
+    "sql_ntile": q_sql_ntile,
     "dsir_weights": q_dsir_weights,
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
@@ -3164,6 +3200,7 @@ ORACLES: dict[str, str] = {
     "sql_scalar_subquery": SQL_SQL_SCALAR_SUBQUERY,
     "sql_scalar_ext": SQL_SQL_SCALAR_EXT,
     "sql_like_between": SQL_SQL_LIKE_BETWEEN,
+    "grouped_kll_chars": SQL_GROUPED_KLL_CHARS,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -503,6 +503,149 @@ def approx_quantiles(
     return out
 
 
+def _kll_compact_per_key(
+    keys: np.ndarray, v: np.ndarray, lv: np.ndarray, k: int
+):
+    """Compact only the keys holding more than ``k`` retained values
+    (keys must be sorted; values stay grouped by key). Small keys pass
+    through untouched — the common case costs one bincount."""
+    if len(keys) == 0:
+        return keys, v, lv
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    seg_id = np.cumsum(change) - 1
+    counts = np.bincount(seg_id)
+    if (counts <= k).all():
+        return keys, v, lv
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    out_k, out_v, out_l = [], [], []
+    small = np.repeat(counts <= k, counts)
+    out_k.append(keys[small])
+    out_v.append(v[small])
+    out_l.append(lv[small])
+    for s in np.flatnonzero(counts > k):
+        sl = slice(starts[s], starts[s] + counts[s])
+        cv, cl = _kll_compact(v[sl].copy(), lv[sl].copy(), k)
+        out_k.append(np.repeat(keys[starts[s]], len(cv)))
+        out_v.append(cv)
+        out_l.append(cl)
+    return (
+        np.concatenate(out_k),
+        np.concatenate(out_v),
+        np.concatenate(out_l).astype(np.int8),
+    )
+
+
+def grouped_approx_quantiles(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    qs=(0.5, 0.9, 0.99),
+    k: int = 512,
+    num_buckets: "int | None" = None,
+    merge_rows: int = 65536,
+) -> "ray.data.Dataset":
+    """Per-key approximate quantiles via mergeable KLL partials — the
+    SCALE twin of ``quantile.grouped_percentile``: the exact path holds
+    every value of a key in one bucket task, this one bounds a key's
+    state at O(k·log) retained (value, level) pairs however many rows it
+    has. One narrow (key, value, level) stream, per-key compaction only
+    where a key exceeds ``k`` in a block/batch (the common key passes
+    through untouched), ONE key-hash bucket exchange, then a fully
+    vectorized weighted-quantile gather per bucket (no Python call per
+    key).
+
+    Below ``k`` values per key nothing ever compacts, so the answer is
+    EXACT and reproduces the truncation-index rule (0-based
+    ``floor(q*N)`` — the reference PERCENTILE contract); the driver
+    oracle runs in that regime. NULL values drop per key; NULL keys form
+    one group. Output: one row per key, columns ``(key, q<percent>…)``."""
+    from sqlgrep_ray.stages.window import _bucket_ids, _key_change_mask, resolve_buckets
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("quantiles must be in [0, 1]")
+    num_buckets = resolve_buckets(num_buckets, ds)
+    out_names = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def _compact_table(t: pa.Table, with_level: bool) -> pa.Table:
+        karr = t[key].combine_chunks()
+        order = pc.sort_indices(pa.table({"k": karr}), [("k", "ascending")])
+        onp = order.to_numpy(zero_copy_only=False)
+        keys_np = karr.take(order).to_numpy(zero_copy_only=False)
+        v = (
+            t[value_col].combine_chunks().take(order)
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        if with_level:
+            lv = (
+                t["level"].combine_chunks().take(order)
+                .to_numpy(zero_copy_only=False).astype(np.int8)
+            )
+        else:
+            lv = np.zeros(len(v), dtype=np.int8)
+        keys_np, v, lv = _kll_compact_per_key(keys_np, v, lv, k)
+        return pa.table(
+            {
+                key: pa.array(keys_np, karr.type),
+                value_col: pa.array(v),
+                "level": pa.array(lv),
+            }
+        )
+
+    def block(t: pa.Table) -> pa.Table:
+        t = t.select([key, value_col]).filter(pc.is_valid(t[value_col]))
+        return _compact_table(t, with_level=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return _compact_table(t, with_level=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
+
+    def bucket_q(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        karr0 = g[key].combine_chunks()
+        if n == 0:
+            cols = {key: karr0[:0]}
+            for name in out_names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        order = pc.sort_indices(
+            g, [(key, "ascending"), (value_col, "ascending")]
+        )
+        g = g.take(order)
+        karr = g[key].combine_chunks()
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        w = np.exp2(
+            g["level"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ).astype(np.int64)
+        change = _key_change_mask(karr, n)
+        starts = np.flatnonzero(change)
+        seg_base = np.repeat(np.r_[0, np.cumsum(w)[starts[1:] - 1]], np.diff(np.r_[starts, n]))
+        cum_incl = np.cumsum(w) - seg_base  # within-key inclusive weight
+        cum_excl = cum_incl - w
+        totals = np.repeat(cum_incl[np.r_[starts[1:] - 1, n - 1]], np.diff(np.r_[starts, n]))
+        cols = {key: karr.take(pa.array(starts))}
+        for q, name in zip(qs, out_names):
+            t_pos = np.minimum(
+                np.floor(q * totals).astype(np.int64), totals - 1
+            )
+            hit = (t_pos >= cum_excl) & (t_pos < cum_incl)
+            cols[name] = pa.array(v[hit])
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(combine, batch_format="pyarrow", batch_size=merge_rows)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_q, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch — mergeable point-frequency summary (Cormode &
 # Muthukrishnan 2005), with an HLL++-style SPARSE-EXACT regime: while a

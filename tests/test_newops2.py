@@ -532,3 +532,77 @@ def test_count_min_empty_and_single_block(ray_session):
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
     t = count_min_counts(empty, "v", ["x"])
     assert t["n"].to_pylist() == [0]
+
+
+def test_grouped_kll_exact_regime_matches_exact_path(ray_session):
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.quantile import grouped_percentile
+    from sqlgrep_ray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 100, n),
+            "v": rng.integers(-1000, 1000, n).astype("float64"),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    approx = {
+        r["k"]: (r["q50"], r["q90"])
+        for r in grouped_approx_quantiles(
+            ds, "k", "v", qs=(0.5, 0.9), k=512, num_buckets=4
+        ).take_all()
+    }
+    e50 = {
+        r["k"]: r["percentile"]
+        for r in grouped_percentile(ds, "k", "v", 0.5, num_buckets=4).take_all()
+    }
+    e90 = {
+        r["k"]: r["percentile"]
+        for r in grouped_percentile(ds, "k", "v", 0.9, num_buckets=4).take_all()
+    }
+    assert len(approx) == 100
+    assert all(
+        approx[k] == (e50[k], e90[k]) for k in e50
+    )  # ≤ k values per key ⇒ EXACT
+
+
+def test_grouped_kll_hot_key_bounded_error(ray_session):
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.standard_normal(300_000) * 100
+    t = pa.table({"k": np.zeros(300_000, np.int64), "v": vals})
+    ds = ray.data.from_arrow(t).repartition(16)
+    row = grouped_approx_quantiles(
+        ds, "k", "v", qs=(0.5, 0.99), k=256, num_buckets=2
+    ).take_all()[0]
+    sv = np.sort(vals)
+    for q, name in ((0.5, "q50"), (0.99, "q99")):
+        rank = np.searchsorted(sv, row[name]) / len(sv)
+        assert abs(rank - q) < 2 / 256  # KLL rank-error bound, empirical
+
+
+def test_grouped_kll_nulls(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_approx_quantiles
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", None, "b", None]),
+            "v": pa.array([1.0, None, 5.0, 2.0, 7.0]),
+        }
+    )
+    rows = grouped_approx_quantiles(
+        ray.data.from_arrow(t), "k", "v", qs=(0.5,), num_buckets=2
+    ).take_all()
+    got = {r["k"]: r["q50"] for r in rows}
+    # null value dropped for 'a'; null keys ONE group, q50 of [5,7] ⇒ 7
+    assert got == {"a": 1.0, "b": 2.0, None: 7.0}
