@@ -409,11 +409,12 @@ def run_select(
                             preceding=getattr(w, "preceding", None),
                         )
                     )
-                elif w.func in ("first_value", "last_value"):
+                elif w.func in ("first_value", "last_value", "nth_value"):
                     funcs.append(
                         WinFunc(
                             w.func, w.out_col, value_col=w.value_col,
                             frame=w.frame,
+                            param=w.offset if w.func == "nth_value" else None,
                         )
                     )
                 else:  # run_sum / run_avg / run_count / run_min / run_max

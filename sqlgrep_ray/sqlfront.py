@@ -865,7 +865,7 @@ class Parser:
             if fname in (
                 "lag", "lead", "row_number", "rank", "dense_rank",
                 "percent_rank", "cume_dist", "first_value", "last_value",
-                "ntile",
+                "ntile", "nth_value",
             ):
                 # ENGINE EXTENSION: LAG/LEAD(col[, offset]) /
                 # FIRST_VALUE(col) / ROW_NUMBER() / RANK() / DENSE_RANK()
@@ -896,6 +896,18 @@ class Parser:
                             f"{fname}() needs a plain column argument"
                         )
                     value = args[0].name
+                    if fname == "nth_value":
+                        if (
+                            len(args) != 2
+                            or not isinstance(args[1], Lit)
+                            or not isinstance(args[1].value, int)
+                            or args[1].value < 1
+                        ):
+                            raise SqlError(
+                                "nth_value(col, n) needs a positive "
+                                "integer literal n"
+                            )
+                        offset = int(args[1].value)
                     if len(args) >= 2 and fname in ("lag", "lead"):
                         if not isinstance(args[1], Lit) or not isinstance(
                             args[1].value, int
@@ -917,7 +929,7 @@ class Parser:
                             raise SqlError(
                                 f"{fname}() takes (column[, offset[, default]])"
                             )
-                    elif len(args) > 1:
+                    elif len(args) > 1 and fname != "nth_value":
                         raise SqlError(f"{fname}() takes (column[, offset])")
                 self.expect_kw("over")
                 self.expect_op("(")
@@ -933,7 +945,7 @@ class Parser:
                 order = self.expect_ident()
                 frame, preceding = self.parse_frame_clause()
                 if (frame != "range" or preceding is not None) and fname not in (
-                    "first_value", "last_value"
+                    "first_value", "last_value", "nth_value"
                 ):
                     raise SqlError(
                         "frame clauses apply only to running aggregates "

@@ -549,6 +549,7 @@ _WIN_FUNCS = frozenset(
         "percent_rank",
         "cume_dist",
         "ntile",
+        "nth_value",
         "run_sum",
         "run_avg",
         "run_count",
@@ -566,7 +567,7 @@ _RUNNING_FUNCS = frozenset(
 
 
 def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
-    if f.func in ("lag", "lead", "first_value", "last_value"):
+    if f.func in ("lag", "lead", "first_value", "last_value", "nth_value"):
         return schema.field(f.value_col).type
     if f.func in ("run_avg", "percent_rank", "cume_dist"):
         return pa.float64()
@@ -620,9 +621,11 @@ def partition_windows(
         if f.func == "ntile" and (f.param is None or f.param < 1):
             raise ValueError("ntile needs a positive tile count")
         if f.func in ("lag", "lead", "first_value", "last_value",
-                      "run_sum", "run_avg", "run_count", "run_min",
-                      "run_max") and f.value_col is None:
+                      "nth_value", "run_sum", "run_avg", "run_count",
+                      "run_min", "run_max") and f.value_col is None:
             raise ValueError(f"{f.func} needs a value_col")
+        if f.func == "nth_value" and (f.param is None or f.param < 1):
+            raise ValueError("nth_value needs a positive n")
         if f.func == "run_count_star" and f.value_col is not None:
             raise ValueError("run_count_star takes no value_col (COUNT(*))")
         if f.frame not in ("range", "rows", "full"):
@@ -775,6 +778,19 @@ def partition_windows(
                     out_cols.append(
                         (f.out_col, pa.array(out.astype(np.int64)))
                     )
+            elif f.func == "nth_value":
+                # value of the partition's n-th row (1-based), NULL while
+                # the frame hasn't reached it yet (SQL semantics: the
+                # frame is UNBOUNDED PRECEDING → frame end)
+                idx = first_of_key + (f.param - 1)
+                fe = frame_end(f.frame)
+                valid = idx <= fe
+                out = (
+                    g[f.value_col]
+                    .combine_chunks()
+                    .take(pa.array(np.minimum(idx, fe), mask=~valid))
+                )
+                out_cols.append((f.out_col, out))
             elif f.func in ("first_value", "last_value"):
                 # every supported frame starts at the partition's first
                 # row, so FIRST_VALUE is frame-independent; LAST_VALUE

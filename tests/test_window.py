@@ -714,3 +714,71 @@ def test_sql_bounded_frame_parses():
             "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o "
             "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t"
         )
+
+
+def test_nth_value_vs_duckdb(ray_session):
+    """NTH_VALUE under the default RANGE frame (NULL until the frame
+    reaches row n; ties share) and the whole-partition frame — both
+    pinned against DuckDB."""
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n)),
+            "o": pa.array(rng.integers(0, 50, n)),  # real ties
+            "i": pa.array(np.arange(n)),
+            "v": pa.array(rng.integers(0, 1000, n).astype("float64")),
+        }
+    )
+    # unique order key via (o, i) is NOT used: DuckDB's nth_value under
+    # ties picks by its internal order, so pin on a tie-free order col
+    t = t.set_column(1, "o", pa.array(rng.permutation(n)))
+    out = (
+        partition_windows(
+            ray.data.from_arrow(t).repartition(5),
+            "k",
+            "o",
+            [
+                WinFunc("nth_value", "n3", value_col="v", param=3),
+                WinFunc("nth_value", "n2f", value_col="v", param=2, frame="full"),
+            ],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        """
+        SELECT k, o,
+          NTH_VALUE(v, 3) OVER (PARTITION BY k ORDER BY o) n3,
+          NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) n2f
+        FROM t ORDER BY k, o
+        """
+    ).fetchdf()
+    for c in ["n3", "n2f"]:
+        a, b = out[c], exp[c]
+        assert bool(((a.isna() & b.isna()) | (a == b)).all()), c
+
+
+def test_nth_value_sql_parse_errors():
+    from sqlgrep_ray.sqlfront import SqlError, parse_query
+
+    w = parse_query(
+        "SELECT NTH_VALUE(v, 4) OVER (PARTITION BY k ORDER BY o) AS x FROM t"
+    ).plan.windows[0]
+    assert w.func == "nth_value" and w.offset == 4
+    with pytest.raises(SqlError, match="positive integer"):
+        parse_query(
+            "SELECT NTH_VALUE(v, 0) OVER (PARTITION BY k ORDER BY o) AS x "
+            "FROM t"
+        )
