@@ -257,15 +257,17 @@ def main_measure(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
 def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
     """Two fresh subprocesses at num_cpus = N and 4N (BASELINE.md protocol).
 
-    Uses a larger corpus (sf=2.5 → 15.5M turns by default, override with
+    Uses a larger corpus (sf=10 → 60M turns by default, override with
     ``GRAFT_SCALING_SF``) so the measurement is compute-bound rather than
     fixed-overhead-bound — the regime a real N vs 4N cluster comparison runs
     in. Generation is deterministic and cached under /tmp.
     """
-    # sf2.5 (15.5M turns): the round-2 engine is fast enough that smaller
-    # corpora are fixed-overhead-bound at 32 cpus (BASELINE.md round-2 notes);
-    # generation is deterministic and cached under /tmp (one-off ~20 min)
-    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "2.5")
+    # sf10 (60M turns, 800 large shards): the round-4 engine runs sf2.5 in
+    # under 8 s at 32 cpus — fixed-overhead-bound; sf10 keeps the 32-cpu
+    # leg ≥ 15 s so the ratio measures compute scaling (BASELINE.md
+    # round-4 scaling study). Generation is deterministic, cached (~50 min
+    # one-off).
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "10")
     from sqlgrep_ray.sources.synth import ensure_transcripts
 
     ensure_transcripts(float(scaling_sf))  # cache once; runs skip generation

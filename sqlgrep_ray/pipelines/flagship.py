@@ -29,6 +29,7 @@ from typing import Any, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -113,6 +114,16 @@ CSV_TABLE = TableDef(
 # priority order — a turn goes to the FIRST admitting table
 ROUTE_TABLES: list[TableDef] = [FTPD_TABLE, SSH_TABLE, CLIENTS_TABLE, CSV_TABLE]
 
+# NECESSARY-substring prefilters, one per route table: a row can only
+# admit to the table if its text contains the literal (it appears
+# verbatim in the pattern / is required by the extraction), so running
+# the expensive regex/JSON/split extraction ONLY on substring candidates
+# is semantics-preserving (equivalence pinned by
+# test_flagship::test_router_prefilter_equivalence). match_substring is
+# ~an order of magnitude cheaper than extract_regex per row, and most
+# rows match at most one needle.
+ROUTE_PREFILTERS: list[str] = ["connection from ", "rhost=", "{", ";"]
+
 KEEP_COLS = ["conv_id", "turn_idx", "role", "tool", "ts"]
 
 # unified output schema across sinks (absent fields → NULL)
@@ -141,8 +152,13 @@ class TranscriptRouter:
     table's admission check, so exactly one sink per turn.
     """
 
-    def __init__(self, keep_cols: Optional[list[str]] = None):
+    def __init__(
+        self,
+        keep_cols: Optional[list[str]] = None,
+        prefilter: bool = True,
+    ):
         self.keep_cols = keep_cols if keep_cols is not None else KEEP_COLS
+        self.prefilter = prefilter
         self.parsers = [
             ParseTable(t, "text", keep_cols=self.keep_cols) for t in ROUTE_TABLES
         ]
@@ -150,17 +166,35 @@ class TranscriptRouter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # rows claimed by an earlier table are REMOVED from the batch before
         # the next table's extraction runs — later (more expensive: JSON,
-        # split) parsers only see the still-unclaimed tail
+        # split) parsers only see the still-unclaimed tail; a cheap
+        # necessary-substring prefilter narrows each extraction to its
+        # candidate rows first (ROUTE_PREFILTERS)
         pieces: list[pa.Table] = []
         cur = batch
-        for tdef, parser in zip(ROUTE_TABLES, self.parsers):
+        for tdef, parser, needle in zip(
+            ROUTE_TABLES, self.parsers, ROUTE_PREFILTERS
+        ):
             if cur.num_rows == 0:
                 break
-            extracted, keep = parser.extract_with_mask(cur)
+            pre = None
+            cand = cur
+            if self.prefilter:
+                pre = pc.fill_null(
+                    pc.match_substring(cur["text"], pattern=needle), False
+                ).to_numpy(zero_copy_only=False)
+                if not pre.any():
+                    continue
+                cand = cur.filter(pa.array(pre))
+            extracted, keep = parser.extract_with_mask(cand)
             if keep.any():
                 sub = extracted.filter(pa.array(keep))
                 pieces.append(self._unify(sub, tdef.name))
-            rest = ~keep
+            if pre is None:
+                rest = ~keep
+            else:
+                claimed = np.zeros(len(pre), dtype=bool)
+                claimed[np.flatnonzero(pre)] = keep
+                rest = ~claimed
             if not rest.any():
                 cur = cur.slice(0, 0)
                 break

@@ -215,8 +215,11 @@ def ensure_transcripts(
     os.makedirs(out_dir, exist_ok=True)
     # 18.75k rows/shard: ~0.15 s of parse work per task — fine-grained
     # enough that 32 cpus stay packed even at sf0.1 (29 shards) and wave
-    # quantization at larger scales stays under a few percent
-    shard_rows = 18_750
+    # quantization at larger scales stays under a few percent. Cap the
+    # FILE count at ~800 though: thousands of 2-3 MB parquet files is an
+    # unrealistic layout (real corpora shard at 100 MB+) and the per-file
+    # metadata fetch becomes a measurable fixed cost on every read.
+    shard_rows = max(18_750, -(-n_rows // 800))
     seg_rows = SEG_ROWS
     n_shards = 0
     if n_rows <= seg_rows:

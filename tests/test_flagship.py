@@ -256,3 +256,42 @@ def test_segmented_generation_unique_convs(tmp_path, monkeypatch):
     prefixes = {c.split("-")[0] for c in convs}
     assert prefixes == {"conv0", "conv1", "conv2"}
     assert len(files) >= 3
+
+
+def test_router_prefilter_equivalence():
+    """The necessary-substring prefilter must not change routing — pinned
+    on the synthetic corpus plus adversarial rows (needle hits with regex
+    misses, bare valid JSON without fields, short csv, multi-needle)."""
+    import pyarrow as pa
+
+    from sqlgrep_ray.pipelines.flagship import TranscriptRouter
+    from sqlgrep_ray.sources.synth import generate_transcripts
+
+    def canon(t):
+        return t.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        ).to_pydict()
+
+    on, off = TranscriptRouter(prefilter=True), TranscriptRouter(prefilter=False)
+    t = generate_transcripts(50_000, 7)
+    assert canon(on(t)) == canon(off(t))
+    adv = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(6)]),
+            "turn_idx": pa.array(range(6), pa.int32()),
+            "role": pa.array(["user"] * 6),
+            "tool": pa.array(["bash"] * 6),
+            "ts": pa.array([0] * 6, pa.timestamp("us")),
+            "text": pa.array(
+                [
+                    "connection from here but no full match",
+                    "rhost= user=",
+                    "5",
+                    "true",
+                    "a;b",
+                    "noise {brace} with ; and rhost=x user=y",
+                ]
+            ),
+        }
+    )
+    assert canon(on(adv)) == canon(off(adv))
