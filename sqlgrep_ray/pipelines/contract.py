@@ -2205,6 +2205,30 @@ def q_conv_latency_p90(sf_dir: str) -> Result:
     )
 
 
+def q_grouped_heavy_src(sf_dir: str) -> Result:
+    """Per-key Misra-Gries heavy hitters (round-4 addition,
+    sketch.grouped_heavy_hitters — completes the grouped-sketch family
+    beside grouped HLL and grouped KLL) in the EXACT regime: ≤ k
+    distinct sources per lang, so no decrement ever fires and counts
+    hash-match plain GROUP BY. Per-key state is ≤ k rows at every stage;
+    the vectorized per-key compression is one sort + one gather for all
+    keys at once."""
+    from sqlgrep_ray.stages.sketch import grouped_heavy_hitters
+
+    return grouped_heavy_hitters(
+        _t(sf_dir, "documents", ["lang", "source"]),
+        "lang",
+        "source",
+        k=64,
+    )
+
+
+SQL_GROUPED_HEAVY_SRC = """
+SELECT lang, source AS item, CAST(COUNT(*) AS BIGINT) AS count
+FROM documents GROUP BY lang, source
+"""
+
+
 def q_grouped_kll_chars(sf_dir: str) -> Result:
     """Per-key KLL quantiles (round-4 addition,
     sketch.grouped_approx_quantiles) in the EXACT regime: every
@@ -3087,6 +3111,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_scalar_ext": q_sql_scalar_ext,
     "sql_like_between": q_sql_like_between,
     "grouped_kll_chars": q_grouped_kll_chars,
+    "grouped_heavy_src": q_grouped_heavy_src,
     "conv_tools_hll": q_conv_tools_hll,
     "turn_latency": q_turn_latency,
     "sql_running_sum": q_sql_running_sum,
@@ -3115,8 +3140,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
     "flagship_enriched": q_flagship_enriched,
-    "sql_turn_latency": q_sql_turn_latency,
     "sql_row_number": q_sql_row_number,
+    "sql_turn_latency": q_sql_turn_latency,
     "kmeans_clusters": q_kmeans_clusters,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
@@ -3201,6 +3226,7 @@ ORACLES: dict[str, str] = {
     "sql_scalar_ext": SQL_SQL_SCALAR_EXT,
     "sql_like_between": SQL_SQL_LIKE_BETWEEN,
     "grouped_kll_chars": SQL_GROUPED_KLL_CHARS,
+    "grouped_heavy_src": SQL_GROUPED_HEAVY_SRC,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

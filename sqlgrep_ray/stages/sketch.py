@@ -228,6 +228,102 @@ def heavy_hitters(
     return out.sort(["count", "item"], descending=[True, False])
 
 
+def _mg_compress_grouped(
+    t: pa.Table, key: str, k: int
+) -> pa.Table:
+    """Vectorized per-key Misra-Gries compression of a summed
+    (key, item, count) table: within each key keep ≤ k counters,
+    subtracting that key's (k+1)-th largest count from its survivors.
+    One sort + one gather for EVERY key at once — no Python per key."""
+    from sqlgrep_ray.stages.window import _key_change_mask
+
+    n = t.num_rows
+    if n == 0:
+        return t
+    order = pc.sort_indices(
+        t, [(key, "ascending"), ("count", "descending")]
+    )
+    t = t.take(order)
+    karr = t[key].combine_chunks()
+    counts = t["count"].to_numpy(zero_copy_only=False)
+    pos = np.arange(n, dtype=np.int64)
+    change = _key_change_mask(karr, n)
+    first = np.maximum.accumulate(np.where(change, pos, 0))
+    rank = pos - first  # 0-based rank within key, largest count first
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.r_[starts, n])
+    # per-key threshold: count at rank k, or 0 when the key has ≤ k items
+    over = lens > k
+    thresh_per_key = np.zeros(len(starts), dtype=counts.dtype)
+    thresh_per_key[over] = counts[starts[over] + k]
+    thresh = np.repeat(thresh_per_key, lens)
+    new_counts = counts - thresh
+    keep = (rank < k) & (new_counts > 0)
+    return pa.table(
+        {
+            key: karr.filter(pa.array(keep)),
+            "item": t["item"].combine_chunks().filter(pa.array(keep)),
+            "count": pa.array(new_counts[keep]),
+        }
+    )
+
+
+def grouped_heavy_hitters(
+    ds: "ray.data.Dataset",
+    key: str,
+    col: str,
+    k: int = 64,
+    num_buckets: "int | None" = None,
+    merge_rows: int = 65536,
+) -> "ray.data.Dataset":
+    """Per-key approximate top frequent values — the grouped form of
+    :func:`heavy_hitters` (completing the grouped-sketch family beside
+    grouped HLL and grouped KLL). Within each key, every item with true
+    frequency > N_key/(k+1) is guaranteed present and counts are lower
+    bounds within N_key/(k+1). State per key is ≤ k (item, count) rows at
+    every stage: per-block value_counts → vectorized per-key MG
+    compression → size-capped combines → ONE key-hash bucket exchange →
+    final per-key sum + compression. When a key's distinct items never
+    exceed ``k`` nothing is ever decremented, so counts are EXACT (the
+    driver-oracle regime). Output rows: (key, item, count)."""
+    from sqlgrep_ray.stages.window import _bucket_ids, resolve_buckets
+
+    num_buckets = resolve_buckets(num_buckets, ds)
+
+    def _sum_counts(t: pa.Table) -> pa.Table:
+        summed = pa.TableGroupBy(t, [key, "item"]).aggregate([("count", "sum")])
+        return summed.rename_columns([key, "item", "count"])
+
+    def block(t: pa.Table) -> pa.Table:
+        t = t.select([key, col])
+        t = t.filter(pc.is_valid(t[col]))
+        grouped = pa.TableGroupBy(t, [key, col]).aggregate([([], "count_all")])
+        grouped = grouped.rename_columns([key, "item", "count"])
+        return _mg_compress_grouped(grouped, key, k)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return _mg_compress_grouped(_sum_counts(t), key, k)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_ids(t, key, num_buckets))
+
+    def bucket_final(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if g.num_rows == 0:
+            return g
+        return _mg_compress_grouped(_sum_counts(g), key, k)
+
+    return (
+        ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(combine, batch_format="pyarrow", batch_size=merge_rows)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_final, batch_format="pyarrow")
+    )
+
+
 def grouped_approx_distinct(
     ds: "ray.data.Dataset",
     key: str,

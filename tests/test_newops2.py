@@ -606,3 +606,57 @@ def test_grouped_kll_nulls(ray_session):
     got = {r["k"]: r["q50"] for r in rows}
     # null value dropped for 'a'; null keys ONE group, q50 of [5,7] ⇒ 7
     assert got == {"a": 1.0, "b": 2.0, None: 7.0}
+
+
+def test_grouped_heavy_hitters_exact_regime(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_heavy_hitters
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 6 + ["b"] * 4 + [None] * 2),
+            "v": pa.array(["x", "x", "y", "x", None, "z", "y", "y", "q", "y", "x", "x"]),
+        }
+    )
+    rows = grouped_heavy_hitters(
+        ray.data.from_arrow(t).repartition(3), "k", "v", k=8, num_buckets=2
+    ).take_all()
+    got = {(r["k"], r["item"]): r["count"] for r in rows}
+    # ≤ k distinct per key ⇒ exact counts; null value dropped; null key
+    # is ONE group
+    assert got == {
+        ("a", "x"): 3,
+        ("a", "y"): 1,
+        ("a", "z"): 1,
+        ("b", "y"): 3,
+        ("b", "q"): 1,
+        (None, "x"): 2,
+    }
+
+
+def test_grouped_heavy_hitters_guarantee(ray_session):
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    keys = rng.integers(0, 5, n)
+    items = (rng.zipf(1.3, n) % 3000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": items})).repartition(12)
+    K = 64
+    retained = {
+        (r["k"], r["item"]): r["count"]
+        for r in grouped_heavy_hitters(ds, "k", "v", k=K, num_buckets=2).take_all()
+    }
+    true = collections.Counter(zip(keys.tolist(), items.tolist()))
+    per_key_n = collections.Counter(keys.tolist())
+    for (kk, it), c in true.items():
+        if c > per_key_n[kk] / (K + 1):
+            assert (kk, it) in retained  # MG presence guarantee per key
+    for (kk, it), est in retained.items():
+        assert est <= true[(kk, it)]  # counts are lower bounds
