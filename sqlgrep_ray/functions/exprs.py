@@ -676,48 +676,107 @@ def _f_array_unique(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     return k
 
 
+def _rowwise_list_concat(
+    parts: "list[tuple[pa.Array, np.ndarray, np.ndarray]]",
+    null_mask: np.ndarray,
+    n: int,
+) -> pa.Array:
+    """Vectorized per-row concatenation of value segments: ``parts`` is an
+    ordered list of (values array, per-row lengths USED, per-row index of
+    the row's FIRST value within the part's layout); output row i =
+    part0[i] ++ part1[i] ++ …, NULL where ``null_mask``. One lexsort +
+    one take — no Python per row (the VERDICT r3 #4 conversion)."""
+    lens_out = np.zeros(n, np.int64)
+    rowids, flags, positions = [], [], []
+    vals = []
+    base = 0
+    for flag, (v, lens, layout_starts) in enumerate(parts):
+        lens = np.where(null_mask, 0, lens).astype(np.int64)
+        total = int(lens.sum())
+        if total:
+            rowids.append(np.repeat(np.arange(n), lens))
+            flags.append(np.full(total, flag, np.int8))
+            cum_excl = np.r_[0, np.cumsum(lens)[:-1]]
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum_excl, lens)
+            positions.append(np.repeat(layout_starts, lens) + within + base)
+        vals.append(v)
+        base += len(v)
+        lens_out += lens
+    values = pa.concat_arrays(
+        [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]
+    )
+    if rowids:
+        rowid = np.concatenate(rowids)
+        order = np.lexsort((np.concatenate(flags), rowid))
+        take_idx = np.concatenate(positions)[order]
+        out_vals = values.take(pa.array(take_idx))
+    else:
+        out_vals = values.slice(0, 0)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens_out, out=offs[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32)),
+        out_vals,
+        mask=pa.array(null_mask),
+    )
+
+
+def _list_parts(arr: pa.Array):
+    """(flattened values, per-row lengths with nulls→0, per-row layout
+    starts, null mask) of a list column. ``list_flatten`` skips null
+    rows, so the layout start of row i is the exclusive cumsum of the
+    lengths."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    return pc.list_flatten(arr), lens, starts, null_mask
+
+
 @register_function("array_cat")
 def _f_array_cat(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     ak, bk = args
 
     def k(t: pa.Table) -> Any:
         n = t.num_rows
-        a, b = _as_array(ak(t), n).to_pylist(), _as_array(bk(t), n).to_pylist()
-        return pa.array(
-            [None if (x is None or y is None) else x + y for x, y in zip(a, b)]
+        a, b = _as_array(ak(t), n), _as_array(bk(t), n)
+        va, la, sa, na = _list_parts(a)
+        vb, lb, sb, nb = _list_parts(b)
+        return _rowwise_list_concat(
+            [(va, la, sa), (vb, lb, sb)], na | nb, n
         )
 
     return k
 
 
-@register_function("array_append")
-def _f_array_append(args: list[Kernel], ctx: CompileCtx) -> Kernel:
-    ak, vk = args
+def _f_append_builder(prepend: bool):
+    def build(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        vk, ak = args if prepend else (args[1], args[0])
 
-    def k(t: pa.Table) -> Any:
-        n = t.num_rows
-        a = _as_array(ak(t), n).to_pylist()
-        v = _as_array(vk(t), n).to_pylist()
-        return pa.array(
-            [None if x is None else x + [y] for x, y in zip(a, v)]
-        )
+        def k(t: pa.Table) -> Any:
+            n = t.num_rows
+            a = _as_array(ak(t), n)
+            v = _as_array(vk(t), n)
+            va, la, sa, na = _list_parts(a)
+            # the appended element keeps NULL values as elements
+            # (reference `x + [y]` semantics); only a NULL LIST nulls
+            # the row
+            ones = np.ones(n, np.int64)
+            idx = np.arange(n, dtype=np.int64)
+            el = (v, ones, idx)
+            parts = [el, (va, la, sa)] if prepend else [(va, la, sa), el]
+            return _rowwise_list_concat(parts, na, n)
 
-    return k
+        return k
+
+    return build
 
 
-@register_function("array_prepend")
-def _f_array_prepend(args: list[Kernel], ctx: CompileCtx) -> Kernel:
-    vk, ak = args
-
-    def k(t: pa.Table) -> Any:
-        n = t.num_rows
-        a = _as_array(ak(t), n).to_pylist()
-        v = _as_array(vk(t), n).to_pylist()
-        return pa.array(
-            [None if x is None else [y] + x for x, y in zip(a, v)]
-        )
-
-    return k
+_FUNCS["array_append"] = _f_append_builder(False)
+_FUNCS["array_prepend"] = _f_append_builder(True)
 
 
 @register_function("now")

@@ -157,3 +157,61 @@ def test_between_precedence_with_and():
         "SELECT a FROM t WHERE x BETWEEN 1 AND 5 AND y = 2"
     ).parse_query().plan.where
     assert e.op == "and" and e.right.op == "eq"
+
+
+def test_vectorized_list_kernels_property():
+    """array_cat/append/prepend are take-based vectorized since round 4:
+    pin against the per-row python reference on random ragged lists with
+    NULL lists and NULL elements."""
+    import random
+
+    from sqlgrep_ray.functions.exprs import CompileCtx, compile_expr
+
+    random.seed(0)
+
+    def rand_list():
+        if random.random() < 0.15:
+            return None
+        return [
+            random.randrange(100) if random.random() > 0.1 else None
+            for _ in range(random.randrange(0, 5))
+        ]
+
+    n = 500
+    A = [rand_list() for _ in range(n)]
+    B = [rand_list() for _ in range(n)]
+    V = [
+        random.randrange(100) if random.random() > 0.15 else None
+        for _ in range(n)
+    ]
+    t = pa.table(
+        {
+            "a": pa.array(A, pa.list_(pa.int64())),
+            "b": pa.array(B, pa.list_(pa.int64())),
+            "v": pa.array(V, pa.int64()),
+        }
+    )
+    ctx = CompileCtx()
+
+    def run(expr_sql):
+        e = Parser(
+            f"SELECT {expr_sql} AS r FROM t"
+        ).parse_query().plan.projections[0].expr
+        out = compile_expr(e, ctx)(t)
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return out.to_pylist()
+
+    assert run("array_cat(a, b)") == [
+        None if (x is None or y is None) else x + y for x, y in zip(A, B)
+    ]
+    assert run("array_append(a, v)") == [
+        None if x is None else x + [y] for x, y in zip(A, V)
+    ]
+    assert run("array_prepend(v, a)") == [
+        None if x is None else [y] + x for x, y in zip(A, V)
+    ]
+    assert run("array_cat(a, b)") is not None  # empty-table path
+    t0 = t.slice(0, 0)
+    e = Parser("SELECT array_cat(a, b) AS r FROM t").parse_query().plan.projections[0].expr
+    assert compile_expr(e, ctx)(t0).to_pylist() == []
