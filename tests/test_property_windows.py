@@ -182,3 +182,34 @@ def test_global_windows_match_duckdb(ray_session, data):
     exp = _oracle(tbl, sql)
     for col in ["rn", "r", "lg", "rs", "rcs", "fv"]:
         _eq(got[col], exp[col])
+
+
+@settings(max_examples=20, deadline=None)
+@given(window_data(), st.integers(min_value=0, max_value=5))
+def test_bounded_frames_and_minmax_match_duckdb(ray_session, data, k):
+    """Round-4 kernels: bounded ROWS k PRECEDING moving SUM/AVG/COUNT(*)
+    and MIN/MAX OVER (unbounded RANGE with ties, bounded ROWS, and the
+    whole-partition frame), plus NTH_VALUE — random data with NULL keys
+    and NULL values vs DuckDB."""
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        f"SUM(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {k} "
+        "PRECEDING AND CURRENT ROW) AS ms, "
+        f"AVG(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {k} "
+        "PRECEDING AND CURRENT ROW) AS ma, "
+        f"COUNT(*) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {k} "
+        "PRECEDING AND CURRENT ROW) AS mc, "
+        "MIN(v) OVER (PARTITION BY k ORDER BY t) AS mnr, "
+        f"MAX(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {k} "
+        "PRECEDING AND CURRENT ROW) AS mxb, "
+        "MAX(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS mxf, "
+        "NTH_VALUE(v, 2) OVER (PARTITION BY k ORDER BY o) AS n2 "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["ms", "ma", "mc", "mnr", "mxb", "mxf", "n2"]:
+        _eq(got[col], exp[col])
