@@ -2205,6 +2205,40 @@ def q_conv_latency_p90(sf_dir: str) -> Result:
     )
 
 
+def q_profile_documents(sf_dir: str) -> Result:
+    """Column profiling (round-4 addition, stages/profile): per-column
+    row/null/distinct counts and min/max in ONE streaming pass with
+    corpus-size-independent partials (counts + extrema + a ≤32KB HLL
+    sketch per block-column). Distinct counts are in the HLL sparse-EXACT
+    regime at sf0.01, extrema merge numerically for numeric columns —
+    hash-exact vs DuckDB's aggregate replay."""
+    from sqlgrep_ray.stages.profile import profile_columns
+
+    return profile_columns(
+        _t(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+SQL_PROFILE_DOCUMENTS = """
+SELECT 'doc_id' AS column, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+       COUNT(DISTINCT source), MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+       COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+       CAST(MAX(n_chars) AS VARCHAR) FROM documents
+"""
+
+
 def q_grouped_heavy_src(sf_dir: str) -> Result:
     """Per-key Misra-Gries heavy hitters (round-4 addition,
     sketch.grouped_heavy_hitters — completes the grouped-sketch family
@@ -3112,6 +3146,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_like_between": q_sql_like_between,
     "grouped_kll_chars": q_grouped_kll_chars,
     "grouped_heavy_src": q_grouped_heavy_src,
+    "profile_documents": q_profile_documents,
     "conv_tools_hll": q_conv_tools_hll,
     "turn_latency": q_turn_latency,
     "sql_running_sum": q_sql_running_sum,
@@ -3140,8 +3175,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
     "flagship_hour_histogram": q_flagship_hour_histogram,
     "flagship_enriched": q_flagship_enriched,
-    "sql_row_number": q_sql_row_number,
     "sql_turn_latency": q_sql_turn_latency,
+    "sql_row_number": q_sql_row_number,
     "kmeans_clusters": q_kmeans_clusters,
     "hopping_window": q_hopping_window,
     "assign_sessions": q_assign_sessions,
@@ -3227,6 +3262,7 @@ ORACLES: dict[str, str] = {
     "sql_like_between": SQL_SQL_LIKE_BETWEEN,
     "grouped_kll_chars": SQL_GROUPED_KLL_CHARS,
     "grouped_heavy_src": SQL_GROUPED_HEAVY_SRC,
+    "profile_documents": SQL_PROFILE_DOCUMENTS,
     "select_where_project": SQL_SELECT_WHERE_PROJECT,
     "orderby_topn": SQL_ORDERBY_TOPN,
     "agg_global": SQL_AGG_GLOBAL,

@@ -660,3 +660,56 @@ def test_grouped_heavy_hitters_guarantee(ray_session):
             assert (kk, it) in retained  # MG presence guarantee per key
     for (kk, it), est in retained.items():
         assert est <= true[(kk, it)]  # counts are lower bounds
+
+
+def test_profile_columns_exact_and_dense(ray_session):
+    import numpy as np
+    import ray.data
+
+    from sqlgrep_ray.stages.profile import profile_columns
+
+    t = pa.table(
+        {
+            "i": pa.array([5, None, -3, 5, 10], pa.int64()),
+            "s": pa.array(["b", "a", None, "zz", "a"]),
+            "f": pa.array([1.5, 2.0, None, None, -0.5]),
+        }
+    )
+    out = {
+        r["column"]: r
+        for r in profile_columns(
+            ray.data.from_arrow(t).repartition(3), ["i", "s", "f"]
+        ).to_pylist()
+    }
+    assert out["i"] == {
+        "column": "i", "n": 5, "nulls": 1, "n_distinct": 3,
+        "min_v": "-3", "max_v": "10",
+    }
+    assert out["s"]["n_distinct"] == 3
+    assert (out["s"]["min_v"], out["s"]["max_v"]) == ("a", "zz")
+    assert (out["f"]["min_v"], out["f"]["max_v"]) == ("-0.5", "2")
+    # numeric extrema merge NUMERICALLY across blocks ("9" < "10")
+    t2 = pa.table({"x": pa.array([9, 10, 2], pa.int64())})
+    row = profile_columns(
+        ray.data.from_arrow(t2).repartition(3), ["x"]
+    ).to_pylist()[0]
+    assert (row["min_v"], row["max_v"]) == ("2", "10")
+    # dense HLL regime stays within ~1%
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 200_000, 400_000)
+    big = ray.data.from_arrow(pa.table({"v": v})).repartition(8)
+    nd = profile_columns(big, ["v"]).to_pylist()[0]["n_distinct"]
+    true = len(np.unique(v))
+    assert abs(nd - true) / true < 0.02
+
+
+def test_profile_columns_rejects_lists(ray_session):
+    import ray.data
+
+    from sqlgrep_ray.stages.profile import profile_columns
+
+    import pytest
+
+    t = pa.table({"l": pa.array([[1], [2]], pa.list_(pa.int64()))})
+    with pytest.raises(Exception, match="numeric and string"):
+        profile_columns(ray.data.from_arrow(t), ["l"])
