@@ -200,3 +200,40 @@ def test_samples_example_runs():
     )
     assert p.returncode == 0, p.stderr[-2000:]
     assert "callback saw" in p.stdout
+
+
+def test_cli_with_union_subquery(tmp_path):
+    """The round-4 SQL extensions flow through the CLI surface: a WITH
+    CTE + UNION over stdin data and an IN (SELECT …) filter, one
+    subprocess each way of Tables.execute_query's multi-statement
+    routing."""
+    defs = tmp_path / "defs.sql"
+    defs.write_text(DEFS)
+    data = "user=alice n=1\nuser=bob n=2\nuser=eve n=9\nuser=bob n=5\n"
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs), "--stdin",
+         "-c",
+         "WITH big AS (SELECT user, COUNT(*) AS c FROM conns GROUP BY user) "
+         "SELECT user, c FROM big WHERE c > 1 UNION ALL "
+         "SELECT user, c FROM big WHERE c > 1 ORDER BY user",
+         "--format", "csv", "--num-cpus", "2"],
+        input=data, capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines == ["user;c", "'bob';2", "'bob';2"]
+
+    out = subprocess.run(
+        [sys.executable, "-m", "sqlgrep_ray.cli", "-d", str(defs), "--stdin",
+         "-c",
+         "SELECT user, n FROM conns WHERE user IN "
+         "(SELECT user FROM conns WHERE n > 4) ORDER BY n",
+         "--format", "csv", "--num-cpus", "2"],
+        input=data, capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines == ["user;n", "'bob';2", "'bob';5", "'eve';9"]
