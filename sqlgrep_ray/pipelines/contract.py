@@ -1834,6 +1834,49 @@ FROM events
 """
 
 
+def q_sql_global_running(sf_dir: str) -> Result:
+    """GLOBAL running aggregates through the CHUNK-SAFE distributed path
+    (round-5, VERDICT r4 #3): an all-associative ``OVER (ORDER BY …)``
+    frame auto-routes to ``window.global_running_ranged`` instead of the
+    one-task whole-input contract. The chunk threshold is forced below
+    the oracle row count so the driver exercises the real chunked code
+    (order-value bins, driver-pulled exclusive prefixes, one bucketed
+    exchange) — the path a 100-TB ``SUM(x) OVER (ORDER BY ts)`` takes —
+    and asserts the routing took it. Int SUM / COUNT / COUNT(*) only
+    (int cumulative sums are bit-exact cross-engine; AVG covered by the
+    bit-equality pytest against the one-task path)."""
+    from sqlgrep_ray.sqlfront import parse_query
+    from sqlgrep_ray.stages import window
+
+    plan = parse_query(
+        "SELECT event_id, "
+        "SUM(user_id) OVER (ORDER BY event_id) AS rs, "
+        "COUNT(user_id) OVER (ORDER BY event_id) AS rc, "
+        "COUNT(*) OVER (ORDER BY event_id) AS rn "
+        "FROM t"
+    ).plan
+    old = window.GLOBAL_RANGED_CHUNK_ROWS
+    window.GLOBAL_RANGED_CHUNK_ROWS = 2000
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    try:
+        out = run_plan(_t(sf_dir, "events", ["event_id", "user_id"]), plan)
+        assert window.LAST_GLOBAL_WINDOW_PATH == "ranged", (
+            "global associative frame did not route to the ranged path"
+        )
+    finally:
+        window.GLOBAL_RANGED_CHUNK_ROWS = old
+    return out
+
+
+SQL_SQL_GLOBAL_RUNNING = """
+SELECT event_id,
+       CAST(SUM(user_id) OVER (ORDER BY event_id) AS BIGINT) AS rs,
+       CAST(COUNT(user_id) OVER (ORDER BY event_id) AS BIGINT) AS rc,
+       CAST(COUNT(*) OVER (ORDER BY event_id) AS BIGINT) AS rn
+FROM events
+"""
+
+
 def q_sql_qualify_dedup(sf_dir: str) -> Result:
     """The canonical SQL dedup idiom through the dialect (round-4
     extension): keep ONE row per key with ``QUALIFY ROW_NUMBER() OVER
@@ -3154,6 +3197,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "running_sum_ranged": q_running_sum_ranged,
     "sql_qualify_dedup": q_sql_qualify_dedup,
     "sql_global_window": q_sql_global_window,
+    "sql_global_running": q_sql_global_running,
     "kll_quantiles": q_kll_quantiles,
     "mixture_sample_docs": q_mixture_sample_docs,
     "top_tokens_docs": q_top_tokens_docs,
@@ -3315,6 +3359,7 @@ ORACLES: dict[str, str] = {
     "running_sum_ranged": SQL_RUNNING_SUM_RANGED,
     "sql_qualify_dedup": SQL_SQL_QUALIFY_DEDUP,
     "sql_global_window": SQL_SQL_GLOBAL_WINDOW,
+    "sql_global_running": SQL_SQL_GLOBAL_RUNNING,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

@@ -344,6 +344,7 @@ def run_select(
     if windows:
         from sqlgrep_ray.stages.window import (
             WinFunc,
+            global_running_ranged,
             partition_windows,
             resolve_buckets,
         )
@@ -368,12 +369,41 @@ def run_select(
         nb = resolve_buckets(None, ds_entry)
         gw_added = False
         for (key, order), specs in frames.items():
+            if key is None and all(
+                w.func in ("run_sum", "run_avg", "run_count", "run_count_star")
+                and w.frame == "range"
+                and getattr(w, "preceding", None) is None
+                for w in specs
+            ):
+                # GLOBAL associative running aggregates auto-route to the
+                # chunk-safe distributed path (VERDICT r4 #3): no task
+                # ever holds more than ~chunk_rows rows, vs the one-task
+                # whole-input contract below. Inputs under the chunk
+                # threshold (and non-numeric/all-NULL order columns)
+                # delegate to the one-task path inside — bit-equal either
+                # way.
+                ds = global_running_ranged(
+                    ds,
+                    order,
+                    [
+                        WinFunc(
+                            w.func, w.out_col,
+                            value_col=getattr(w, "value_col", None)
+                            if w.func != "run_count_star"
+                            else None,
+                        )
+                        for w in specs
+                    ],
+                    num_buckets=nb,
+                )
+                continue
             if key is None:
                 # GLOBAL window (no PARTITION BY): one constant partition.
                 # Correctness contract: the whole input must fit one
                 # worker task (same as any single hot key); the scale
-                # escape hatch for associative running aggregates is
-                # stages/window.partition_running_ranged.
+                # escape hatch for order-sensitive functions does not
+                # exist (rank/lag need the whole ordered input); the
+                # associative subset routes above.
                 if not gw_added:
                     def _const_key(t: pa.Table) -> pa.Table:
                         return t.append_column(

@@ -1306,6 +1306,300 @@ def partition_running_ranged(
     return _bucketed(joined, ["__k", "__c"], nb, final_bucket)
 
 
+# Diagnostics twin of LAST_RESOLVED_BUCKETS: which execution path the most
+# recent global_running_ranged call took ("ranged" | "one-task"). Tests
+# assert routing; no production code reads it.
+LAST_GLOBAL_WINDOW_PATH: "str | None" = None
+
+
+# Default order-value chunk size for global_running_ranged; a module
+# global (not a keyword default) so tests can force the chunked path on
+# small inputs.
+GLOBAL_RANGED_CHUNK_ROWS = 1_000_000
+
+
+def global_running_ranged(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    funcs: Sequence[WinFunc],
+    chunk_rows: "int | None" = None,
+    num_buckets: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Chunk-safe GLOBAL running aggregates — ``SUM/AVG/COUNT(v) OVER
+    (ORDER BY order_col)`` and ``COUNT(*) OVER (ORDER BY order_col)``
+    with no PARTITION BY — the distributed default for the SQL runner
+    (VERDICT r4 #3: a global associative window must NOT take the
+    one-task whole-input gather when a safe streaming path exists).
+
+    Same order-value chunking idea as :func:`partition_running_ranged`
+    but specialized for the single global partition, which makes it
+    CHEAPER than the keyed path: chunk id is a pure function of the order
+    value (value-range bins from one narrow min/max pass), per-chunk
+    (sum, count) partials reduce to ≤ 4097 narrow rows that are pulled to
+    the DRIVER (bounded) and turned into exclusive-prefix numpy lookups —
+    no shuffle_join — so the rows pay exactly ONE bucketed exchange
+    (hash by chunk id), each task sorting ~``chunk_rows`` rows. SQL RANGE
+    peers (ties on ``order_col``) can never straddle a chunk boundary.
+
+    Every ``funcs`` entry must be run_sum / run_avg / run_count /
+    run_count_star with the default cumulative RANGE frame (peers share
+    the frame-end value) — exactly the associative subset; order-
+    sensitive functions (lag, rank, row_number, …) keep
+    :func:`partition_windows`' documented one-task global contract.
+    ``keep_cols`` semantics match the SQL path: every input column
+    survives and rides the (single) exchange. NULL handling is
+    bit-identical to :func:`partition_windows` (equivalence-tested): sum
+    over an all-NULL-so-far frame is NULL, count counts non-nulls,
+    COUNT(*) counts rows, NULL order values sort last and form one peer
+    run. Inputs ≤ ``chunk_rows`` rows (or with an all-NULL / non-numeric
+    order column) delegate to the one-task path — the estimate only
+    flips the path choice, never the result."""
+    global LAST_GLOBAL_WINDOW_PATH
+    if chunk_rows is None:
+        chunk_rows = GLOBAL_RANGED_CHUNK_ROWS
+    funcs = list(funcs)
+    for f in funcs:
+        if f.func not in ("run_sum", "run_avg", "run_count", "run_count_star"):
+            raise ValueError(
+                f"global_running_ranged handles associative running "
+                f"aggregates only, got {f.func!r}"
+            )
+        if f.frame != "range" or f.preceding is not None:
+            raise ValueError(
+                "global_running_ranged implements the default cumulative "
+                "RANGE frame only"
+            )
+
+    def one_task() -> "ray.data.Dataset":
+        global LAST_GLOBAL_WINDOW_PATH
+        LAST_GLOBAL_WINDOW_PATH = "one-task"
+
+        def const_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__gw", pa.array(np.zeros(t.num_rows, np.int8))
+            )
+
+        out = partition_windows(
+            ds.map_batches(
+                const_key, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "__gw",
+            order_col,
+            funcs,
+            keep_cols=None,
+            num_buckets=num_buckets,
+        )
+        return out.map_batches(
+            lambda t: t.drop_columns(["__gw"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    n_rows = _estimate_rows(ds)
+    if n_rows <= chunk_rows:
+        return one_task()
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    otype = types[order_col]
+    if pa.types.is_timestamp(otype) or pa.types.is_integer(otype):
+        is_float = False
+    elif pa.types.is_floating(otype):
+        is_float = True
+    else:  # string/other order: no range binning — documented contract
+        return one_task()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def oview(t: pa.Table) -> pa.Table:
+        c = t[order_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table(
+            {"o": c.cast(pa.float64() if is_float else pa.int64())}
+        )
+
+    st = (
+        ds.select_columns([order_col])
+        .map_batches(oview, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Min("o", alias_name="omin"), Max("o", alias_name="omax"))
+    )
+    omin, omax = st["omin"], st["omax"]
+    if omin is None:  # every order value NULL: a single peer run
+        return one_task()
+    LAST_GLOBAL_WINDOW_PATH = "ranged"
+    n_chunks = int(np.clip(-(-n_rows // chunk_rows), 1, 4096))
+    if is_float:
+        width = (float(omax) - float(omin)) / n_chunks or 1.0
+    else:
+        width = max(1, (int(omax) - int(omin)) // n_chunks + 1)
+
+    def _chunk_col(t: pa.Table) -> pa.Array:
+        c = t[order_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if is_float:
+            onum = c.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            ch = np.minimum(
+                np.floor((onum - float(omin)) / width), n_chunks - 1
+            )
+            return pa.array(
+                np.where(np.isnan(onum), n_chunks, ch).astype(np.int64)
+            )
+        null_mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+        cast = pc.fill_null(c.cast(pa.int64()), int(omin))
+        ch = (cast.to_numpy(zero_copy_only=False) - int(omin)) // width
+        return pa.array(np.where(null_mask, n_chunks, ch))
+
+    # per-spec value extraction: (sum array, non-null count array); ints
+    # stay int64 end-to-end (bit-exact vs partition_windows past 2^53)
+    specs = []
+    for f in funcs:
+        if f.func == "run_count_star":
+            specs.append((f, None, np.int64))
+        else:
+            vt = types[f.value_col]
+            specs.append(
+                (f, f.value_col, np.int64 if pa.types.is_integer(vt) else np.float64)
+            )
+
+    # (1) per-chunk (sum, count) partials per spec — narrow, batch-local
+    # combine then one tiny groupby over ≤ (n_chunks+1) × batches rows
+    value_cols = list(dict.fromkeys(v for _, v, _ in specs if v is not None))
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = {"__c": t["__c"].to_pandas()}
+        for i, (f, vcol, dt) in enumerate(specs):
+            if vcol is None:
+                cols[f"__s{i}"] = np.zeros(t.num_rows, np.int64)
+                cols[f"__n{i}"] = np.ones(t.num_rows, np.int64)
+                continue
+            varr = t[vcol]
+            if isinstance(varr, pa.ChunkedArray):
+                varr = varr.combine_chunks()
+            nn = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(varr, 0).to_numpy(zero_copy_only=False).astype(dt)
+            cols[f"__s{i}"] = np.where(nn, v, 0).astype(dt)
+            cols[f"__n{i}"] = nn.astype(np.int64)
+        df = pd.DataFrame(cols)
+        g = df.groupby("__c", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__c", _chunk_col(t))
+
+    carry_aggs = []
+    for i in range(len(specs)):
+        carry_aggs.append(Sum(f"__s{i}", alias_name=f"__s{i}", ignore_nulls=True))
+        carry_aggs.append(Sum(f"__n{i}", alias_name=f"__n{i}", ignore_nulls=True))
+    carry = (
+        ds.select_columns(list(dict.fromkeys([order_col, *value_cols])))
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .drop_columns([order_col])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__c")
+        .aggregate(*carry_aggs)
+        .take_all()  # bounded: ≤ n_chunks+1 ≤ 4097 narrow rows
+    )
+
+    # (2) exclusive prefixes per spec, driver-side → numpy lookups the
+    # final pass indexes by chunk id (broadcast via closure — tiny)
+    psum = [np.zeros(n_chunks + 1, dt) for _, _, dt in specs]
+    pcnt = [np.zeros(n_chunks + 1, np.int64) for _ in specs]
+    carry.sort(key=lambda r: r["__c"])
+    for i in range(len(specs)):
+        cs = np.zeros(1, psum[i].dtype)
+        cn = np.zeros(1, np.int64)
+        for r in carry:
+            c = int(r["__c"])
+            psum[i][c], pcnt[i][c] = cs[0], cn[0]
+            cs[0] += psum[i].dtype.type(r[f"__s{i}"])
+            cn[0] += int(r[f"__n{i}"])
+
+    # (3) ONE bucketed exchange of the full rows, hash by chunk id; each
+    # task sorts ~chunk_rows rows and finishes every chunk it holds
+    def final_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            g = g.drop_columns(["__c"])
+            for f, vcol, dt in specs:
+                t_ = (
+                    pa.float64()
+                    if f.func == "run_avg" or (f.func == "run_sum" and dt is np.float64)
+                    else pa.int64()
+                )
+                g = g.append_column(f.out_col, pa.array([], t_))
+            return g
+        g = g.take(
+            pc.sort_indices(
+                g, [("__c", "ascending"), (order_col, "ascending")]
+            )
+        )
+        carr = g["__c"].combine_chunks()
+        c_np = carr.to_numpy(zero_copy_only=False)
+        key_change = _key_change_mask(carr, n)
+        oarr = g[order_col].combine_chunks()
+        run_change = key_change | _key_change_mask(oarr, n)
+        starts_r = np.flatnonzero(run_change)
+        lens_r = np.diff(np.r_[starts_r, n])
+        run_end = np.repeat(starts_r + lens_r - 1, lens_r)
+        pos = np.arange(n, dtype=np.int64)
+        first = np.maximum.accumulate(np.where(key_change, pos, 0))
+        out_cols = []
+        for i, (f, vcol, dt) in enumerate(specs):
+            if vcol is None:  # COUNT(*): rows through the last peer
+                seg_cnt = (run_end - first + 1) + pcnt[i][c_np]
+                out_cols.append((f.out_col, pa.array(seg_cnt.astype(np.int64))))
+                continue
+            varr = g[vcol].combine_chunks()
+            null_mask = pc.is_null(varr).to_numpy(zero_copy_only=False)
+            v = np.where(
+                null_mask,
+                0,
+                pc.fill_null(varr, 0).to_numpy(zero_copy_only=False),
+            ).astype(dt)
+            cum = np.cumsum(v)
+            cnt = np.cumsum(~null_mask)
+            seg_sum = (cum - cum[first] + v[first])[run_end] + psum[i][c_np]
+            seg_cnt = (
+                (cnt - cnt[first] + (~null_mask)[first])[run_end]
+                + pcnt[i][c_np]
+            )
+            if f.func == "run_sum":
+                out = pa.array(seg_sum)
+                if dt is np.int64:
+                    out = out.cast(pa.int64())
+                out = pc.if_else(
+                    pa.array(seg_cnt > 0), out, pa.scalar(None, out.type)
+                )
+            elif f.func == "run_count":
+                out = pa.array(seg_cnt.astype(np.int64))
+            else:  # run_avg
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = pa.array(
+                        np.where(
+                            seg_cnt > 0, seg_sum / np.maximum(seg_cnt, 1), np.nan
+                        )
+                    )
+                out = pc.if_else(
+                    pa.array(seg_cnt > 0), out, pa.scalar(None, pa.float64())
+                )
+            out_cols.append((f.out_col, out))
+        g = g.drop_columns(["__c"])
+        for name, arr in out_cols:
+            g = g.append_column(name, arr)
+        return g
+
+    nb = resolve_buckets(num_buckets, n_rows=n_rows)
+    tagged_full = ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _bucketed(tagged_full, ["__c"], nb, final_bucket)
+
+
 def partition_row_number(
     ds: "ray.data.Dataset",
     key: str,

@@ -32,6 +32,23 @@ from sqlgrep_ray.stages.textnorm import split_whitespace
 _B = np.uint64(1_000_003)  # polynomial base
 _MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# Fingerprints-per-document estimate used to size the pair-generation
+# bucket shuffle from the DOCUMENT count (free from parquet metadata)
+# instead of re-running fingerprinting just to count its output rows.
+# Winnowing selects ~2/(w+1) fingerprints per character (~0.12/char at
+# the default w=16), so 256 corresponds to a ~2 KB document — deliberately
+# on the high side so the resolved bucket count errs toward more, smaller
+# tasks.
+FP_PER_DOC_EST = 256
+
+
+def _estimate_fp_rows(ds: "ray.data.Dataset") -> int:
+    """Estimated (doc_id, fp) row count for bucket sizing — document count
+    (metadata-free on a fresh parquet read) × :data:`FP_PER_DOC_EST`."""
+    from sqlgrep_ray.stages.window import _estimate_rows
+
+    return _estimate_rows(ds) * FP_PER_DOC_EST
+
 
 def _rolling_hashes(data: bytes, k: int) -> np.ndarray:
     """Karp-Rabin hashes of every k-byte window (mod 2^64)."""
@@ -230,6 +247,7 @@ def shared_fingerprint_pairs(
     min_shared: int = 2,
     max_bucket: int = 256,
     metrics=None,
+    num_buckets: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     partial-copy candidates (a shared span of ≥ w+k−1 normalized chars
@@ -251,9 +269,23 @@ def shared_fingerprint_pairs(
     are exhaustive and exact (oracle-checked)."""
     from ray.data.aggregate import Sum
 
+    from sqlgrep_ray.stages.window import resolve_buckets
+
     actor = metrics.actor if metrics is not None else None
 
     fps = winnow_fingerprints(ds, id_col, text_col, k, w)
+    # Bucket count auto-sizes like every other bucket-shuffle op
+    # (resolve_buckets, window.py). Sizing input: the fp table is
+    # ~FP_PER_DOC_EST narrow int rows per document (winnowing density is
+    # 2/(w+1) fps/char ⇒ ~0.12/char at w=16; 256 ≈ a 2 KB doc), estimated
+    # from the DOCUMENT count so the resolve stays metadata-free on a
+    # fresh parquet read instead of re-running fingerprinting to count.
+    if num_buckets is not None:
+        n_buckets = np.int64(num_buckets)
+    else:
+        n_buckets = np.int64(
+            resolve_buckets(None, n_rows=_estimate_fp_rows(ds))
+        )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -262,7 +294,7 @@ def shared_fingerprint_pairs(
             t.select(["fp"]).to_pandas(), index=False
         ).to_numpy()
         return t.append_column(
-            "__b", pa.array((h % np.uint64(64)).astype(np.int64))
+            "__b", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:

@@ -782,3 +782,158 @@ def test_nth_value_sql_parse_errors():
             "SELECT NTH_VALUE(v, 0) OVER (PARTITION BY k ORDER BY o) AS x "
             "FROM t"
         )
+
+
+def _global_running_input(n=5000, seed=11):
+    """Adversarial global-window input: heavy order-value TIES (peers),
+    NULL values, NULL order values, int and float value columns."""
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 400, n).astype("int64")  # ~12 peers per value
+    ts_null = rng.random(n) < 0.02
+    v_int = rng.integers(-50, 50, n).astype("int64")
+    v_null = rng.random(n) < 0.1
+    return pa.table(
+        {
+            "ts": pa.array(ts, mask=ts_null),
+            "vi": pa.array(v_int, mask=v_null),
+            "vf": pa.array(
+                rng.standard_normal(n), mask=rng.random(n) < 0.1
+            ),
+            "tag": pa.array(rng.integers(0, 9, n).astype("int64")),
+        }
+    )
+
+
+def test_global_running_ranged_bit_equal(ray_session):
+    """VERDICT r4 #3: the chunk-safe global path is bit-identical to the
+    one-task partition_windows contract — SQL NULL handling (sum NULL over
+    an all-NULL prefix), RANGE peers sharing frame-end values, NULL order
+    last, COUNT(*) vs COUNT(v), int sums staying int64 — with chunking
+    FORCED (chunk_rows far below the row count)."""
+    import ray.data
+
+    from sqlgrep_ray.stages import window
+    from sqlgrep_ray.stages.window import WinFunc, global_running_ranged
+
+    t = _global_running_input()
+    funcs = [
+        WinFunc("run_sum", "rs", value_col="vi"),
+        WinFunc("run_count", "rc", value_col="vi"),
+        WinFunc("run_avg", "ra", value_col="vi"),
+        WinFunc("run_sum", "rsf", value_col="vf"),
+        WinFunc("run_count_star", "rn"),
+    ]
+    ds = ray.data.from_arrow(t).repartition(8)
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    chunked = (
+        global_running_ranged(ds, "ts", funcs, chunk_rows=250)
+        .to_pandas()
+        .sort_values(["ts", "tag", "vi"])
+        .reset_index(drop=True)
+    )
+    assert window.LAST_GLOBAL_WINDOW_PATH == "ranged"
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    one = (
+        global_running_ranged(ds, "ts", funcs, chunk_rows=10**9)
+        .to_pandas()
+        .sort_values(["ts", "tag", "vi"])
+        .reset_index(drop=True)
+    )
+    assert window.LAST_GLOBAL_WINDOW_PATH == "one-task"
+    assert list(chunked.columns) == list(one.columns)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(chunked, one)
+
+
+def test_global_running_ranged_delegates(ray_session):
+    """Non-numeric order columns and all-NULL order columns delegate to
+    the one-task contract instead of erroring."""
+    import ray.data
+
+    from sqlgrep_ray.stages import window
+    from sqlgrep_ray.stages.window import WinFunc, global_running_ranged
+
+    t = pa.table(
+        {
+            "o": pa.array(["b", "a", "c", "a"]),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    out = (
+        global_running_ranged(
+            ray.data.from_arrow(t), "o",
+            [WinFunc("run_sum", "rs", value_col="v")], chunk_rows=1,
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    assert window.LAST_GLOBAL_WINDOW_PATH == "one-task"
+    assert out["rs"].tolist() == [6, 6, 7, 10]  # peers on 'a' share
+
+    t2 = pa.table(
+        {
+            "o": pa.array([None, None, None], pa.int64()),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    out2 = global_running_ranged(
+        ray.data.from_arrow(t2), "o",
+        [WinFunc("run_sum", "rs", value_col="v")], chunk_rows=1,
+    ).to_pandas()
+    assert window.LAST_GLOBAL_WINDOW_PATH == "one-task"
+    assert out2["rs"].tolist() == [7, 7, 7]  # one peer run
+
+
+def test_sql_global_window_auto_routes(ray_session, monkeypatch):
+    """The SQL runner dispatches an all-associative global frame to the
+    ranged path (chunking forced via GLOBAL_RANGED_CHUNK_ROWS); a frame
+    holding any order-sensitive function keeps the one-task contract.
+    Values match a DuckDB oracle either way."""
+    import duckdb
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+    from sqlgrep_ray.stages import window
+
+    t = _global_running_input(n=3000, seed=5)
+    monkeypatch.setattr(window, "GLOBAL_RANGED_CHUNK_ROWS", 200)
+
+    plan = parse_query(
+        "SELECT ts, vi, SUM(vi) OVER (ORDER BY ts) AS rs, "
+        "COUNT(*) OVER (ORDER BY ts) AS rn FROM t"
+    ).plan
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    got = (
+        run_plan(ray.data.from_arrow(t).repartition(6), plan)
+        .to_pandas()
+        .sort_values(["ts", "vi", "rs"])
+        .reset_index(drop=True)
+    )
+    assert window.LAST_GLOBAL_WINDOW_PATH == "ranged"
+    want = (
+        duckdb.sql(
+            "SELECT ts, vi, SUM(vi) OVER (ORDER BY ts) AS rs, "
+            "CAST(COUNT(*) OVER (ORDER BY ts) AS BIGINT) AS rn FROM t"
+        )
+        .df()
+        .sort_values(["ts", "vi", "rs"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+    # order-sensitive frame: stays one-task (ranged path never fires)
+    plan2 = parse_query(
+        "SELECT ts, ROW_NUMBER() OVER (ORDER BY ts) AS rn2, "
+        "SUM(vi) OVER (ORDER BY ts) AS rs FROM t"
+    ).plan
+    window.LAST_GLOBAL_WINDOW_PATH = None
+    n = run_plan(ray.data.from_arrow(t), plan2).count()
+    assert n == 3000
+    assert window.LAST_GLOBAL_WINDOW_PATH is None

@@ -110,3 +110,41 @@ def test_winnow_hot_fingerprint_capped_and_counted(ray_session):
         ray.data.from_arrow(docs), min_shared=1, max_bucket=256
     ).to_pandas()
     assert len(full) > len(pairs)
+
+
+def test_winnow_buckets_auto_resolved(ray_session, monkeypatch):
+    """VERDICT r4 #2: pair generation must size its fp-hash bucket shuffle
+    via resolve_buckets like every other bucket op — not a fixed 64. With
+    BUCKET_ROW_TARGET shrunk, the estimated fp-row count (docs ×
+    FP_PER_DOC_EST) crosses the target and the resolved count grows; the
+    pair set is identical to a forced num_buckets=64 run."""
+    import ray.data
+
+    from sqlgrep_ray.stages import window, winnow
+
+    monkeypatch.setattr(window, "BUCKET_ROW_TARGET", 50)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": [PARA if i % 2 else PARA + f" tail {i}" for i in range(40)],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    window.LAST_RESOLVED_BUCKETS = None
+    auto = (
+        shared_fingerprint_pairs(ds, min_shared=1)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    resolved = window.LAST_RESOLVED_BUCKETS
+    assert resolved is not None, "winnow pair shuffle bypassed resolve_buckets"
+    assert resolved > window.WINDOW_BUCKETS, resolved
+    assert resolved == window.auto_buckets(40 * winnow.FP_PER_DOC_EST)
+    fixed = (
+        shared_fingerprint_pairs(ds, min_shared=1, num_buckets=64)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert auto.equals(fixed)
