@@ -70,3 +70,60 @@ def test_train_bpe_max_vocab(ray_session):
     # merges trained on {low, newest, widest|lower} — deterministic
     assert capped == train_bpe(corpus, n_merges=4, max_vocab=3)
     assert isinstance(full, list)
+
+
+def test_bpe_oracle_equivalences():
+    """Pins the two facts the bpe_counts self-training DuckDB oracle
+    (contract._bpe_counts_oracle_sql) rests on: (1) greedy rank-priority
+    ENCODING of a training word equals that word's training END STATE;
+    (2) merging one LEFTMOST occurrence repeatedly (the recursive-CTE
+    step) equals the engine's single left-to-right pass per merge —
+    neither holds by accident: the merged token ab can never recreate
+    the pair (a,b) adjacent to itself (ab != a and ab != b)."""
+    import random
+
+    from sqlgrep_ray.stages.bpe import (
+        _word_to_symbols,
+        apply_merges,
+        bpe_merge_loop,
+    )
+
+    rng = random.Random(3)
+    words: dict[str, int] = {}
+    for _ in range(400):
+        w = "".join(
+            rng.choices("abcdef", k=rng.randint(1, 9))
+        )
+        words[w] = words.get(w, 0) + rng.randint(1, 30)
+    merges = bpe_merge_loop(words, 40)
+
+    def l2r(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    def leftmost_repeat(syms, a, b):
+        syms = list(syms)
+        while True:
+            for i in range(len(syms) - 1):
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                    break
+            else:
+                return tuple(syms)
+
+    state = {w: _word_to_symbols(w) for w in words}
+    state_lr = dict(state)
+    for a, b in merges:
+        for w in words:
+            state[w] = l2r(state[w], a, b)
+            state_lr[w] = leftmost_repeat(state_lr[w], a, b)
+    assert state == state_lr  # (2)
+    for w in words:  # (1)
+        assert tuple(apply_merges(w, merges)) == state[w], w
