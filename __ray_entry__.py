@@ -42,8 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents (same result columns/names).
-    Keys absent here (knn_ivf, lang_quality, multimodal_features,
-    curate_full) are probabilistic/heuristic — rows-only checks."""
+    Keys absent here (dsir_weights, curate_full, kmeans_clusters,
+    lang_quality, multimodal_features) are probabilistic / heuristic /
+    float-valued — rows-only checks."""
     from sqlgrep_ray.pipelines.contract import ORACLES
 
     return dict(ORACLES)

@@ -2061,14 +2061,16 @@ WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
 
 
 def q_sql_moving_window(sf_dir: str) -> Result:
-    """Bounded window frames through the SQL dialect (round-4
-    extension): ``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` moving
-    SUM/AVG/COUNT(*) plus MIN/MAX OVER (both the default RANGE frame and
-    a bounded ROWS frame). All four compute in the ONE shared-frame
-    bucket pass; the bounded aggregates are exclusive-prefix differences
-    and MIN/MAX ride pandas' cython expanding/rolling kernels
-    (window.py). (conv_id, turn_idx) is unique, satisfying the ROWS
-    determinism contract — hash-exact vs DuckDB."""
+    """Bounded window frames through the SQL dialect (round-4 extension;
+    round-5 adds ``n PRECEDING AND m FOLLOWING`` and numeric
+    ``RANGE x PRECEDING``): moving SUM/AVG/COUNT(*) over backward,
+    centered and order-value frames plus MIN/MAX OVER. All compute in
+    the ONE shared-frame bucket pass; bounded aggregates are
+    exclusive-prefix differences over [j0, j1] (ROWS: position offsets
+    clamped to the partition; RANGE: one vectorized binary search for
+    the frame start), MIN/MAX ride pandas' cython expanding/rolling
+    kernels (window.py). (conv_id, turn_idx) is unique, satisfying the
+    ROWS determinism contract — hash-exact vs DuckDB."""
     from sqlgrep_ray.sqlfront import parse_query
 
     plan = parse_query(
@@ -2082,7 +2084,14 @@ def q_sql_moving_window(sf_dir: str) -> Result:
         "MIN(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
         "AS mn, "
         "MAX(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
-        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx FROM t"
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS csum, "
+        "COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fcnt, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS rsum "
+        "FROM t"
     ).plan
     ds = ray.data.read_parquet(
         transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
@@ -2100,7 +2109,13 @@ SELECT conv_id, turn_idx,
       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mcnt,
  MIN(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS mn,
  MAX(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
-      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mx,
+ CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS csum,
+ CAST(COUNT(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) AS fcnt,
+ CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
 FROM read_parquet('{_TR_GLOB}')
 """
 
@@ -3241,61 +3256,12 @@ GROUP BY f.doc_id
 
 QUERIES: dict[str, Callable[[str], Result]] = {
     # Registry order controls driver verification: CORRECTNESS runs the
-    # FIRST 50 entries, so never-driver-checked queries lead, then the
-    # ones last checked before round 3, then a rotation of recent greens.
-    # -- never driver-checked (through r3) --
-    "sql_union_chars": q_sql_union_chars,
-    "sql_cte_quality": q_sql_cte_quality,
-    "bloom_semi_orders": q_bloom_semi_orders,
-    "bloom_anti_orders": q_bloom_anti_orders,
-    "cms_event_counts": q_cms_event_counts,
-    "sql_in_subquery": q_sql_in_subquery,
-    "sql_moving_window": q_sql_moving_window,
-    "sql_scalar_subquery": q_sql_scalar_subquery,
-    "sql_scalar_ext": q_sql_scalar_ext,
-    "sql_like_between": q_sql_like_between,
-    "grouped_kll_chars": q_grouped_kll_chars,
-    "grouped_heavy_src": q_grouped_heavy_src,
-    "profile_documents": q_profile_documents,
-    "conv_tools_hll": q_conv_tools_hll,
-    "turn_latency": q_turn_latency,
-    "sql_running_sum": q_sql_running_sum,
-    "sql_running_rows": q_sql_running_rows,
-    "running_sum_ranged": q_running_sum_ranged,
-    "sql_qualify_dedup": q_sql_qualify_dedup,
-    "sql_global_window": q_sql_global_window,
-    "sql_global_running": q_sql_global_running,
-    "kll_quantiles": q_kll_quantiles,
-    "mixture_sample_docs": q_mixture_sample_docs,
-    "top_tokens_docs": q_top_tokens_docs,
-    "scrub_pii_docs": q_scrub_pii_docs,
-    "quality_counts_docs": q_quality_counts_docs,
-    "approx_distinct_users": q_approx_distinct_users,
-    "semdedup_emb": q_semdedup_emb,
-    "heavy_tokens_docs": q_heavy_tokens_docs,
-    "lm_oov_docs": q_lm_oov_docs,
-    "inverted_df": q_inverted_df,
-    "index_search": q_index_search,
-    "ranked_search": q_ranked_search,
-    "bpe_counts": q_bpe_counts,
-    "grouped_sample": q_grouped_sample,
-    "asof_join_orders_auto": q_asof_join_orders_auto,
-    "bpe_encode_docs": q_bpe_encode_docs,
-    # -- last driver-checked before r3 --
-    "flagship_sink_counts": q_flagship_sink_counts,
-    "flagship_sink_role_counts": q_flagship_sink_role_counts,
-    "flagship_hour_histogram": q_flagship_hour_histogram,
-    "flagship_enriched": q_flagship_enriched,
-    "sql_turn_latency": q_sql_turn_latency,
-    "sql_row_number": q_sql_row_number,
-    "kmeans_clusters": q_kmeans_clusters,
-    "hopping_window": q_hopping_window,
-    "assign_sessions": q_assign_sessions,
-    "trailing_window": q_trailing_window,
-    "decontam_docs": q_decontam_docs,
-    "connected_components": q_connected_components,
-    "pack_docs": q_pack_docs,
-    "reassemble_convs": q_reassemble_convs,
+    # FIRST 50 entries. Round-5 rotation (VERDICT r4 #4): the 7 entries
+    # never driver-checked through r4 lead, then the round-5 additions
+    # (sql_global_running; bpe_counts newly hash-oracled; winnow_pairs
+    # re-checked after the bucket-sizing change), the 4 flagship heads,
+    # the 4 entries last checked in r1, and the stalest r3 greens.
+    # -- never driver-checked through r4 --
     "latency_quantiles": q_latency_quantiles,
     "conv_latency_p90": q_conv_latency_p90,
     "segment_dedup_docs": q_segment_dedup_docs,
@@ -3303,11 +3269,21 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_rank_ties": q_sql_rank_ties,
     "sql_ntile": q_sql_ntile,
     "dsir_weights": q_dsir_weights,
+    # -- round-5 new / changed --
+    "sql_global_running": q_sql_global_running,
+    "bpe_counts": q_bpe_counts,
+    "winnow_pairs": q_winnow_pairs,
+    # -- flagship (always in the window) --
+    "flagship_sink_counts": q_flagship_sink_counts,
+    "flagship_sink_role_counts": q_flagship_sink_role_counts,
+    "flagship_hour_histogram": q_flagship_hour_histogram,
+    "flagship_enriched": q_flagship_enriched,
+    # -- last driver-checked in r1 --
     "sessionize_users": q_sessionize_users,
     "conv_stats": q_conv_stats,
     "conv_distinct_tools": q_conv_distinct_tools,
     "hot_conv_roles": q_hot_conv_roles,
-    # -- driver-green in r3 (rotation tail) --
+    # -- stalest r3 greens --
     "select_where_project": q_select_where_project,
     "orderby_topn": q_orderby_topn,
     "agg_global": q_agg_global,
@@ -3340,6 +3316,52 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "topk_docs_per_lang": q_topk_docs_per_lang,
     "hash_sample_docs": q_hash_sample_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
+    # -- rotation tail (r3/r4 greens) --
+    "sql_union_chars": q_sql_union_chars,
+    "sql_cte_quality": q_sql_cte_quality,
+    "bloom_semi_orders": q_bloom_semi_orders,
+    "bloom_anti_orders": q_bloom_anti_orders,
+    "cms_event_counts": q_cms_event_counts,
+    "sql_in_subquery": q_sql_in_subquery,
+    "sql_moving_window": q_sql_moving_window,
+    "sql_scalar_subquery": q_sql_scalar_subquery,
+    "sql_scalar_ext": q_sql_scalar_ext,
+    "sql_like_between": q_sql_like_between,
+    "grouped_kll_chars": q_grouped_kll_chars,
+    "grouped_heavy_src": q_grouped_heavy_src,
+    "profile_documents": q_profile_documents,
+    "conv_tools_hll": q_conv_tools_hll,
+    "turn_latency": q_turn_latency,
+    "sql_running_sum": q_sql_running_sum,
+    "sql_running_rows": q_sql_running_rows,
+    "running_sum_ranged": q_running_sum_ranged,
+    "sql_qualify_dedup": q_sql_qualify_dedup,
+    "sql_global_window": q_sql_global_window,
+    "kll_quantiles": q_kll_quantiles,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "top_tokens_docs": q_top_tokens_docs,
+    "scrub_pii_docs": q_scrub_pii_docs,
+    "quality_counts_docs": q_quality_counts_docs,
+    "approx_distinct_users": q_approx_distinct_users,
+    "semdedup_emb": q_semdedup_emb,
+    "heavy_tokens_docs": q_heavy_tokens_docs,
+    "lm_oov_docs": q_lm_oov_docs,
+    "inverted_df": q_inverted_df,
+    "index_search": q_index_search,
+    "ranked_search": q_ranked_search,
+    "grouped_sample": q_grouped_sample,
+    "asof_join_orders_auto": q_asof_join_orders_auto,
+    "bpe_encode_docs": q_bpe_encode_docs,
+    "sql_turn_latency": q_sql_turn_latency,
+    "sql_row_number": q_sql_row_number,
+    "kmeans_clusters": q_kmeans_clusters,
+    "hopping_window": q_hopping_window,
+    "assign_sessions": q_assign_sessions,
+    "trailing_window": q_trailing_window,
+    "decontam_docs": q_decontam_docs,
+    "connected_components": q_connected_components,
+    "pack_docs": q_pack_docs,
+    "reassemble_convs": q_reassemble_convs,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "knn_top5": q_knn_top5,
@@ -3348,7 +3370,6 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "embedding_dups": q_embedding_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_ngram_stats": q_dup_ngram_stats,
-    "winnow_pairs": q_winnow_pairs,
     "minhash_pairs_dist": q_minhash_pairs_dist,
     "simhash_pairs_dist": q_simhash_pairs_dist,
     "embedding_dups_dist": q_embedding_dups_dist,

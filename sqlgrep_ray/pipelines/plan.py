@@ -60,7 +60,8 @@ class WindowSpec:
     offset: int = 1
     frame: str = "range"  # "range" (SQL default) | "rows" | "full"
     default: Any = None  # LAG/LEAD 3-arg: literal filled past the edge
-    preceding: Any = None  # bounded frame: ROWS <n> PRECEDING lookback
+    preceding: Any = None  # bounded frame lookback (ROWS: rows; RANGE: value)
+    following: Any = None  # bounded ROWS frame lookahead (<m> FOLLOWING)
 
 
 @dataclass(frozen=True)

@@ -373,6 +373,7 @@ def run_select(
                 w.func in ("run_sum", "run_avg", "run_count", "run_count_star")
                 and w.frame == "range"
                 and getattr(w, "preceding", None) is None
+                and getattr(w, "following", None) is None
                 for w in specs
             ):
                 # GLOBAL associative running aggregates auto-route to the
@@ -437,6 +438,7 @@ def run_select(
                         WinFunc(
                             w.func, w.out_col, frame=w.frame,
                             preceding=getattr(w, "preceding", None),
+                            following=getattr(w, "following", None),
                         )
                     )
                 elif w.func in ("first_value", "last_value", "nth_value"):
@@ -453,6 +455,7 @@ def run_select(
                             w.func, w.out_col, value_col=w.value_col,
                             frame=w.frame,
                             preceding=getattr(w, "preceding", None),
+                            following=getattr(w, "following", None),
                         )
                     )
             ds = partition_windows(

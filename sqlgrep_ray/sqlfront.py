@@ -251,46 +251,73 @@ class Parser:
             raise SqlError(f"expected identifier, got {t}")
         return t.value
 
-    def parse_frame_clause(self) -> tuple[str, Optional[int]]:
-        """Optional window frame: ``ROWS|RANGE BETWEEN (UNBOUNDED | <n>)
-        PRECEDING AND (CURRENT ROW | UNBOUNDED FOLLOWING)``. Returns
-        ``(frame, preceding)``: frame is "range" (the SQL default, also
-        when absent), "rows", or "full" (unbounded → unbounded: the whole
-        partition); preceding is the integer lookback of a bounded
-        ``ROWS <n> PRECEDING`` frame (the moving-average form), else
-        None. A bounded RANGE frame (order-value arithmetic) is not
-        supported."""
+    def parse_frame_clause(self) -> tuple[str, Optional[float], Optional[int]]:
+        """Optional window frame. Returns ``(frame, preceding, following)``:
+        frame is "range" (the SQL default, also when absent), "rows", or
+        "full" (unbounded → unbounded: the whole partition).
+
+        Supported bounded forms (round-5 extension, VERDICT r4 #7):
+        * ``ROWS BETWEEN <n> PRECEDING AND CURRENT ROW`` → ("rows", n, None)
+        * ``ROWS BETWEEN <n> PRECEDING AND <m> FOLLOWING`` → ("rows", n, m)
+        * ``ROWS BETWEEN CURRENT ROW AND <m> FOLLOWING`` → ("rows", 0, m)
+        * ``RANGE BETWEEN <x> PRECEDING AND CURRENT ROW`` → ("range", x, None)
+          — x numeric (order-VALUE lookback; the order column must be
+          numeric, and the frame spans rows with order ≥ current − x
+          through the current row's peers)."""
         if not (self.at_kw("rows") or self.at_kw("range")):
-            return "range", None
+            return "range", None, None
         kind = self.expect_ident().lower()
         self.expect_kw("between")
-        preceding: Optional[int] = None
-        if not self.eat_kw("unbounded"):
+        preceding: Optional[float] = None
+        if self.eat_kw("current"):
+            # CURRENT ROW AND <m> FOLLOWING (0-lookback sliding window)
+            self.expect_kw("row")
+            if kind != "rows":
+                raise SqlError(
+                    "RANGE BETWEEN CURRENT ROW AND ... is not supported"
+                )
+            self.expect_kw("and")
             t = self.next()
             if t.kind != "number" or isinstance(t.value, float):
                 raise SqlError(
-                    f"expected UNBOUNDED or an integer before PRECEDING, "
-                    f"got {t}"
+                    f"expected an integer before FOLLOWING, got {t}"
                 )
-            if kind != "rows":
+            self.expect_kw("following")
+            return "rows", 0, int(t.value)
+        if not self.eat_kw("unbounded"):
+            t = self.next()
+            if t.kind != "number":
                 raise SqlError(
-                    "bounded frames are only supported as ROWS <n> "
-                    "PRECEDING (RANGE needs order-value arithmetic)"
+                    f"expected UNBOUNDED, CURRENT ROW or a number before "
+                    f"PRECEDING, got {t}"
                 )
-            preceding = int(t.value)
+            if kind == "rows" and isinstance(t.value, float):
+                raise SqlError("ROWS frames need an integer bound")
+            preceding = t.value if kind == "range" else int(t.value)
             self.expect_kw("preceding")
             self.expect_kw("and")
-            self.expect_kw("current")
-            self.expect_kw("row")
-            return "rows", preceding
+            if self.eat_kw("current"):
+                self.expect_kw("row")
+                return kind, preceding, None
+            if kind != "rows":
+                raise SqlError(
+                    "bounded RANGE frames end at CURRENT ROW"
+                )
+            t = self.next()
+            if t.kind != "number" or isinstance(t.value, float):
+                raise SqlError(
+                    f"expected an integer before FOLLOWING, got {t}"
+                )
+            self.expect_kw("following")
+            return "rows", preceding, int(t.value)
         self.expect_kw("preceding")
         self.expect_kw("and")
         if self.eat_kw("unbounded"):
             self.expect_kw("following")
-            return "full", None
+            return "full", None, None
         self.expect_kw("current")
         self.expect_kw("row")
-        return kind, None
+        return kind, None, None
 
     # -- statements --------------------------------------------------------
 
@@ -943,7 +970,7 @@ class Parser:
                 self.expect_kw("order")
                 self.expect_kw("by")
                 order = self.expect_ident()
-                frame, preceding = self.parse_frame_clause()
+                frame, preceding, following = self.parse_frame_clause()
                 if (frame != "range" or preceding is not None) and fname not in (
                     "first_value", "last_value", "nth_value"
                 ):
@@ -951,10 +978,9 @@ class Parser:
                         "frame clauses apply only to running aggregates "
                         "and FIRST_VALUE/LAST_VALUE"
                     )
-                if preceding is not None:
+                if preceding is not None or following is not None:
                     raise SqlError(
-                        "bounded (ROWS n PRECEDING) frames apply only to "
-                        "running aggregates"
+                        "bounded frames apply only to running aggregates"
                     )
                 self.expect_op(")")
                 return WindowCall(
@@ -994,7 +1020,7 @@ class Parser:
                     self.expect_kw("order")
                     self.expect_kw("by")
                     order = self.expect_ident()
-                    frame, preceding = self.parse_frame_clause()
+                    frame, preceding, following = self.parse_frame_clause()
                     self.expect_op(")")
                     wfunc = (
                         "run_count_star"
@@ -1003,7 +1029,7 @@ class Parser:
                     )
                     return WindowCall(
                         wfunc, value, key, order, 1, frame,
-                        preceding=preceding,
+                        preceding=preceding, following=following,
                     )
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:
@@ -1052,7 +1078,8 @@ class WindowCall(Expr):
     offset: int = 1
     frame: str = "range"  # "range" (default) | "rows" | "full"
     default: Any = None  # LAG/LEAD 3-arg form: literal past the edge
-    preceding: Any = None  # bounded ROWS <n> PRECEDING lookback
+    preceding: Any = None  # bounded frame lookback (ROWS: rows; RANGE: value)
+    following: Any = None  # bounded ROWS frame lookahead (<m> FOLLOWING)
 
 
 @dataclass(frozen=True, eq=True)
@@ -1248,6 +1275,7 @@ def convert_query(
                         WindowSpec(
                             out, wc.func, wc.value_col, wc.key, wc.order,
                             wc.offset, wc.frame, wc.default, wc.preceding,
+                            wc.following,
                         )
                     )
                 e = _replace(e, wc, Col(out))

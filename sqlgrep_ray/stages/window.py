@@ -524,10 +524,17 @@ class WinFunc:
     LAST_VALUE the partition's final value); honored by the running
     aggregates and FIRST_VALUE/LAST_VALUE, ignored by ranking/navigation
     functions (SQL semantics: they take no frame).
-    ``preceding``: bounded frame — ``ROWS BETWEEN preceding PRECEDING AND
-    CURRENT ROW`` (the moving-average/sliding-window form); running
-    aggregates only, requires ``frame="rows"`` (a bounded RANGE frame
-    needs order-value arithmetic and is not supported).
+    ``preceding`` / ``following``: bounded frames — running aggregates
+    only. With ``frame="rows"``: ``ROWS BETWEEN preceding PRECEDING AND
+    (CURRENT ROW | following FOLLOWING)`` (the moving-average/sliding-
+    window forms; SUM/AVG/COUNT/COUNT(*) support ``following``, MIN/MAX
+    do not — a forward-shrinking window has no O(n) rolling inverse).
+    With ``frame="range"`` and ``preceding`` set: ``RANGE BETWEEN
+    preceding PRECEDING AND CURRENT ROW`` — an order-VALUE lookback
+    (rows with order ≥ current − preceding through the current row's
+    peers); requires a NUMERIC order column, SUM/AVG/COUNT/COUNT(*)
+    only, and NULL order rows frame over their own peer run (SQL
+    semantics: NULLs form one peer group).
     """
 
     func: str
@@ -536,7 +543,8 @@ class WinFunc:
     param: "int | None" = None
     frame: str = "range"
     default: "object | None" = None  # LAG/LEAD: literal past the edge
-    preceding: "int | None" = None  # bounded ROWS frame lookback
+    preceding: "int | float | None" = None  # bounded lookback (rows / value)
+    following: "int | None" = None  # bounded ROWS lookahead
 
 
 _WIN_FUNCS = frozenset(
@@ -636,10 +644,30 @@ def partition_windows(
                     "a bounded (k PRECEDING) frame applies only to "
                     "running aggregates"
                 )
-            if f.frame != "rows":
-                raise ValueError("bounded frames require ROWS")
+            if f.frame == "range":
+                # RANGE x PRECEDING: order-VALUE lookback
+                if f.func in ("run_min", "run_max"):
+                    raise ValueError(
+                        "RANGE x PRECEDING supports SUM/AVG/COUNT/COUNT(*) "
+                        "only (MIN/MAX have no O(n) sliding inverse)"
+                    )
+            elif f.frame != "rows":
+                raise ValueError("bounded frames require ROWS or RANGE")
             if f.preceding < 0:
                 raise ValueError("preceding must be >= 0")
+        if f.following is not None:
+            if f.func not in _RUNNING_FUNCS or f.func in ("run_min", "run_max"):
+                raise ValueError(
+                    "a bounded (m FOLLOWING) frame applies only to "
+                    "SUM/AVG/COUNT/COUNT(*) running aggregates"
+                )
+            if f.frame != "rows" or f.preceding is None:
+                raise ValueError(
+                    "m FOLLOWING requires ROWS BETWEEN n PRECEDING AND "
+                    "m FOLLOWING"
+                )
+            if f.following < 0:
+                raise ValueError("following must be >= 0")
     keys = _as_keys(key)
     num_buckets = resolve_buckets(num_buckets, ds)
     value_cols = [f.value_col for f in funcs if f.value_col]
@@ -701,6 +729,48 @@ def partition_windows(
             if frame == "full":
                 return part_end()
             return tie_run_end()
+
+        range_start_cache: dict = {}
+
+        def range_start(x) -> np.ndarray:
+            # RANGE x PRECEDING frame start: per row, the first index j in
+            # its partition with o[j] >= o[i] - x. One vectorized binary
+            # search over the (key, order)-sorted bucket — ~log2(longest
+            # partition) passes, never per-key Python. NULL order values
+            # map to +inf: they sort last within the partition (matching
+            # the sort order), stay outside every finite row's frame, and
+            # a NULL row's own search (target inf) lands exactly on the
+            # first row of its NULL peer run — SQL's NULLs-as-one-peer-
+            # group semantics with no special case.
+            cached = range_start_cache.get(x)
+            if cached is not None:
+                return cached
+            oarr2 = g[order_col].combine_chunks()
+            if not (
+                pa.types.is_integer(oarr2.type)
+                or pa.types.is_floating(oarr2.type)
+            ):
+                raise ValueError(
+                    "RANGE x PRECEDING needs a numeric order column "
+                    f"(got {oarr2.type}); ints round-trip float64 "
+                    "(exact below 2^53)"
+                )
+            o = pc.fill_null(oarr2.cast(pa.float64()), np.inf).to_numpy(
+                zero_copy_only=False
+            )
+            target = o - float(x)
+            lo = first_of_key.copy()
+            hi = pos.copy()
+            while True:
+                open_ = lo < hi
+                if not open_.any():
+                    break
+                mid = (lo + hi) // 2
+                ge = o[mid] >= target
+                hi = np.where(open_ & ge, mid, hi)
+                lo = np.where(open_ & ~ge, mid + 1, lo)
+            range_start_cache[x] = lo
+            return lo
         for f in funcs:
             if f.func in ("lag", "lead"):
                 off = f.param if f.func == "lag" else -f.param
@@ -810,11 +880,21 @@ def partition_windows(
                     )
                 )
             elif f.func == "run_count_star":
-                # COUNT(*) OVER: the frame-end row's 1-based partition
-                # ordinal (RANGE: last peer; ROWS: own; FULL: partition n);
-                # bounded ROWS k PRECEDING → rows since max(start, i-k)
-                if f.preceding is not None:
-                    out = pos - np.maximum(first_of_key, pos - f.preceding) + 1
+                # COUNT(*) OVER: frame-row count. Unbounded: the frame-end
+                # row's 1-based partition ordinal (RANGE: last peer; ROWS:
+                # own; FULL: partition n). Bounded ROWS n PRECEDING
+                # [AND m FOLLOWING] → rows in [max(start, i-n),
+                # min(end, i+m)]; RANGE x PRECEDING → rows in
+                # [range_start, last peer].
+                if f.preceding is not None and f.frame == "range":
+                    out = tie_run_end() - range_start(f.preceding) + 1
+                elif f.preceding is not None:
+                    j1 = (
+                        pos
+                        if f.following is None
+                        else np.minimum(part_end(), pos + f.following)
+                    )
+                    out = j1 - np.maximum(first_of_key, pos - f.preceding) + 1
                 else:
                     out = frame_end(f.frame) - first_of_key + 1
                 out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
@@ -864,13 +944,24 @@ def partition_windows(
                 cum = np.cumsum(v)
                 cnt = np.cumsum(~null_mask)
                 if f.preceding is not None:
-                    # bounded ROWS frame: exclusive-prefix difference over
-                    # [max(start, i-k), i]
+                    # bounded frame: exclusive-prefix difference over
+                    # [j0, j1] — ROWS: [max(start, i-n), i | min(end, i+m)];
+                    # RANGE x PRECEDING: [first j with o_j >= o_i - x,
+                    # last peer]
                     cum_x = np.r_[np.zeros(1, cum.dtype), cum]
                     cnt_x = np.r_[np.zeros(1, cnt.dtype), cnt]
-                    j = np.maximum(first_of_key, pos - f.preceding)
-                    seg_sum = cum_x[pos + 1] - cum_x[j]
-                    seg_cnt = cnt_x[pos + 1] - cnt_x[j]
+                    if f.frame == "range":
+                        j0 = range_start(f.preceding)
+                        j1 = tie_run_end()
+                    else:
+                        j0 = np.maximum(first_of_key, pos - f.preceding)
+                        j1 = (
+                            pos
+                            if f.following is None
+                            else np.minimum(part_end(), pos + f.following)
+                        )
+                    seg_sum = cum_x[j1 + 1] - cum_x[j0]
+                    seg_cnt = cnt_x[j1 + 1] - cnt_x[j0]
                 else:
                     seg_sum = cum - cum[first_of_key] + v[first_of_key]
                     seg_cnt = (

@@ -213,3 +213,41 @@ def test_bounded_frames_and_minmax_match_duckdb(ray_session, data, k):
     exp = _oracle(tbl, sql)
     for col in ["ms", "ma", "mc", "mnr", "mxb", "mxf", "n2"]:
         _eq(got[col], exp[col])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    window_data(),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=6),
+)
+def test_following_and_range_frames_match_duckdb(ray_session, data, n, m, x):
+    """Round-5 kernels (VERDICT r4 #7): ROWS BETWEEN n PRECEDING AND
+    m FOLLOWING (centered window), ROWS BETWEEN CURRENT ROW AND m
+    FOLLOWING, and numeric RANGE BETWEEN x PRECEDING AND CURRENT ROW —
+    random data with NULL keys, NULL values, and TIED order values for
+    the RANGE frame (peers share frame ends; the ROWS frames use the
+    unique order column per the determinism contract)."""
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        f"SUM(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {n} "
+        f"PRECEDING AND {m} FOLLOWING) AS cs, "
+        f"AVG(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {n} "
+        f"PRECEDING AND {m} FOLLOWING) AS ca, "
+        f"COUNT(*) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN CURRENT "
+        f"ROW AND {m} FOLLOWING) AS fc, "
+        f"SUM(v) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN {x} "
+        "PRECEDING AND CURRENT ROW) AS rs, "
+        f"COUNT(v) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN {x} "
+        "PRECEDING AND CURRENT ROW) AS rc, "
+        f"COUNT(*) OVER (PARTITION BY k ORDER BY t RANGE BETWEEN {x} "
+        "PRECEDING AND CURRENT ROW) AS rcs "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["cs", "ca", "fc", "rs", "rc", "rcs"]:
+        _eq(got[col], exp[col])

@@ -688,10 +688,28 @@ def test_bounded_frame_validation(ray_session):
             ds, "k", "o",
             [WinFunc("row_number", "rn", frame="rows", preceding=2)],
         )
-    with pytest.raises(ValueError, match="require ROWS"):
+    # round 5: frame="range" + preceding is the legal RANGE x PRECEDING
+    # form (for SUM/AVG/COUNT/COUNT(*)); "full" + preceding stays illegal
+    with pytest.raises(ValueError, match="ROWS or RANGE"):
         partition_windows(
             ds, "k", "o",
-            [WinFunc("run_sum", "s", value_col="v", preceding=2)],
+            [WinFunc("run_sum", "s", value_col="v", frame="full", preceding=2)],
+        )
+    with pytest.raises(ValueError, match="MIN/MAX"):
+        partition_windows(
+            ds, "k", "o",
+            [WinFunc("run_min", "s", value_col="v", preceding=2)],
+        )
+    with pytest.raises(ValueError, match="FOLLOWING"):
+        partition_windows(
+            ds, "k", "o",
+            [WinFunc("run_sum", "s", value_col="v", following=2)],
+        )
+    with pytest.raises(ValueError, match="SUM/AVG/COUNT"):
+        partition_windows(
+            ds, "k", "o",
+            [WinFunc("run_max", "s", value_col="v", frame="rows",
+                     preceding=1, following=2)],
         )
 
 
@@ -704,11 +722,17 @@ def test_sql_bounded_frame_parses():
     ).plan
     w = plan.windows[0]
     assert w.func == "run_max" and w.preceding == 5 and w.frame == "rows"
-    with pytest.raises(SqlError, match="ROWS"):
-        parse_query(
-            "SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY o "
-            "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t"
-        )
+    # round 5: RANGE x PRECEDING parses (order-value lookback)
+    w2 = parse_query(
+        "SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS m FROM t"
+    ).plan.windows[0]
+    assert w2.frame == "range" and w2.preceding == 5 and w2.following is None
+    w3 = parse_query(
+        "SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING) AS m FROM t"
+    ).plan.windows[0]
+    assert w3.frame == "rows" and w3.preceding == 2 and w3.following == 3
     with pytest.raises(SqlError, match="running aggregates"):
         parse_query(
             "SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o "
