@@ -651,9 +651,33 @@ def _f_regexp_matches(args: list[Kernel], ctx: CompileCtx) -> Kernel:
 
 @register_function("create_array")
 def _f_create_array(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """array[a, b, c] — one list row per input row. Vectorized since
+    round 5 (VERDICT r4 #8): concat the k element columns and take with
+    the interleave pattern (row i reads positions i, n+i, 2n+i, …) — one
+    concat + one take, no Python per row. Heterogeneous element types
+    (e.g. mixed int/string literals) keep the builder fallback, which
+    lets pa.array infer the common type exactly as before."""
+
     def k(t: pa.Table) -> Any:
         n = t.num_rows
         cols = [_as_array(a(t), n) for a in args]
+        cols = [
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in cols
+        ]
+        kk = len(cols)
+        if kk and n and len({str(c.type) for c in cols}) == 1:
+            values = pa.concat_arrays(cols)
+            take_idx = (
+                np.arange(kk, dtype=np.int64)[None, :] * n
+                + np.arange(n, dtype=np.int64)[:, None]
+            ).ravel()
+            offs = pa.array(
+                (np.arange(n + 1, dtype=np.int64) * kk).astype(np.int32)
+            )
+            return pa.ListArray.from_arrays(
+                offs, values.take(pa.array(take_idx))
+            )
         rows = list(zip(*(c.to_pylist() for c in cols))) if cols else []
         return pa.array([list(r) for r in rows])
 
@@ -662,16 +686,67 @@ def _f_create_array(args: list[Kernel], ctx: CompileCtx) -> Kernel:
 
 @register_function("array_unique")
 def _f_array_unique(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """Sorted distinct non-NULL elements per list (BTreeSet semantics,
+    :333-343, :642-645); NULL list ⇒ NULL. Vectorized since round 5
+    (VERDICT r4 #8): flatten to a (row, value) table, drop NULL values,
+    ONE pc.sort_indices over (row asc, value asc) — any element type —
+    dedup adjacent equals with a shifted compare, and rebuild offsets
+    from per-row counts. No Python per row."""
     (ak,) = args
 
     def k(t: pa.Table) -> Any:
         arr = _as_array(ak(t), t.num_rows)
-        # sorts + dedups (BTreeSet semantics, :333-343, :642-645)
-        out = [
-            None if l is None else sorted({e for e in l if e is not None})
-            for l in arr.to_pylist()
-        ]
-        return pa.array(out, arr.type)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        null_rows = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        # offsets are ABSOLUTE into .values (flatten() would compact
+        # away null-row extents and break the indexing)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = arr.values
+        lens = offsets[1:] - offsets[:-1]
+        # NULL rows still have offset extents; zero them out of the scan
+        lens = np.where(null_rows, 0, lens)
+        starts = offsets[:-1]
+        rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        within = (
+            np.arange(len(rowid), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        flat_idx = np.repeat(starts, lens) + within
+        vals = values.take(pa.array(flat_idx)) if len(flat_idx) else values.slice(0, 0)
+        keep = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        rowid, vals = rowid[keep], vals.filter(pa.array(keep))
+        pair = pa.table({"__r": pa.array(rowid), "__v": vals})
+        order = pc.sort_indices(
+            pair, [("__r", "ascending"), ("__v", "ascending")]
+        )
+        pair = pair.take(order)
+        m = pair.num_rows
+        if m:
+            r = pair["__r"].combine_chunks()
+            v = pair["__v"].combine_chunks()
+            same_r = pc.equal(r.slice(1), r.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            same_v = pc.equal(v.slice(1), v.slice(0, m - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            first = np.r_[True, ~(same_r & same_v)]
+            pair = pair.filter(pa.array(first))
+            rowid = pair["__r"].to_numpy(zero_copy_only=False)
+            out_vals = pair["__v"].combine_chunks()
+        else:
+            rowid = np.array([], np.int64)
+            out_vals = vals
+        counts = np.bincount(rowid, minlength=n).astype(np.int64)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)),
+            out_vals.cast(arr.type.value_type),
+            mask=pa.array(null_rows),
+        )
 
     return k
 
