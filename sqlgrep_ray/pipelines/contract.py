@@ -2060,6 +2060,44 @@ WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
 """
 
 
+def q_sql_time_range_window(sf_dir: str) -> Result:
+    """Trailing TIME window per row (round-5 extension): ``SUM/COUNT(*)
+    OVER (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL
+    '0:0:30' PRECEDING AND CURRENT ROW)`` — the canonical log-pipeline
+    frame ("events in the last 30 s, per key, at every event"). The
+    interval literal uses the dialect's H:M:S form and lowers to a µs
+    order-value lookback; the frame start is one vectorized binary
+    search per bucket (window.py range_start). RANGE semantics make it
+    tie-safe (peers share frame ends), so ts duplicates are fine.
+    Hash-exact vs DuckDB's native INTERVAL RANGE frame."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, ts, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '0:0:30' PRECEDING AND CURRENT ROW) AS tsum, "
+        "COUNT(*) OVER (PARTITION BY conv_id ORDER BY ts "
+        "RANGE BETWEEN '0:2:0' PRECEDING AND CURRENT ROW) AS tcnt "
+        "FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "ts"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_TIME_RANGE_WINDOW = f"""
+SELECT conv_id, turn_idx, ts,
+ CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '30 seconds' PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS tsum,
+ CAST(COUNT(*) OVER (PARTITION BY conv_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '2 minutes' PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS tcnt
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_sql_moving_window(sf_dir: str) -> Result:
     """Bounded window frames through the SQL dialect (round-4 extension;
     round-5 adds ``n PRECEDING AND m FOLLOWING`` and numeric
@@ -3273,6 +3311,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_global_running": q_sql_global_running,
     "bpe_counts": q_bpe_counts,
     "winnow_pairs": q_winnow_pairs,
+    "sql_time_range_window": q_sql_time_range_window,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -3448,6 +3487,7 @@ ORACLES: dict[str, str] = {
     "sql_qualify_dedup": SQL_SQL_QUALIFY_DEDUP,
     "sql_global_window": SQL_SQL_GLOBAL_WINDOW,
     "sql_global_running": SQL_SQL_GLOBAL_RUNNING,
+    "sql_time_range_window": SQL_SQL_TIME_RANGE_WINDOW,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

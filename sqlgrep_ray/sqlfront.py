@@ -263,7 +263,12 @@ class Parser:
         * ``RANGE BETWEEN <x> PRECEDING AND CURRENT ROW`` → ("range", x, None)
           — x numeric (order-VALUE lookback; the order column must be
           numeric, and the frame spans rows with order ≥ current − x
-          through the current row's peers)."""
+          through the current row's peers).
+        * ``RANGE BETWEEN [INTERVAL] '<H:M:S>' PRECEDING AND CURRENT ROW``
+          → ("range", microseconds, None) — trailing TIME window per row
+          over a timestamp order column (the interval literal uses the
+          dialect's H:M:S form, parse.py:_parse_interval_us; timestamps
+          are µs, so the lookback is the µs count)."""
         if not (self.at_kw("rows") or self.at_kw("range")):
             return "range", None, None
         kind = self.expect_ident().lower()
@@ -285,15 +290,35 @@ class Parser:
             self.expect_kw("following")
             return "rows", 0, int(t.value)
         if not self.eat_kw("unbounded"):
-            t = self.next()
-            if t.kind != "number":
-                raise SqlError(
-                    f"expected UNBOUNDED, CURRENT ROW or a number before "
-                    f"PRECEDING, got {t}"
-                )
-            if kind == "rows" and isinstance(t.value, float):
-                raise SqlError("ROWS frames need an integer bound")
-            preceding = t.value if kind == "range" else int(t.value)
+            if kind == "range" and (
+                self.at_kw("interval")
+                or (self.peek() is not None and self.peek().kind == "string")
+            ):
+                # trailing time window: [INTERVAL] 'H:M:S' PRECEDING
+                self.eat_kw("interval")
+                t = self.next()
+                if t.kind != "string":
+                    raise SqlError(
+                        f"expected an 'H:M:S' interval literal, got {t}"
+                    )
+                from sqlgrep_ray.stages.parse import _parse_interval_us
+
+                us = _parse_interval_us(t.value)
+                if us is None:
+                    raise SqlError(
+                        f"bad interval literal {t.value!r} (want 'H:M:S')"
+                    )
+                preceding = us
+            else:
+                t = self.next()
+                if t.kind != "number":
+                    raise SqlError(
+                        f"expected UNBOUNDED, CURRENT ROW, a number or an "
+                        f"interval before PRECEDING, got {t}"
+                    )
+                if kind == "rows" and isinstance(t.value, float):
+                    raise SqlError("ROWS frames need an integer bound")
+                preceding = t.value if kind == "range" else int(t.value)
             self.expect_kw("preceding")
             self.expect_kw("and")
             if self.eat_kw("current"):

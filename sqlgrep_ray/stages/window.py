@@ -746,13 +746,18 @@ def partition_windows(
             if cached is not None:
                 return cached
             oarr2 = g[order_col].combine_chunks()
-            if not (
+            if pa.types.is_timestamp(oarr2.type):
+                # trailing TIME window: x is the µs lookback; µs epoch
+                # values stay below 2^53 until year ~2255, so the float64
+                # round-trip is exact
+                oarr2 = oarr2.cast(pa.timestamp("us")).cast(pa.int64())
+            elif not (
                 pa.types.is_integer(oarr2.type)
                 or pa.types.is_floating(oarr2.type)
             ):
                 raise ValueError(
-                    "RANGE x PRECEDING needs a numeric order column "
-                    f"(got {oarr2.type}); ints round-trip float64 "
+                    "RANGE x PRECEDING needs a numeric or timestamp order "
+                    f"column (got {oarr2.type}); ints round-trip float64 "
                     "(exact below 2^53)"
                 )
             o = pc.fill_null(oarr2.cast(pa.float64()), np.inf).to_numpy(

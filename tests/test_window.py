@@ -961,3 +961,69 @@ def test_sql_global_window_auto_routes(ray_session, monkeypatch):
     n = run_plan(ray.data.from_arrow(t), plan2).count()
     assert n == 3000
     assert window.LAST_GLOBAL_WINDOW_PATH is None
+
+
+def test_time_range_window_vs_duckdb(ray_session):
+    """Round-5: trailing TIME window — RANGE BETWEEN [INTERVAL] 'H:M:S'
+    PRECEDING AND CURRENT ROW over a timestamp order column, with tied
+    timestamps (peers) and NULL timestamps (their own peer run). Matches
+    DuckDB's native INTERVAL RANGE frame."""
+    import datetime
+
+    import duckdb
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    base = datetime.datetime(2024, 1, 1)
+    secs = np.sort(rng.integers(0, 600, n))  # many ties
+    ts_null = rng.random(n) < 0.01
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n).astype("int64")),
+            "ts": pa.array(
+                secs.astype("int64") * 1_000_000, pa.timestamp("us")
+            ).cast(pa.timestamp("us")),
+            "v": pa.array(
+                rng.integers(0, 100, n).astype("int64"),
+                mask=rng.random(n) < 0.05,
+            ),
+        }
+    )
+    # punch NULL timestamps in
+    tsarr = t["ts"].combine_chunks()
+    t = t.set_column(
+        1, "ts", pa.array(tsarr.to_pylist(), pa.timestamp("us"), mask=ts_null)
+    )
+    plan = parse_query(
+        "SELECT k, ts, v, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY ts "
+        "RANGE BETWEEN INTERVAL '0:0:45' PRECEDING AND CURRENT ROW) AS s, "
+        "COUNT(*) OVER (PARTITION BY k ORDER BY ts "
+        "RANGE BETWEEN '0:1:30' PRECEDING AND CURRENT ROW) AS c FROM t"
+    ).plan
+    got = (
+        run_plan(ray.data.from_arrow(t).repartition(5), plan)
+        .to_pandas()
+        .sort_values(["k", "ts", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT k, ts, v, "
+            "SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+            "INTERVAL '45 seconds' PRECEDING AND CURRENT ROW) AS s, "
+            "CAST(COUNT(*) OVER (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+            "INTERVAL '90 seconds' PRECEDING AND CURRENT ROW) AS BIGINT) AS c "
+            "FROM t"
+        )
+        .df()
+        .sort_values(["k", "ts", "v"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=False)
