@@ -320,15 +320,30 @@ def _single_out_col(keys: "ray.data.Dataset") -> str:
     return names[0]
 
 
+# Correlation keys above this count make the decorrelated scalar
+# subquery's LEFT join shuffle both sides instead of broadcasting the
+# aggregate table.
+_CORR_BROADCAST_MAX = 2_000_000
+
+
 def _apply_in_subqueries(
     ds: "ray.data.Dataset",
     q: Query,
     run_sub,
 ) -> "ray.data.Dataset":
-    """Execute each lifted ``col [NOT] IN (SELECT …)`` as an exact
-    bloom-accelerated semi/anti-join against the subquery's key column
-    (``run_sub(stmt) -> Dataset`` evaluates the subquery). Applied to the
-    FROM stream before the plan's own WHERE/aggregation."""
+    """Execute the lifted pre-plan subquery conjuncts against the FROM
+    stream (``run_sub(stmt) -> Dataset`` evaluates a subquery), before
+    the plan's own WHERE/aggregation:
+
+    * ``col [NOT] IN (SELECT …)`` and decorrelated ``[NOT] EXISTS`` —
+      exact bloom-accelerated semi/anti-joins (stages/bloom);
+    * decorrelated correlated scalar comparisons — the subquery runs as
+      a per-correlation-key aggregate, LEFT-joins onto the stream
+      (broadcast below ``_CORR_BROADCAST_MAX`` keys, hash-shuffle
+      above), the comparison filters streaming, and the helper columns
+      drop. COUNT aggregates fill the no-match NULL with 0 (SQL: COUNT
+      over an empty correlated set is 0); every other aggregate leaves
+      NULL, which compares false — both match DuckDB."""
     from sqlgrep_ray.stages.bloom import bloom_semi_join
 
     for col_name, sub, negated in q.in_subqueries:
@@ -338,6 +353,66 @@ def _apply_in_subqueries(
         keys = run_sub(sub)
         ds = bloom_semi_join(
             ds, keys, col_name, _single_out_col(keys), keep=not negated
+        )
+
+    for i, entry in enumerate(getattr(q, "corr_scalars", ())):
+        (outer_col, sub, key_col, val_col, op, other, sub_on_left, cnt) = entry
+        if "." in outer_col:
+            tab, col = outer_col.split(".", 1)
+            outer_col = col if tab == q.table else outer_col
+        from sqlgrep_ray.functions.exprs import compile_predicate
+        from sqlgrep_ray.stages.enrich import BroadcastJoiner, shuffle_join
+
+        vals = run_sub(sub)  # (key_col, val_col) per correlation key
+        hidden = f"__cs{i}_"
+        if vals.count() <= _CORR_BROADCAST_MAX:
+            tbl = pa.concat_tables(
+                vals.iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+            joiner = BroadcastJoiner(
+                right=tbl,
+                left_key=outer_col,
+                right_key=key_col,
+                how="left",
+                right_prefix=hidden,
+            )
+            ds = ds.map_batches(
+                joiner, batch_format="pyarrow", zero_copy_batch=True
+            )
+        else:
+            renamed = vals.map_batches(
+                lambda t, _h=hidden: t.rename_columns(
+                    [_h + c for c in t.column_names]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ds = shuffle_join(
+                ds, renamed, on=[outer_col], right_on=[hidden + key_col],
+                how="left",
+            )
+        val_name = hidden + val_col
+        cmp = (
+            Bin(op, Col(val_name), other)
+            if sub_on_left
+            else Bin(op, other, Col(val_name))
+        )
+        pred = compile_predicate(cmp, None)
+        drop = [hidden + c for c in (key_col, val_col)]
+
+        def _filter_drop(t, _p=pred, _d=drop, _fill=val_name if cnt else None):
+            import pyarrow.compute as _pc
+
+            if _fill is not None and _fill in t.column_names:
+                # COUNT over an empty correlated set is 0, not NULL
+                idx = t.schema.get_field_index(_fill)
+                col_ = t[_fill]
+                t = t.set_column(idx, _fill, _pc.fill_null(col_, 0))
+            t = t.filter(_p(t))
+            return t.drop_columns([c for c in _d if c in t.column_names])
+
+        ds = ds.map_batches(
+            _filter_drop, batch_format="pyarrow", zero_copy_batch=True
         )
     return ds
 
@@ -374,7 +449,7 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
         return ds
     src = resolve(stmt.table)
     run_sub = lambda s: _run_sql_stmt(s, env, default)  # noqa: E731
-    if stmt.in_subqueries:
+    if stmt.in_subqueries or stmt.corr_scalars:
         src = _apply_in_subqueries(src, stmt, run_sub)
     plan = _bind_dataset_query(stmt, src, resolve)
     if _has_scalar_subs(plan):
@@ -557,7 +632,7 @@ class Tables:
         """Compile sql → (Query, bound plan builder). Returns a closure
         ``run(ds) -> Dataset`` plus the parse stage pre-applied."""
         q = parse_query(sql)
-        if not isinstance(q, Query) or q.in_subqueries:
+        if not isinstance(q, Query) or q.in_subqueries or q.corr_scalars:
             raise SqlError(
                 "compile_query takes a single SELECT without subqueries; "
                 "use execute_query for WITH / UNION / IN (SELECT …)"
@@ -655,6 +730,7 @@ class Tables:
         if (
             not isinstance(stmt, Query)
             or stmt.in_subqueries
+            or stmt.corr_scalars
             or _has_scalar_subs(stmt.plan)
         ):
             return self._execute_multi(stmt, source, join_source, text_col)
@@ -705,13 +781,13 @@ class Tables:
                 return ds
             if m.table in env:
                 parsed = env[m.table]
-                if m.in_subqueries:
+                if m.in_subqueries or m.corr_scalars:
                     parsed = _apply_in_subqueries(parsed, m, run_member)
                 plan = _bind_dataset_query(m, parsed, resolve_join)
                 if _has_scalar_subs(plan):
                     plan = _substitute_scalar_subs(plan, run_member)
                 return run_plan(parsed, plan)
-            if m.in_subqueries or (
+            if m.in_subqueries or m.corr_scalars or (
                 m.join_table is not None and m.join_table in env
             ):
                 # the FROM stream needs pre-plan stages (subquery
@@ -725,7 +801,7 @@ class Tables:
                 parsed = self._parse_stage(
                     self._as_dataset(src, text_col), tdef, text_col, False
                 )
-                if m.in_subqueries:
+                if m.in_subqueries or m.corr_scalars:
                     parsed = _apply_in_subqueries(parsed, m, run_member)
                 plan = _bind_dataset_query(m, parsed, resolve_join)
                 if _has_scalar_subs(plan):

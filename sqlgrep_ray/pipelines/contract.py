@@ -2186,6 +2186,77 @@ WHERE o_totalprice > 100000 AND o_custkey IN
 """
 
 
+def q_sql_corr_exists(sf_dir: str) -> Result:
+    """Correlated ``EXISTS`` / ``NOT EXISTS`` through the SQL dialect
+    (round-5 extension): the parser DECORRELATES the classic one-
+    equality correlated EXISTS into the existing exact bloom semi/anti-
+    join path (sqlfront._decorrelate_exists → Query.in_subqueries) —
+    EXISTS(… WHERE r.k = t.k AND p) ≡ t.k IN (SELECT k FROM r WHERE p).
+    Both polarities in one query; identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE EXISTS (SELECT 1 FROM customer "
+        "WHERE customer.c_custkey = orders.o_custkey "
+        "AND customer.c_acctbal > 5000) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem "
+        "WHERE lineitem.l_orderkey = orders.o_orderkey "
+        "AND lineitem.l_quantity > 45)",
+        {
+            "orders": _t(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+            ),
+            "customer": _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+            "lineitem": _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        },
+    )
+
+
+SQL_SQL_CORR_EXISTS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+  WHERE customer.c_custkey = orders.o_custkey AND customer.c_acctbal > 5000)
+AND NOT EXISTS (SELECT 1 FROM lineitem
+  WHERE lineitem.l_orderkey = orders.o_orderkey AND lineitem.l_quantity > 45)
+"""
+
+
+def q_sql_corr_scalar(sf_dir: str) -> Result:
+    """Correlated SCALAR-aggregate subqueries through the SQL dialect
+    (round-5 extension): ``sqlfront._decorrelate_scalar`` rewrites
+    ``t.x <op> (SELECT AGG(y) FROM r WHERE r.k = t.k …)`` into a
+    per-key aggregate + size-gated LEFT join + streaming filter
+    (api._apply_in_subqueries). One SUM comparison plus a COUNT = 0
+    conjunct (SQL: COUNT over an empty correlated set is 0 — orders
+    with NO qualifying lineitem must survive the count-zero filter,
+    exercising the left-join NULL fill). Identical SQL on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE (SELECT SUM(l_quantity) FROM lineitem "
+        "WHERE lineitem.l_orderkey = orders.o_orderkey) > 100 "
+        "AND (SELECT COUNT(l_quantity) FROM lineitem "
+        "WHERE lineitem.l_orderkey = orders.o_orderkey "
+        "AND lineitem.l_quantity > 48) = 0",
+        {
+            "orders": _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+            "lineitem": _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        },
+    )
+
+
+SQL_SQL_CORR_SCALAR = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE (SELECT SUM(l_quantity) FROM lineitem
+  WHERE lineitem.l_orderkey = orders.o_orderkey) > 100
+AND (SELECT COUNT(l_quantity) FROM lineitem
+  WHERE lineitem.l_orderkey = orders.o_orderkey
+  AND lineitem.l_quantity > 48) = 0
+"""
+
+
 def q_running_sum_ranged(sf_dir: str) -> Result:
     """The chunk-safe two-phase running aggregate
     (stages/window.partition_running_ranged) with ``chunk_rows`` forced
@@ -3312,6 +3383,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "bpe_counts": q_bpe_counts,
     "winnow_pairs": q_winnow_pairs,
     "sql_time_range_window": q_sql_time_range_window,
+    "sql_corr_exists": q_sql_corr_exists,
+    "sql_corr_scalar": q_sql_corr_scalar,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -3488,6 +3561,8 @@ ORACLES: dict[str, str] = {
     "sql_global_window": SQL_SQL_GLOBAL_WINDOW,
     "sql_global_running": SQL_SQL_GLOBAL_RUNNING,
     "sql_time_range_window": SQL_SQL_TIME_RANGE_WINDOW,
+    "sql_corr_exists": SQL_SQL_CORR_EXISTS,
+    "sql_corr_scalar": SQL_SQL_CORR_SCALAR,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

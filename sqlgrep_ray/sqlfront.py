@@ -152,8 +152,15 @@ class Query:
     join_how: Optional[str] = None  # inner | left
     # ``col IN (SELECT …)`` conjuncts lifted out of WHERE — ENGINE
     # EXTENSION; executed as exact bloom-accelerated semi/anti-joins.
-    # Entries are (column name, subquery statement, negated).
+    # Entries are (column name, subquery statement, negated). Correlated
+    # ``[NOT] EXISTS`` conjuncts decorrelate into the same entries.
     in_subqueries: tuple = ()
+    # Correlated SCALAR-aggregate comparison conjuncts lifted out of
+    # WHERE — ``t.x <op> (SELECT AGG(y) FROM r WHERE r.k = t.k …)``
+    # decorrelated into a per-key aggregate + size-gated LEFT join +
+    # streaming filter. Entries are (outer_col, subquery, key_col,
+    # val_col, op, other_expr, sub_on_left, count_like).
+    corr_scalars: tuple = ()
 
 
 @dataclass
@@ -571,15 +578,67 @@ class Parser:
         # HAVING, …) is unsupported and must error, not mis-evaluate
         where = parts["where"]
         in_subs: list[tuple] = []
-        if _contains_subquery(where):
+        corr_scalars: list[tuple] = []
+        conjuncts = _split_conjuncts(where)
+
+        def _scalar_cmp(c: Expr):
+            # comparison conjunct with a ScalarSubquery on exactly one side
+            if isinstance(c, Bin) and c.op in (
+                "eq", "ne", "lt", "le", "gt", "ge"
+            ):
+                sl = isinstance(c.left, ScalarSubquery)
+                sr = isinstance(c.right, ScalarSubquery)
+                if sl != sr:
+                    return (
+                        (c.left if sl else c.right),
+                        (c.right if sl else c.left),
+                        sl,
+                    )
+            return None
+
+        if _contains_subquery(where) or any(
+            _as_exists_conjunct(c) or _scalar_cmp(c) for c in conjuncts
+        ):
             kept: list[Expr] = []
-            for c in _split_conjuncts(where):
+            for c in conjuncts:
+                ex = _as_exists_conjunct(c)
+                sc = _scalar_cmp(c)
                 if isinstance(c, InSubquery):
                     if not isinstance(c.operand, Col):
                         raise SqlError(
                             "IN (SELECT …) needs a plain column operand"
                         )
                     in_subs.append((c.operand.name, c.query, c.negated))
+                elif ex is not None:
+                    # correlated [NOT] EXISTS decorrelates into the
+                    # semi/anti-join path; uncorrelated stays a conjunct
+                    # for the evaluate-once boolean substitution
+                    node, extra_neg = ex
+                    lifted = _decorrelate_exists(node.query, parts["table"])
+                    if lifted is None:
+                        kept.append(c)
+                    else:
+                        outer_col, sub2 = lifted
+                        in_subs.append(
+                            (outer_col, sub2, node.negated != extra_neg)
+                        )
+                elif sc is not None:
+                    # correlated scalar-aggregate comparison decorrelates
+                    # into a per-key aggregate + LEFT join + filter;
+                    # uncorrelated stays for the literal substitution
+                    node, other, sub_on_left = sc
+                    lifted = _decorrelate_scalar(node.query, parts["table"])
+                    if lifted is None:
+                        kept.append(c)
+                    else:
+                        outer_col, sub2, key_col, val_col, cnt = lifted
+                        corr_scalars.append(
+                            (
+                                outer_col, sub2, key_col, val_col, c.op,
+                                _strip_qualifier(other, parts["table"]),
+                                sub_on_left, cnt,
+                            )
+                        )
                 elif _contains_subquery(c):
                     raise SqlError(
                         "IN (SELECT …) is only supported as a top-level "
@@ -616,6 +675,7 @@ class Parser:
             join_right_col=parts["join_right"],
             join_how=parts["join_how"],
             in_subqueries=tuple(in_subs),
+            corr_scalars=tuple(corr_scalars),
         )
 
     def _parse_select_parts(self) -> dict:
@@ -1161,6 +1221,210 @@ def _contains_subquery(e: Optional[Expr]) -> bool:
     if isinstance(e, InSubquery):
         return True
     return any(_contains_subquery(c) for c in _children(e))
+
+
+def _as_exists_conjunct(c: Expr) -> "tuple[ExistsSubquery, bool] | None":
+    """(node, extra-negation) when a WHERE conjunct is ``[NOT] EXISTS
+    (…)`` — either the node itself or under one unary NOT."""
+    if isinstance(c, ExistsSubquery):
+        return c, False
+    if isinstance(c, Un) and c.op == "not" and isinstance(c.operand, ExistsSubquery):
+        return c.operand, True
+    return None
+
+
+def _refs_table(e: Optional[Expr], table: str) -> bool:
+    if e is None:
+        return False
+    if isinstance(e, Col) and e.name.startswith(table + "."):
+        return True
+    return any(_refs_table(ch, table) for ch in _children(e))
+
+
+def _extract_correlation(
+    where: Optional[Expr], outer_table: str, inner_table: str
+) -> "tuple[list[tuple[str, str]], list[Expr]]":
+    """Split a subquery WHERE into correlation equality pairs
+    ``(outer_col, inner_col)`` (one side qualified with the OUTER table
+    name, the other an inner column) and the remaining inner-only
+    conjuncts."""
+    corr: list[tuple[str, str]] = []
+    kept: list[Expr] = []
+    for c in _split_conjuncts(where):
+        if (
+            isinstance(c, Bin)
+            and c.op == "eq"
+            and isinstance(c.left, Col)
+            and isinstance(c.right, Col)
+        ):
+            l, r = c.left.name, c.right.name
+            lo = l.startswith(outer_table + ".")
+            ro = r.startswith(outer_table + ".")
+            if lo != ro:
+                outer_col = (l if lo else r).split(".", 1)[1]
+                inner_col = r if lo else l
+                if "." in inner_col:
+                    tab, col = inner_col.split(".", 1)
+                    if tab != inner_table:
+                        kept.append(c)
+                        continue
+                    inner_col = col
+                corr.append((outer_col, inner_col))
+                continue
+        kept.append(c)
+    return corr, kept
+
+
+def _and_all(conjs: "list[Expr]") -> Optional[Expr]:
+    out: Optional[Expr] = None
+    for c in conjs:
+        out = c if out is None else Bin("and", out, c)
+    return out
+
+
+def _strip_qualifier(e: Expr, table: str) -> Expr:
+    """Rewrite ``<table>.col`` references to plain ``col`` — the lifted
+    conjunct is compiled OUTSIDE the plan's qualified-name binding."""
+    import dataclasses
+
+    if isinstance(e, Col) and e.name.startswith(table + "."):
+        return Col(e.name.split(".", 1)[1])
+    changes = {}
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, Expr):
+            changes[f.name] = _strip_qualifier(v, table)
+        elif isinstance(v, tuple) and any(isinstance(x, Expr) for x in v):
+            changes[f.name] = tuple(
+                _strip_qualifier(x, table) if isinstance(x, Expr) else x
+                for x in v
+            )
+    return dataclasses.replace(e, **changes) if changes else e
+
+
+def _decorrelate_scalar(
+    sub, outer_table: str
+) -> "tuple[str, Any, str, str, bool] | None":
+    """Rewrite a CORRELATED scalar-aggregate subquery ``(SELECT AGG(y)
+    FROM r WHERE r.k = <outer_table>.k AND <inner filters>)`` into a
+    per-key aggregate — the other classic decorrelation: group the
+    subquery by its correlation column, then the outer comparison
+    becomes a size-gated LEFT join + streaming filter (api.py
+    ``_apply_pre_plan_subqueries``). Returns ``(outer_col, rebuilt_sub,
+    key_col, val_col, count_like)`` or None when uncorrelated (the
+    evaluate-once literal path applies).
+
+    Supported shape: single-aggregate SELECT with no GROUP BY / HAVING,
+    ONE equality correlation, other conjuncts inner-only. ``count_like``
+    flags COUNT aggregates, whose SQL value over an empty correlated set
+    is 0 (not NULL) — the join fills those."""
+    import dataclasses
+
+    if not isinstance(sub, Query):
+        return None
+    plan = sub.plan
+    if not isinstance(plan, AggregatePlan):
+        if _refs_table(getattr(plan, "where", None), outer_table):
+            raise SqlError(
+                "a correlated scalar subquery must be a single aggregate "
+                "(SELECT AGG(col) FROM …)"
+            )
+        return None
+    corr, kept = _extract_correlation(plan.where, outer_table, sub.table)
+    if not corr:
+        return None
+    if plan.group_by or plan.having is not None or len(plan.aggs) != 1:
+        raise SqlError(
+            "a correlated scalar subquery must be ONE aggregate with no "
+            "GROUP BY / HAVING"
+        )
+    if len(corr) > 1:
+        raise SqlError(
+            "correlated scalar subqueries support ONE equality correlation"
+        )
+    for c in kept:
+        if _refs_table(c, outer_table):
+            raise SqlError(
+                "correlated scalar subqueries support outer references "
+                "only in ONE top-level equality conjunct"
+            )
+    outer_col, inner_col = corr[0]
+    agg = plan.aggs[0]
+    key_name = inner_col if inner_col != agg.name else "__corr_key"
+    new_plan = dataclasses.replace(
+        plan,
+        where=_and_all(kept),
+        group_by=(GroupKey(key_name, Col(inner_col)),),
+        limit=None,
+        order_by=(),
+    )
+    count_like = agg.func in ("count", "count_star", "count_distinct")
+    return (
+        outer_col,
+        dataclasses.replace(sub, plan=new_plan),
+        key_name,
+        agg.name,
+        count_like,
+    )
+
+
+def _decorrelate_exists(
+    sub, outer_table: str
+) -> "tuple[str, Any] | None":
+    """Rewrite a CORRELATED ``EXISTS (SELECT … FROM r WHERE r.k =
+    <outer_table>.k AND <inner filters>)`` into the equivalent
+    semi-join form — the classic decorrelation: EXISTS with one
+    equality correlation IS ``<outer>.k IN (SELECT k FROM r WHERE
+    <inner filters>)``, which the engine already executes as an exact
+    bloom-accelerated semi/anti-join (``Query.in_subqueries``). Returns
+    ``(outer_col, rebuilt_sub)`` or None when the subquery is
+    uncorrelated (the existing evaluate-once boolean path applies).
+
+    Supported shape: plain SELECT subquery (no GROUP BY/windows), ONE
+    equality conjunct between an ``<outer_table>.col`` reference and an
+    inner column (either side of the ``=``); every other conjunct must
+    be inner-only. NULL semantics match the reference's NULL⇒false
+    comparisons, which coincide with SQL EXISTS here: a NULL key never
+    equals anything, so semi drops and anti keeps NULL outer rows."""
+    import dataclasses
+
+    if not isinstance(sub, Query):
+        return None
+    plan = sub.plan
+    if not isinstance(plan, SelectPlan) or plan.windows or plan.qualify:
+        if _refs_table(getattr(plan, "where", None), outer_table):
+            raise SqlError(
+                "correlated EXISTS supports a plain SELECT subquery "
+                "(no GROUP BY / window functions)"
+            )
+        return None
+    corr, kept = _extract_correlation(plan.where, outer_table, sub.table)
+    if not corr:
+        return None
+    if len(corr) > 1:
+        raise SqlError(
+            "correlated EXISTS supports ONE equality correlation "
+            "(composite correlation keys are not supported)"
+        )
+    for c in kept:
+        if _refs_table(c, outer_table):
+            raise SqlError(
+                "correlated EXISTS supports outer references only in "
+                "ONE top-level equality conjunct"
+            )
+    outer_col, inner_col = corr[0]
+    new_where = _and_all(kept)
+    new_plan = dataclasses.replace(
+        plan,
+        where=new_where,
+        # project the DISTINCT correlation keys — the semi-join's build
+        # side stays one narrow deduplicated column
+        projections=(Projection(inner_col, Col(inner_col)),),
+        distinct=True,
+        limit=None,
+        order_by=(),
+    )
+    return outer_col, dataclasses.replace(sub, plan=new_plan)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,129 @@
+"""Correlated subquery decorrelation (round 5): [NOT] EXISTS → semi/anti
+semi-join; scalar-aggregate comparisons → per-key aggregate + LEFT join +
+filter. Each case runs the SAME SQL through run_sql and DuckDB."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sqlgrep_ray.sqlfront import SqlError, parse_query
+
+
+def _tables():
+    rng = np.random.default_rng(3)
+    orders = pa.table(
+        {
+            "o_id": pa.array(range(300), pa.int64()),
+            "cust": pa.array(rng.integers(0, 40, 300).astype("int64")),
+            "amount": pa.array(rng.integers(1, 500, 300).astype("int64")),
+        }
+    )
+    # ord drawn past the order range so some orders have NO items
+    items = pa.table(
+        {
+            "ord": pa.array(rng.integers(0, 330, 900).astype("int64")),
+            "qty": pa.array(rng.integers(1, 9, 900).astype("int64")),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_id": pa.array(range(40), pa.int64()),
+            "vip": pa.array((rng.random(40) < 0.3)),
+        }
+    )
+    return orders, items, cust
+
+
+def _run_both(sql, ray_session):
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    orders, items, cust = _tables()
+    src = {
+        "orders": ray.data.from_arrow(orders),
+        "items": ray.data.from_arrow(items),
+        "cust": ray.data.from_arrow(cust),
+    }
+    got = (
+        run_sql(sql, src)
+        .to_pandas()
+        .sort_values("o_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = (
+        duckdb.sql(sql).df().sort_values("o_id").reset_index(drop=True)
+        .astype("int64")
+    )
+    assert got.equals(want), (len(got), len(want), sql)
+    return len(got)
+
+
+CASES = [
+    # correlated EXISTS (inner filter + outer conjunct), either = order
+    "SELECT o_id, amount FROM orders WHERE EXISTS (SELECT 1 FROM cust "
+    "WHERE cust.c_id = orders.cust AND cust.vip = true) AND amount > 100",
+    "SELECT o_id FROM orders WHERE NOT EXISTS (SELECT 1 FROM cust "
+    "WHERE orders.cust = cust.c_id AND cust.vip = true)",
+    # correlated scalar aggregates: sub on right / left, COUNT-empty=0
+    "SELECT o_id FROM orders WHERE (SELECT SUM(qty) FROM items "
+    "WHERE items.ord = orders.o_id) >= 20",
+    "SELECT o_id FROM orders WHERE (SELECT COUNT(qty) FROM items "
+    "WHERE items.ord = orders.o_id) = 0",
+    "SELECT o_id, amount FROM orders WHERE amount > "
+    "(SELECT AVG(qty * 1.0) * 50 FROM items WHERE items.ord = orders.o_id)",
+    "SELECT o_id FROM orders WHERE (SELECT MAX(qty) FROM items "
+    "WHERE items.ord = orders.o_id AND qty > 2) = 8",
+]
+
+
+@pytest.mark.parametrize("sql", CASES)
+def test_correlated_vs_duckdb(ray_session, sql):
+    assert _run_both(sql, ray_session) >= 0
+
+
+def test_correlated_scalar_shuffle_path(ray_session, monkeypatch):
+    """Above the broadcast gate the LEFT join shuffles both sides —
+    same results (COUNT-empty=0 included)."""
+    import sqlgrep_ray.api as api
+
+    monkeypatch.setattr(api, "_CORR_BROADCAST_MAX", 0)
+    for sql in (CASES[2], CASES[3]):
+        _run_both(sql, ray_session)
+
+
+def test_uncorrelated_paths_untouched(ray_session):
+    """Uncorrelated EXISTS / scalar subqueries keep the evaluate-once
+    literal path."""
+    _run_both(
+        "SELECT o_id FROM orders WHERE EXISTS (SELECT 1 FROM cust "
+        "WHERE vip = true) AND amount > 490",
+        ray_session,
+    )
+    _run_both(
+        "SELECT o_id FROM orders WHERE amount > "
+        "(SELECT AVG(amount) FROM orders) + 170",
+        ray_session,
+    )
+
+
+def test_correlated_error_shapes():
+    """Unsupported correlated shapes raise clear SqlErrors instead of
+    mis-evaluating."""
+    with pytest.raises(SqlError, match="ONE equality"):
+        parse_query(
+            "SELECT o_id FROM orders WHERE EXISTS (SELECT 1 FROM items "
+            "WHERE items.ord = orders.o_id AND items.qty = orders.amount)"
+        )
+    with pytest.raises(SqlError, match="single aggregate|ONE aggregate"):
+        parse_query(
+            "SELECT o_id FROM orders WHERE 1 = (SELECT qty FROM items "
+            "WHERE items.ord = orders.o_id)"
+        )
+    with pytest.raises(SqlError, match="outer references"):
+        parse_query(
+            "SELECT o_id FROM orders WHERE EXISTS (SELECT 1 FROM items "
+            "WHERE items.ord = orders.o_id AND items.qty > orders.amount)"
+        )

@@ -505,10 +505,17 @@ def test_window_frame_clause_parse():
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
     )
     assert qb.plan.windows[0].preceding == 2
-    with pytest.raises(SqlError):  # bounded RANGE stays unsupported
+    # bounded RANGE is supported since round 5 (order-value lookback)
+    qr = parse_query(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
+    )
+    assert qr.plan.windows[0].frame == "range"
+    assert qr.plan.windows[0].preceding == 2
+    with pytest.raises(SqlError):  # RANGE frames still end at CURRENT ROW
         parse_query(
             "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
-            "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM t"
+            "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s FROM t"
         )
 
 
