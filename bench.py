@@ -306,6 +306,24 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], int]:
     run_plan(ray.data.read_parquet(win_dir), parse_query(sql_mw).plan).count()
     timings["sql_moving_window_sf1"] = time.time() - t0
 
+    # GLOBAL running window at sf1.0 (~6.2M rows): no PARTITION BY, so the
+    # round-5 auto-route sends it through global_running_ranged — order-
+    # value chunks + driver-pulled prefixes + ONE bucketed exchange —
+    # instead of gathering 6.2M rows into one task (the one-task contract
+    # would be the wall at 100 TB).
+    from sqlgrep_ray.stages import window as _w
+
+    sql_gw = (
+        "SELECT conv_id, turn_idx, "
+        "SUM(turn_idx) OVER (ORDER BY ts) AS rs, "
+        "COUNT(*) OVER (ORDER BY ts) AS rn FROM x"
+    )
+    _w.LAST_GLOBAL_WINDOW_PATH = None
+    t0 = time.time()
+    run_plan(ray.data.read_parquet(win_dir), parse_query(sql_gw).plan).count()
+    timings["sql_global_running_sf1"] = time.time() - t0
+    assert _w.LAST_GLOBAL_WINDOW_PATH == "ranged", _w.LAST_GLOBAL_WINDOW_PATH
+
     # bloom-accelerated exact anti-join (decontamination) on the 200k-doc
     # corpus against a 20k-id blocklist: distributed bitmap build, ONE
     # broadcast, vectorized probe + candidate-only exact verify.

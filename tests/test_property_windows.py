@@ -251,3 +251,32 @@ def test_following_and_range_frames_match_duckdb(ray_session, data, n, m, x):
     exp = _oracle(tbl, sql)
     for col in ["cs", "ca", "fc", "rs", "rc", "rcs"]:
         _eq(got[col], exp[col])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    window_data(),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=4),
+)
+def test_asymmetric_unbounded_frames_match_duckdb(ray_session, data, n, m):
+    """Round-5 frame grammar completion: ROWS BETWEEN n PRECEDING AND
+    UNBOUNDED FOLLOWING and ROWS BETWEEN UNBOUNDED PRECEDING AND m
+    FOLLOWING — the _FRAME_UNBOUNDED sentinel clamps to the partition
+    edge in the shared bounded kernel."""
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        f"SUM(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN {n} "
+        "PRECEDING AND UNBOUNDED FOLLOWING) AS uf, "
+        f"COUNT(*) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND {m} FOLLOWING) AS up, "
+        f"AVG(v) OVER (PARTITION BY k ORDER BY o ROWS BETWEEN "
+        f"UNBOUNDED PRECEDING AND {m} FOLLOWING) AS ua "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    exp = _oracle(tbl, sql)
+    for col in ["uf", "up", "ua"]:
+        _eq(got[col], exp[col])
