@@ -1524,7 +1524,15 @@ def global_running_ranged(
     if omin is None:  # every order value NULL: a single peer run
         return one_task()
     LAST_GLOBAL_WINDOW_PATH = "ranged"
-    n_chunks = int(np.clip(-(-n_rows // chunk_rows), 1, 4096))
+    # chunk count: at least ceil(n/chunk_rows) for the memory contract,
+    # but never fewer than WINDOW_BUCKETS — chunks are the parallelism
+    # unit of the final pass, and smaller chunks cost nothing (chunk id
+    # stays a pure function of the order value; the carry table is ≤
+    # 4097 narrow rows either way). 6M rows at the 1M default would
+    # otherwise run 7-wide on a 32-core box.
+    n_chunks = int(
+        np.clip(max(-(-n_rows // chunk_rows), WINDOW_BUCKETS), 1, 4096)
+    )
     if is_float:
         width = (float(omax) - float(omin)) / n_chunks or 1.0
     else:
@@ -1586,33 +1594,38 @@ def global_running_ranged(
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column("__c", _chunk_col(t))
 
-    carry_aggs = []
-    for i in range(len(specs)):
-        carry_aggs.append(Sum(f"__s{i}", alias_name=f"__s{i}", ignore_nulls=True))
-        carry_aggs.append(Sum(f"__n{i}", alias_name=f"__n{i}", ignore_nulls=True))
-    carry = (
+    # per-block partial tables are bounded (≤ n_chunks+1 ≤ 4097 narrow
+    # rows each); pull them to the driver and merge locally — the same
+    # small-merge driver pull that beat the distributed groupby on the
+    # flagship's small aggregates (round 4): one tiny pandas merge
+    # instead of a Ray sort exchange over tiny blocks (measured 0.9 s vs
+    # 2.4 s at sf1)
+    import pandas as pd
+
+    carry_tbls = list(
         ds.select_columns(list(dict.fromkeys([order_col, *value_cols])))
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .drop_columns([order_col])
         .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__c")
-        .aggregate(*carry_aggs)
-        .take_all()  # bounded: ≤ n_chunks+1 ≤ 4097 narrow rows
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    merged = (
+        pa.concat_tables(carry_tbls)
+        .to_pandas()
+        .groupby("__c", sort=True)
+        .sum()
     )
 
     # (2) exclusive prefixes per spec, driver-side → numpy lookups the
     # final pass indexes by chunk id (broadcast via closure — tiny)
     psum = [np.zeros(n_chunks + 1, dt) for _, _, dt in specs]
     pcnt = [np.zeros(n_chunks + 1, np.int64) for _ in specs]
-    carry.sort(key=lambda r: r["__c"])
-    for i in range(len(specs)):
-        cs = np.zeros(1, psum[i].dtype)
-        cn = np.zeros(1, np.int64)
-        for r in carry:
-            c = int(r["__c"])
-            psum[i][c], pcnt[i][c] = cs[0], cn[0]
-            cs[0] += psum[i].dtype.type(r[f"__s{i}"])
-            cn[0] += int(r[f"__n{i}"])
+    cidx = merged.index.to_numpy().astype(np.int64)
+    for i, (_, _, dt) in enumerate(specs):
+        s = merged[f"__s{i}"].to_numpy().astype(dt)
+        c = merged[f"__n{i}"].to_numpy().astype(np.int64)
+        psum[i][cidx] = np.cumsum(s) - s  # exclusive prefix per chunk
+        pcnt[i][cidx] = np.cumsum(c) - c
 
     # (3) ONE bucketed exchange of the full rows, hash by chunk id; each
     # task sorts ~chunk_rows rows and finishes every chunk it holds
