@@ -346,13 +346,60 @@ def _apply_in_subqueries(
       NULL, which compares false — both match DuckDB."""
     from sqlgrep_ray.stages.bloom import bloom_semi_join
 
+    def _unqualify(name: str) -> str:
+        if "." in name:
+            tab, col = name.split(".", 1)
+            return col if tab == q.table else name
+        return name
+
     for col_name, sub, negated in q.in_subqueries:
-        if "." in col_name:
-            tab, col = col_name.split(".", 1)
-            col_name = col if tab == q.table else col_name
         keys = run_sub(sub)
+        if isinstance(col_name, tuple):
+            # composite correlation key (multi-equality EXISTS): collapse
+            # both sides to ONE derived key column — null-safe with
+            # emit_null, so a NULL in any component never matches (the
+            # dialect's NULL⇒false comparisons: semi drops, anti keeps)
+            outer_cols = [_unqualify(c) for c in col_name]
+            inner_cols = list(
+                keys.schema(fetch_if_missing=True).names
+            )
+
+            def _ck(t: pa.Table, _cols) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                parts = []
+                for c in _cols:
+                    col_ = t[c]
+                    if isinstance(col_, pa.ChunkedArray):
+                        col_ = col_.combine_chunks()
+                    parts.append(_pc.cast(col_, pa.string()))
+                return t.append_column(
+                    "__ck",
+                    _pc.binary_join_element_wise(
+                        *parts, "\x1f", null_handling="emit_null"
+                    ),
+                )
+
+            ds = ds.map_batches(
+                lambda t, _c=tuple(outer_cols): _ck(t, _c),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            keys = keys.map_batches(
+                lambda t, _c=tuple(inner_cols): _ck(t, _c).select(["__ck"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            ds = bloom_semi_join(ds, keys, "__ck", "__ck", keep=not negated)
+            ds = ds.map_batches(
+                lambda t: t.drop_columns(["__ck"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            continue
         ds = bloom_semi_join(
-            ds, keys, col_name, _single_out_col(keys), keep=not negated
+            ds, keys, _unqualify(col_name), _single_out_col(keys),
+            keep=not negated,
         )
 
     for i, entry in enumerate(getattr(q, "corr_scalars", ())):

@@ -1429,30 +1429,35 @@ def _decorrelate_exists(
     corr, kept = _extract_correlation(plan.where, outer_table, sub.table)
     if not corr:
         return None
-    if len(corr) > 1:
-        raise SqlError(
-            "correlated EXISTS supports ONE equality correlation "
-            "(composite correlation keys are not supported)"
-        )
     for c in kept:
         if _refs_table(c, outer_table):
             raise SqlError(
                 "correlated EXISTS supports outer references only in "
-                "ONE top-level equality conjunct"
+                "top-level equality conjuncts"
             )
-    outer_col, inner_col = corr[0]
+    if len({ic for _, ic in corr}) != len(corr):
+        raise SqlError(
+            "correlated EXISTS: each inner column may appear in one "
+            "correlation equality"
+        )
     new_where = _and_all(kept)
     new_plan = dataclasses.replace(
         plan,
         where=new_where,
         # project the DISTINCT correlation keys — the semi-join's build
-        # side stays one narrow deduplicated column
-        projections=(Projection(inner_col, Col(inner_col)),),
+        # side stays narrow deduplicated key columns (composite keys
+        # collapse to one derived column at execution, api.py)
+        projections=tuple(
+            Projection(ic, Col(ic)) for _, ic in corr
+        ),
         distinct=True,
         limit=None,
         order_by=(),
     )
-    return outer_col, dataclasses.replace(sub, plan=new_plan)
+    outer_key = (
+        corr[0][0] if len(corr) == 1 else tuple(oc for oc, _ in corr)
+    )
+    return outer_key, dataclasses.replace(sub, plan=new_plan)
 
 
 # ---------------------------------------------------------------------------

@@ -109,13 +109,29 @@ def test_uncorrelated_paths_untouched(ray_session):
     )
 
 
+def test_correlated_exists_composite_key(ray_session):
+    """Multi-equality EXISTS correlates on a composite key: both sides
+    collapse to one null-safe derived key column through the same bloom
+    semi/anti path."""
+    _run_both(
+        "SELECT o_id FROM orders WHERE EXISTS (SELECT 1 FROM items "
+        "WHERE items.ord = orders.o_id AND items.qty = orders.cust)",
+        ray_session,
+    )
+    _run_both(
+        "SELECT o_id FROM orders WHERE NOT EXISTS (SELECT 1 FROM items "
+        "WHERE orders.o_id = items.ord AND items.qty = orders.cust)",
+        ray_session,
+    )
+
+
 def test_correlated_error_shapes():
     """Unsupported correlated shapes raise clear SqlErrors instead of
     mis-evaluating."""
-    with pytest.raises(SqlError, match="ONE equality"):
+    with pytest.raises(SqlError, match="one correlation equality"):
         parse_query(
             "SELECT o_id FROM orders WHERE EXISTS (SELECT 1 FROM items "
-            "WHERE items.ord = orders.o_id AND items.qty = orders.amount)"
+            "WHERE items.ord = orders.o_id AND items.ord = orders.amount)"
         )
     with pytest.raises(SqlError, match="single aggregate|ONE aggregate"):
         parse_query(
