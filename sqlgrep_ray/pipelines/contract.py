@@ -2192,7 +2192,9 @@ def q_sql_corr_exists(sf_dir: str) -> Result:
     equality correlated EXISTS into the existing exact bloom semi/anti-
     join path (sqlfront._decorrelate_exists → Query.in_subqueries) —
     EXISTS(… WHERE r.k = t.k AND p) ≡ t.k IN (SELECT k FROM r WHERE p).
-    Both polarities in one query; identical SQL runs on DuckDB."""
+    Both polarities plus a COMPOSITE two-equality correlation (derived
+    null-safe key through the same path) in one query; identical SQL
+    runs on DuckDB."""
     from sqlgrep_ray.api import run_sql
 
     return run_sql(
@@ -2202,13 +2204,19 @@ def q_sql_corr_exists(sf_dir: str) -> Result:
         "AND customer.c_acctbal > 5000) "
         "AND NOT EXISTS (SELECT 1 FROM lineitem "
         "WHERE lineitem.l_orderkey = orders.o_orderkey "
-        "AND lineitem.l_quantity > 45)",
+        "AND lineitem.l_quantity > 45) "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE lineitem.l_orderkey = orders.o_orderkey "
+        "AND lineitem.l_linenumber = orders.o_custkey)",
         {
             "orders": _t(
                 sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
             ),
             "customer": _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
-            "lineitem": _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+            "lineitem": _t(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_quantity", "l_linenumber"],
+            ),
         },
     )
 
@@ -2219,6 +2227,9 @@ WHERE EXISTS (SELECT 1 FROM customer
   WHERE customer.c_custkey = orders.o_custkey AND customer.c_acctbal > 5000)
 AND NOT EXISTS (SELECT 1 FROM lineitem
   WHERE lineitem.l_orderkey = orders.o_orderkey AND lineitem.l_quantity > 45)
+AND EXISTS (SELECT 1 FROM lineitem
+  WHERE lineitem.l_orderkey = orders.o_orderkey
+  AND lineitem.l_linenumber = orders.o_custkey)
 """
 
 
