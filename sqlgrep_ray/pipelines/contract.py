@@ -2186,6 +2186,33 @@ WHERE o_totalprice > 100000 AND o_custkey IN
 """
 
 
+def q_sql_approx_distinct(sf_dir: str) -> Result:
+    """``APPROX_COUNT_DISTINCT`` through the SQL dialect (round-5
+    extension): dispatches to the HLL++ sketch family — per-key
+    fixed-size partials (≤ 2×2^p bytes regardless of cardinality), the
+    100-TB answer to COUNT(DISTINCT). Hash-exact against DuckDB's exact
+    count in the sparse regime the test tables occupy (per-role distinct
+    tools ≪ 2^12/8); beyond it the same query degrades to the
+    ±1.04/√2^p estimate. NULL group keys form one group (a split-off
+    global sketch pass inside the runner path)."""
+    from sqlgrep_ray.api import run_sql
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["role", "tool"]
+    )
+    return run_sql(
+        "SELECT role, APPROX_COUNT_DISTINCT(tool) AS n_tools "
+        "FROM t GROUP BY role",
+        ds,
+    )
+
+
+SQL_SQL_APPROX_DISTINCT = f"""
+SELECT role, CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+FROM read_parquet('{_TR_GLOB}') GROUP BY role
+"""
+
+
 def q_sql_corr_exists(sf_dir: str) -> Result:
     """Correlated ``EXISTS`` / ``NOT EXISTS`` through the SQL dialect
     (round-5 extension): the parser DECORRELATES the classic one-
@@ -3396,6 +3423,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_time_range_window": q_sql_time_range_window,
     "sql_corr_exists": q_sql_corr_exists,
     "sql_corr_scalar": q_sql_corr_scalar,
+    "sql_approx_distinct": q_sql_approx_distinct,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -3574,6 +3602,7 @@ ORACLES: dict[str, str] = {
     "sql_time_range_window": SQL_SQL_TIME_RANGE_WINDOW,
     "sql_corr_exists": SQL_SQL_CORR_EXISTS,
     "sql_corr_scalar": SQL_SQL_CORR_SCALAR,
+    "sql_approx_distinct": SQL_SQL_APPROX_DISTINCT,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

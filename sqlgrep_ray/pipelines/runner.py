@@ -625,6 +625,139 @@ def _global_percentile(
     return ray.data.from_arrow(out)
 
 
+def _approx_count_distinct_path(
+    ds: "ray.data.Dataset",
+    plan: AggregatePlan,
+    ctx: Optional[CompileCtx],
+) -> "ray.data.Dataset":
+    """ENGINE EXTENSION: ``APPROX_COUNT_DISTINCT(x)`` dispatches to the
+    HLL++ sketch family (stages/sketch) — the fixed-size-sketch answer
+    to COUNT(DISTINCT) at corpus scale: partials are ≤ 2×2^p bytes per
+    (block, key) regardless of value cardinality, EXACT in the sparse
+    regime (low per-key cardinality, the common case) and ±1.04/√2^p
+    beyond. Supported shape: every aggregate in the plan is
+    APPROX_COUNT_DISTINCT over the SAME argument, at most ONE group key
+    (mixing with other aggregates or multi-key grouping → run exact
+    COUNT(DISTINCT), or split the query)."""
+    from sqlgrep_ray.stages.sketch import (
+        approx_count_distinct,
+        grouped_approx_distinct,
+    )
+
+    if any(a.func != "approx_count_distinct" for a in plan.aggs):
+        raise ValueError(
+            "APPROX_COUNT_DISTINCT cannot mix with other aggregates in "
+            "one query (split the query, or use exact COUNT(DISTINCT))"
+        )
+    args = [a.arg for a in plan.aggs]
+    if any(x != args[0] for x in args):
+        raise ValueError(
+            "every APPROX_COUNT_DISTINCT in a query must take the same "
+            "argument"
+        )
+    if any(a.transform is not None for a in plan.aggs):
+        raise ValueError(
+            "$value transforms are not supported on APPROX_COUNT_DISTINCT"
+        )
+    if len(plan.group_by) > 1:
+        raise ValueError(
+            "APPROX_COUNT_DISTINCT supports at most one group key"
+        )
+
+    val_k = compile_expr(args[0], ctx)
+    key_kernels = [compile_expr(k.expr, ctx) for k in plan.group_by]
+    key_names = [k.name for k in plan.group_by]
+
+    def narrow(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict = {}
+        for name, kk in zip(key_names, key_kernels):
+            cols[name] = _as_array(kk(t), n)
+        cols["__v"] = _as_array(val_k(t), n)
+        return pa.table(cols)
+
+    nds = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not key_names:
+        est = approx_count_distinct(nds, "__v")
+        out_tbl = pa.table(
+            {a.name: pa.array([est], pa.int64()) for a in plan.aggs}
+        )
+        # reference parity: zero input rows ⇒ zero output rows (the
+        # global group appears on the first row, SURVEY §2.6)
+        if est == 0 and nds.limit(1).count() == 0:
+            out_tbl = out_tbl.slice(0, 0)
+        out = ray.data.from_arrow(out_tbl)
+    else:
+        first = plan.aggs[0].name
+        key0 = key_names[0]
+        # grouped_approx_distinct (library contract) drops NULL keys; SQL
+        # keeps NULL as ONE group — split it off and count it globally
+        # (one narrow early-stopping probe + one pass over the NULL rows,
+        # paid only when NULL keys exist)
+        nonnull = nds.map_batches(
+            lambda t, _k=key0: t.filter(pc.is_valid(t[_k])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = grouped_approx_distinct(nonnull, key0, "__v", out_col=first)
+        nullrows = nds.map_batches(
+            lambda t, _k=key0: t.filter(pc.is_null(t[_k])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if nullrows.limit(1).count() > 0:
+            est0 = approx_count_distinct(nullrows, "__v")
+            sch = nds.schema()
+            ktype = dict(zip(sch.names, sch.types))[key0]
+            out = out.union(
+                ray.data.from_arrow(
+                    pa.table(
+                        {
+                            key0: pa.array([None], ktype),
+                            first: pa.array([est0], pa.int64()),
+                        }
+                    )
+                )
+            )
+        if len(plan.aggs) > 1:
+            dup_names = [a.name for a in plan.aggs[1:]]
+
+            def dup(t: pa.Table, _d=tuple(dup_names), _f=first) -> pa.Table:
+                for nm in _d:
+                    t = t.append_column(nm, t[_f])
+                return t
+
+            out = out.map_batches(
+                dup, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        def key_sort(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[(k, "ascending") for k in key_names],
+                null_placement="at_start",
+            )
+            return t.take(idx)
+
+        if plan.having is not None:
+            pred = compile_predicate(plan.having, ctx)
+            out = out.map_batches(
+                lambda t, _p=pred: t.filter(_p(t)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        # group-key order contract (reference BTreeMap; small results —
+        # one row per key — so a single-block sort is bounded)
+        out = out.repartition(1).map_batches(
+            key_sort, batch_format="pyarrow", zero_copy_batch=True
+        )
+    out = _apply_order(out, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
+    if plan.limit is not None:
+        out = out.limit(plan.limit)
+    return out
+
+
 def run_aggregate(
     ds: "ray.data.Dataset",
     plan: AggregatePlan,
@@ -634,6 +767,9 @@ def run_aggregate(
     # OUTER degrades to INNER under aggregation (execution_engine.rs:227-244)
     ds = _apply_join(ds, plan.join, force_inner=True)
     ds = _apply_where(ds, plan.where, ctx)
+
+    if any(a.func == "approx_count_distinct" for a in plan.aggs):
+        return _approx_count_distinct_path(ds, plan, ctx)
 
     key_names = [k.name for k in plan.group_by]
     # NULL group keys: shuffle/sort on (marker, filled-key) pairs, restore

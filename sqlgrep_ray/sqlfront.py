@@ -70,6 +70,9 @@ from sqlgrep_ray.schema import (
 AGGREGATE_FUNCS = {
     "count", "min", "max", "sum", "avg", "stddev", "variance",
     "percentile", "bool_and", "bool_or", "array_agg", "string_agg",
+    # ENGINE EXTENSION: HLL++-backed approximate COUNT(DISTINCT) — the
+    # fixed-size-sketch scale path (runner._approx_count_distinct_path)
+    "approx_count_distinct",
 }
 
 # reference function-name → engine kernel name (parser_tree_converter.rs:313-341)

@@ -540,3 +540,73 @@ def test_qualify_parse_and_errors():
             "SELECT k, COUNT(*) FROM t GROUP BY k "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY k) = 1"
         )
+
+
+def test_sql_approx_count_distinct(ray_session):
+    """APPROX_COUNT_DISTINCT through SQL (round 5): grouped + global +
+    HAVING + NULL group key, hash-exact vs DuckDB's exact count in the
+    sparse regime; unsupported shapes raise clearly."""
+    import duckdb
+    import numpy as np
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(
+                rng.integers(0, 9, n).astype("int64"),
+                mask=rng.random(n) < 0.02,
+            ),
+            "v": pa.array(
+                rng.integers(0, 300, n).astype("int64"),
+                mask=rng.random(n) < 0.05,
+            ),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    got = (
+        run_sql("SELECT k, APPROX_COUNT_DISTINCT(v) AS nd FROM t GROUP BY k", src)
+        .to_pandas()
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT k, CAST(COUNT(DISTINCT v) AS BIGINT) AS nd "
+            "FROM t GROUP BY k"
+        )
+        .df()
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+    g2 = run_sql("SELECT APPROX_COUNT_DISTINCT(v) AS nd FROM t", src).to_pandas()
+    assert g2["nd"].tolist() == [300]
+    g3 = run_sql(
+        "SELECT k, APPROX_COUNT_DISTINCT(v) AS nd FROM t GROUP BY k "
+        "HAVING nd > 250",
+        src,
+    ).to_pandas()
+    w3 = duckdb.sql(
+        "SELECT k FROM t GROUP BY k HAVING COUNT(DISTINCT v) > 250"
+    ).df()
+    assert len(g3) == len(w3)
+    # zero input rows -> zero output rows (reference global-group parity)
+    e = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    g4 = run_sql(
+        "SELECT APPROX_COUNT_DISTINCT(v) AS nd FROM t",
+        {"t": ray.data.from_arrow(e)},
+    ).to_pandas()
+    assert len(g4) == 0
+    # unsupported shapes error clearly
+    with pytest.raises(ValueError, match="cannot mix"):
+        run_sql(
+            "SELECT k, APPROX_COUNT_DISTINCT(v) AS nd, COUNT(v) AS c "
+            "FROM t GROUP BY k",
+            src,
+        )
