@@ -2213,6 +2213,40 @@ FROM read_parquet('{_TR_GLOB}') GROUP BY role
 """
 
 
+def q_sql_mode(sf_dir: str) -> Result:
+    """``MODE(x)`` through the SQL dialect (round-5 extension): each
+    group's most frequent non-NULL value with DETERMINISTIC ties (the
+    smallest value) — runner._mode_path runs it as two bounded shuffles
+    (per-(key, value) combiner-first counts, then one auto-sized bucket
+    pass picking the first row per key by (validity desc, count desc,
+    value asc)); no group ever lands whole on one worker. The DuckDB
+    replay spells the tie-break out explicitly (its own mode() leaves
+    ties unspecified)."""
+    from sqlgrep_ray.api import run_sql
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["role", "tool"]
+    )
+    return run_sql(
+        "SELECT role, MODE(tool) AS top_tool FROM t GROUP BY role", ds
+    )
+
+
+SQL_SQL_MODE = f"""
+WITH c AS (
+  SELECT role, tool, count(*) AS c FROM read_parquet('{_TR_GLOB}')
+  WHERE tool IS NOT NULL GROUP BY role, tool
+), r AS (
+  SELECT role, tool,
+         row_number() OVER (PARTITION BY role ORDER BY c DESC, tool ASC) AS rn
+  FROM c
+)
+SELECT d.role, r.tool AS top_tool
+FROM (SELECT DISTINCT role FROM read_parquet('{_TR_GLOB}')) d
+LEFT JOIN r ON (d.role IS NOT DISTINCT FROM r.role) AND r.rn = 1
+"""
+
+
 def q_sql_corr_exists(sf_dir: str) -> Result:
     """Correlated ``EXISTS`` / ``NOT EXISTS`` through the SQL dialect
     (round-5 extension): the parser DECORRELATES the classic one-
@@ -3424,6 +3458,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_corr_exists": q_sql_corr_exists,
     "sql_corr_scalar": q_sql_corr_scalar,
     "sql_approx_distinct": q_sql_approx_distinct,
+    "sql_mode": q_sql_mode,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -3603,6 +3638,7 @@ ORACLES: dict[str, str] = {
     "sql_corr_exists": SQL_SQL_CORR_EXISTS,
     "sql_corr_scalar": SQL_SQL_CORR_SCALAR,
     "sql_approx_distinct": SQL_SQL_APPROX_DISTINCT,
+    "sql_mode": SQL_SQL_MODE,
     "sql_rank_ties": SQL_SQL_RANK_TIES,
     "sql_ntile": SQL_SQL_NTILE,
     "conv_latency_p90": SQL_CONV_LATENCY_P90,

@@ -758,6 +758,132 @@ def _approx_count_distinct_path(
     return out
 
 
+def _mode_path(
+    ds: "ray.data.Dataset",
+    plan: AggregatePlan,
+    ctx: Optional[CompileCtx],
+) -> "ray.data.Dataset":
+    """ENGINE EXTENSION: ``MODE(x)`` — each group's most frequent
+    non-NULL value, ties to the SMALLEST value (deterministic, so the
+    result is oracle-able; DuckDB's mode() leaves ties unspecified).
+    Two bounded stages, never a whole group on one worker:
+
+    1. per-(keys, value) occurrence counts through the ordinary
+       combiner-first aggregate engine (block-level pre-aggregation,
+       ONE shuffle of one-row-per-(block, key, value) partials);
+    2. first-row-per-key over the counts via one auto-sized key-hash
+       bucket pass sorted by (validity desc, count desc, value asc) —
+       a group whose every value is NULL keeps its row and yields
+       NULL (SQL parity)."""
+    from sqlgrep_ray.functions.exprs import Col
+    from sqlgrep_ray.pipelines.plan import AggItem
+    from sqlgrep_ray.stages.window import (
+        _bucketed,
+        _key_change_mask,
+        resolve_buckets,
+    )
+
+    if any(a.func != "mode" for a in plan.aggs):
+        raise ValueError(
+            "MODE cannot mix with other aggregates in one query "
+            "(split the query)"
+        )
+    args = [a.arg for a in plan.aggs]
+    if any(x != args[0] for x in args):
+        raise ValueError("every MODE in a query must take the same argument")
+    if any(a.transform is not None for a in plan.aggs):
+        raise ValueError("$value transforms are not supported on MODE")
+
+    val_k = compile_expr(args[0], ctx)
+    key_kernels = [compile_expr(k.expr, ctx) for k in plan.group_by]
+    key_names = [k.name for k in plan.group_by]
+
+    def narrow(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict = {}
+        for name, kk in zip(key_names, key_kernels):
+            cols[name] = _as_array(kk(t), n)
+        if not key_names:
+            cols[_CONST_KEY] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__v"] = _as_array(val_k(t), n)
+        return pa.table(cols)
+
+    nds = ds.map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+    gkeys = key_names or [_CONST_KEY]
+    stage1 = AggregatePlan(
+        group_by=tuple(GroupKey(k, Col(k)) for k in gkeys)
+        + (GroupKey("__v", Col("__v")),),
+        aggs=(AggItem("__cnt", "count_star"),),
+    )
+    counts = run_aggregate(nds, stage1, None)
+
+    first = plan.aggs[0].name
+    extra = [a.name for a in plan.aggs[1:]]
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        n = g.num_rows
+        if n == 0:
+            cols = {k: g[k] for k in key_names}
+            for nm in [first, *extra]:
+                cols[nm] = g["__v"]
+            return pa.table(cols)
+        varr = g["__v"]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        g = g.append_column("__ok", pc.is_valid(varr).cast(pa.int8()))
+        order = pc.sort_indices(
+            g,
+            [
+                *((k, "ascending") for k in gkeys),
+                ("__ok", "descending"),
+                ("__cnt", "descending"),
+                ("__v", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        karrs = [g[k].combine_chunks() for k in gkeys]
+        keep = _key_change_mask(karrs, n)
+        g = g.filter(pa.array(keep))
+        cols = {k: g[k] for k in key_names}
+        win = pc.if_else(
+            pc.equal(g["__ok"].combine_chunks(), pa.scalar(1, pa.int8())),
+            g["__v"].combine_chunks(),
+            pa.scalar(None, g.schema.field("__v").type),
+        )
+        for nm in [first, *extra]:
+            cols[nm] = win
+        return pa.table(cols)
+
+    nb = resolve_buckets(None, counts)
+    out = _bucketed(counts, gkeys, nb, pick)
+
+    if plan.having is not None:
+        pred = compile_predicate(plan.having, ctx)
+        out = out.map_batches(
+            lambda t, _p=pred: t.filter(_p(t)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    if key_names:
+
+        def key_sort(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[(k, "ascending") for k in key_names],
+                null_placement="at_start",
+            )
+            return t.take(idx)
+
+        out = out.repartition(1).map_batches(
+            key_sort, batch_format="pyarrow", zero_copy_batch=True
+        )
+    out = _apply_order(out, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
+    if plan.limit is not None:
+        out = out.limit(plan.limit)
+    return out
+
+
 def run_aggregate(
     ds: "ray.data.Dataset",
     plan: AggregatePlan,
@@ -770,6 +896,8 @@ def run_aggregate(
 
     if any(a.func == "approx_count_distinct" for a in plan.aggs):
         return _approx_count_distinct_path(ds, plan, ctx)
+    if any(a.func == "mode" for a in plan.aggs):
+        return _mode_path(ds, plan, ctx)
 
     key_names = [k.name for k in plan.group_by]
     # NULL group keys: shuffle/sort on (marker, filled-key) pairs, restore

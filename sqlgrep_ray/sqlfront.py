@@ -73,6 +73,9 @@ AGGREGATE_FUNCS = {
     # ENGINE EXTENSION: HLL++-backed approximate COUNT(DISTINCT) — the
     # fixed-size-sketch scale path (runner._approx_count_distinct_path)
     "approx_count_distinct",
+    # ENGINE EXTENSION: most-frequent value, ties to the smallest
+    # (deterministic; runner._mode_path — two bounded shuffles)
+    "mode",
 }
 
 # reference function-name → engine kernel name (parser_tree_converter.rs:313-341)

@@ -143,3 +143,40 @@ def test_correlated_error_shapes():
             "SELECT o_id FROM orders WHERE EXISTS (SELECT 1 FROM items "
             "WHERE items.ord = orders.o_id AND items.qty > orders.amount)"
         )
+
+
+def test_correlated_through_tables_text_path(ray_session):
+    """Correlated subqueries and APPROX_COUNT_DISTINCT also work on the
+    raw-text Tables surface (the reference's CLI path): the subquery's
+    FROM resolves to another defined table parsed from the same lines."""
+    from sqlgrep_ray import Tables
+
+    t = Tables()
+    t.add_tables(
+        r"""
+CREATE TABLE kv(line = '(\\w+)=(\\d+)', line[1] => k TEXT, line[2] => v INT);
+CREATE TABLE flags(line = 'flag:(\\w+)', line[1] => fk TEXT);
+"""
+    )
+    lines = ["a=1", "b=2", "c=3", "a=9", "flag:a", "flag:c"]
+    rows = t.execute_query_rows(
+        "SELECT k, v FROM kv WHERE EXISTS "
+        "(SELECT 1 FROM flags WHERE flags.fk = kv.k)",
+        source=lines,
+    )
+    assert sorted((r["k"], r["v"]) for r in rows) == [
+        ("a", 1), ("a", 9), ("c", 3),
+    ]
+    rows = t.execute_query_rows(
+        "SELECT k FROM kv WHERE (SELECT COUNT(fk) FROM flags "
+        "WHERE flags.fk = kv.k) = 0",
+        source=lines,
+    )
+    assert sorted(r["k"] for r in rows) == ["b"]
+    rows = t.execute_query_rows(
+        "SELECT k, APPROX_COUNT_DISTINCT(v) AS nd FROM kv GROUP BY k",
+        source=lines,
+    )
+    assert sorted((r["k"], r["nd"]) for r in rows) == [
+        ("a", 2), ("b", 1), ("c", 1),
+    ]

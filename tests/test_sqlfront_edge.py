@@ -610,3 +610,79 @@ def test_sql_approx_count_distinct(ray_session):
             "FROM t GROUP BY k",
             src,
         )
+
+
+def test_sql_mode_aggregate(ray_session):
+    """MODE(x) through SQL (round 5): grouped + global + NULL keys +
+    a group whose every value is NULL (yields NULL, the group survives),
+    deterministic smallest-value tie-break — vs an explicit DuckDB
+    replay. Mixing with other aggregates raises."""
+    import duckdb
+    import numpy as np
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(6)
+    n = 8000
+    t = pa.table(
+        {
+            "k": pa.array(
+                rng.integers(0, 12, n).astype("int64"),
+                mask=rng.random(n) < 0.02,
+            ),
+            "v": pa.array(
+                rng.choice(["x", "y", "z", "w"], n), mask=rng.random(n) < 0.1
+            ),
+        }
+    )
+    t = pa.concat_tables(
+        [
+            t,
+            pa.table(
+                {
+                    "k": pa.array([99, 99], pa.int64()),
+                    "v": pa.array([None, None], pa.string()),
+                }
+            ),
+        ]
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    got = (
+        run_sql("SELECT k, MODE(v) AS mv FROM t GROUP BY k", src)
+        .to_pandas()
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            """
+      WITH c AS (SELECT k, v, count(*) AS c FROM t
+                 WHERE v IS NOT NULL GROUP BY k, v),
+      r AS (SELECT k, v, row_number() OVER (PARTITION BY k
+                 ORDER BY c DESC, v ASC) AS rn FROM c)
+      SELECT d.k, r.v AS mv FROM (SELECT DISTINCT k FROM t) d
+      LEFT JOIN r ON (d.k IS NOT DISTINCT FROM r.k) AND r.rn = 1
+    """
+        )
+        .df()
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+    assert got[got.k == 99]["mv"].isna().all()  # all-NULL group survives
+    g2 = run_sql("SELECT MODE(v) AS mv FROM t", src).to_pandas()
+    assert g2["mv"].tolist() == ["y"]
+    e = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.string())})
+    assert (
+        len(
+            run_sql(
+                "SELECT MODE(v) AS mv FROM t", {"t": ray.data.from_arrow(e)}
+            ).to_pandas()
+        )
+        == 0
+    )
+    with pytest.raises(ValueError, match="cannot mix"):
+        run_sql("SELECT k, MODE(v) AS mv, COUNT(v) AS c FROM t GROUP BY k", src)
