@@ -42,7 +42,7 @@ from sqlgrep_ray.pipelines.plan import (
     Projection,
     SelectPlan,
 )
-from sqlgrep_ray.pipelines.runner import run_plan
+from sqlgrep_ray.pipelines.runner import run_plan, run_set_op
 from sqlgrep_ray.schema import TableDef
 from sqlgrep_ray.sqlfront import (
     ExistsSubquery,
@@ -464,6 +464,31 @@ def _apply_in_subqueries(
     return ds
 
 
+def _finish_set_query(parts: list, stmt: SetQuery) -> "ray.data.Dataset":
+    """Combine executed set-query members per ``stmt.op`` and apply the
+    whole-set trailing ORDER BY / LIMIT. UNION concatenates (plain UNION
+    dedups via the distinct plan); INTERSECT / EXCEPT run the bounded
+    one-shuffle multiplicity path (runner.run_set_op)."""
+    if stmt.op in ("intersect", "except"):
+        ds = run_set_op(parts, stmt.op, keep_dups=stmt.all)
+        if stmt.order_by or stmt.limit is not None:
+            ds = run_plan(
+                ds, SelectPlan(order_by=stmt.order_by, limit=stmt.limit)
+            )
+        return ds
+    ds = parts[0].union(*parts[1:])
+    if stmt.order_by or stmt.limit is not None or not stmt.all:
+        ds = run_plan(
+            ds,
+            SelectPlan(
+                distinct=not stmt.all,
+                order_by=stmt.order_by,
+                limit=stmt.limit,
+            ),
+        )
+    return ds
+
+
 def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
     """Recursive executor for Query / SetQuery / WithQuery over bound
     Datasets. ``env`` maps CTE (or caller-supplied table) names to
@@ -483,17 +508,7 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
         return _run_sql_stmt(stmt.body, scope, default)
     if isinstance(stmt, SetQuery):
         parts = [_run_sql_stmt(m, env, default) for m in stmt.queries]
-        ds = parts[0].union(*parts[1:])
-        if stmt.order_by or stmt.limit is not None or not stmt.all:
-            ds = run_plan(
-                ds,
-                SelectPlan(
-                    distinct=not stmt.all,
-                    order_by=stmt.order_by,
-                    limit=stmt.limit,
-                ),
-            )
-        return ds
+        return _finish_set_query(parts, stmt)
     src = resolve(stmt.table)
     run_sub = lambda s: _run_sql_stmt(s, env, default)  # noqa: E731
     if stmt.in_subqueries or stmt.corr_scalars:
@@ -815,17 +830,7 @@ class Tables:
         def run_member(m) -> "ray.data.Dataset":
             if isinstance(m, SetQuery):
                 parts = [run_member(x) for x in m.queries]
-                ds = parts[0].union(*parts[1:])
-                if m.order_by or m.limit is not None or not m.all:
-                    ds = run_plan(
-                        ds,
-                        SelectPlan(
-                            distinct=not m.all,
-                            order_by=m.order_by,
-                            limit=m.limit,
-                        ),
-                    )
-                return ds
+                return _finish_set_query(parts, m)
             if m.table in env:
                 parsed = env[m.table]
                 if m.in_subqueries or m.corr_scalars:

@@ -1971,6 +1971,56 @@ ORDER BY source
 """
 
 
+def q_sql_intersect_pairs(sf_dir: str) -> Result:
+    """INTERSECT (distinct) through the SQL dialect (round-5 extension;
+    the reference dialect has no set operations). Two filtered selects
+    over documents; the engine runs the bounded one-shuffle multiplicity
+    path (runner.run_set_op): per-block pyarrow group_by combiners emit
+    per-side counts, ONE hash-aggregate Sums them per distinct row, a
+    vectorized finisher keeps rows present on both sides."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT lang, n_chars FROM docs WHERE n_chars < 2500 "
+        "INTERSECT "
+        "SELECT lang, n_chars FROM docs WHERE n_chars > 200 "
+        "ORDER BY lang, n_chars",
+        {"docs": _t(sf_dir, "documents", ["lang", "n_chars"])},
+    )
+
+
+SQL_SQL_INTERSECT_PAIRS = """
+SELECT lang, n_chars FROM documents WHERE n_chars < 2500
+INTERSECT
+SELECT lang, n_chars FROM documents WHERE n_chars > 200
+ORDER BY lang, n_chars
+"""
+
+
+def q_sql_except_langs(sf_dir: str) -> Result:
+    """EXCEPT ALL through the SQL dialect (round-5 extension): bag
+    semantics — each lang survives max(count_first − count_second, 0)
+    times. Exercises the multiplicity finisher's np.repeat path (counts
+    ≫ 1 per distinct row) rather than the 0/1 distinct case."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT lang FROM docs WHERE n_chars < 3000 "
+        "EXCEPT ALL "
+        "SELECT lang FROM docs WHERE n_chars >= 1000 "
+        "ORDER BY lang",
+        {"docs": _t(sf_dir, "documents", ["lang", "n_chars"])},
+    )
+
+
+SQL_SQL_EXCEPT_LANGS = """
+SELECT lang FROM documents WHERE n_chars < 3000
+EXCEPT ALL
+SELECT lang FROM documents WHERE n_chars >= 1000
+ORDER BY lang
+"""
+
+
 _SCALAR_EXT_SQL = """
 SELECT doc_id,
        concat(upper(left(lang, 1)), '-', source) AS tag,
@@ -3505,6 +3555,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     # -- rotation tail (r3/r4 greens) --
     "sql_union_chars": q_sql_union_chars,
     "sql_cte_quality": q_sql_cte_quality,
+    "sql_intersect_pairs": q_sql_intersect_pairs,
+    "sql_except_langs": q_sql_except_langs,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3570,6 +3622,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
 ORACLES: dict[str, str] = {
     "sql_union_chars": SQL_SQL_UNION_CHARS,
     "sql_cte_quality": SQL_SQL_CTE_QUALITY,
+    "sql_intersect_pairs": SQL_SQL_INTERSECT_PAIRS,
+    "sql_except_langs": SQL_SQL_EXCEPT_LANGS,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

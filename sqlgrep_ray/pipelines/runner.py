@@ -229,6 +229,31 @@ def _interleaved(key_names: list[str]) -> list[str]:
     return out
 
 
+def _schema_types(schema) -> dict:
+    """name → pyarrow type for a ray.data.Schema or pyarrow.Schema."""
+    try:
+        return dict(zip(schema.names, schema.types))
+    except Exception:
+        return {f.name: f.type for f in schema}
+
+
+def _fix_null_type_cols(t: pa.Table, target_types: dict) -> pa.Table:
+    """Normalize all-NULL blocks: a block whose column came out as pyarrow
+    ``null`` type (every value None — common for tiny blocks) cannot be
+    null-encoded (`_null_default` has no fill value) and would leak NULLs
+    into a Ray groupby/sort key. Replace such columns with typed all-null
+    arrays from the dataset-level schema; non-null-typed columns are left
+    untouched (no lossy casts)."""
+    for i, c in enumerate(t.column_names):
+        col = t.column(i)
+        if pa.types.is_null(col.type):
+            tt = target_types.get(c)
+            if tt is None or pa.types.is_null(tt):
+                tt = pa.int8()  # every value is NULL everywhere: any type
+            t = t.set_column(i, c, pa.nulls(t.num_rows, tt))
+    return t
+
+
 def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact dedup: hash-partition by the full row, keep one per group
     (SURVEY.md §2.8; the reference's first-seen order is not reproducible on
@@ -239,6 +264,7 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     if schema is None:  # zero-block input: nothing to dedup
         return ds
     cols = schema.names
+    types = _schema_types(schema)
     enc, res = _encode_keys(cols), _restore_keys(cols)
 
     # per-block pre-dedup (combiner) then ONE vectorized hash-aggregate
@@ -246,7 +272,7 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     # the aggregate (Ray groupby needs one); per-group ``map_groups`` would
     # pay a Python call per distinct row
     def block_dedup(t: pa.Table) -> pa.Table:
-        t = enc(t)
+        t = enc(_fix_null_type_cols(t, types))
         return t.group_by(t.column_names).aggregate([])
 
     ds = ds.map_batches(block_dedup, batch_format="pyarrow", zero_copy_batch=True)
@@ -256,6 +282,113 @@ def _distinct(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         return res(t.drop_columns(["__c"]))
 
     return deduped.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_set_op(
+    parts: "list[ray.data.Dataset]",
+    op: str,
+    keep_dups: bool,
+) -> "ray.data.Dataset":
+    """INTERSECT / EXCEPT [ALL] over structured Datasets — ENGINE EXTENSION
+    (the reference dialect has no set operations; companion to the UNION
+    path in ``api._run_set_query``). SQL bag semantics: with row
+    multiplicities c0..ck-1 per side, INTERSECT ALL emits min(ci) copies,
+    EXCEPT ALL max(c0 − Σ rest, 0); the distinct forms emit one copy when
+    all ci > 0 (INTERSECT) / c0 > 0 and Σ rest = 0 (EXCEPT). NULLs compare
+    equal (IS NOT DISTINCT FROM), matching standard set-op semantics.
+
+    Distributed shape (the 100-TB path): per side, a per-block pyarrow
+    ``group_by`` combiner collapses duplicate rows to one row + a count in
+    that side's ``__sc{i}`` column, so shuffle bytes are bounded by
+    distinct-rows × k int64s, never input multiplicity; then ONE
+    hash-aggregate shuffle Sums the k count columns per (null-encoded) row;
+    a vectorized finisher maps counts → multiplicity and ``np.repeat``s the
+    row indices. No driver-side materialization anywhere."""
+    from ray.data.aggregate import Sum
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"run_set_op: unknown op {op!r}")
+    k = len(parts)
+    schemas = [p.schema(fetch_if_missing=True) for p in parts]
+    base = schemas[0]
+    if base is None:
+        # zero-block first side: both ops yield zero rows with its schema
+        return parts[0]
+    cols = list(base.names)
+    for s in schemas[1:]:
+        if s is not None and sorted(s.names) != sorted(cols):
+            raise ValueError(
+                f"set-operation members must produce the same column names: "
+                f"{sorted(cols)} vs {sorted(s.names)}"
+            )
+    # zero-block members: INTERSECT with an empty side is empty; EXCEPT
+    # just loses that subtrahend (and distinct-EXCEPT still dedups)
+    live = [(i, p) for i, (p, s) in enumerate(zip(parts, schemas)) if s is not None]
+    if op == "intersect" and len(live) < k:
+        return parts[0].limit(0)
+    if op == "except" and len(live) == 1:
+        return parts[0] if keep_dups else _distinct(parts[0])
+
+    enc, res = _encode_keys(cols), _restore_keys(cols)
+    # unified per-column type: first non-null-typed member schema wins
+    # (normalizes all-NULL blocks before null-encoding; see
+    # _fix_null_type_cols)
+    types: dict = {}
+    for s in schemas:
+        if s is None:
+            continue
+        for c, tt in _schema_types(s).items():
+            if c not in types or pa.types.is_null(types[c]):
+                types[c] = tt
+    cnt = [f"__sc{i}" for i in range(k)]
+    ordered = _interleaved(cols) + cnt
+
+    def tagger(side: int):
+        def tag(t: pa.Table) -> pa.Table:
+            t = enc(_fix_null_type_cols(t.select(cols), types))
+            g = t.group_by(t.column_names).aggregate([([], "count_all")])
+            n = g.num_rows
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            for j, cc in enumerate(cnt):
+                col = g["count_all"].cast(pa.int64()) if j == side else zero
+                g = g.append_column(cc, col)
+            return g.drop_columns(["count_all"]).select(ordered)
+
+        return tag
+
+    tagged = [
+        p.map_batches(tagger(i), batch_format="pyarrow", zero_copy_batch=True)
+        for i, p in live
+    ]
+    u = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+    merged = u.groupby(_interleaved(cols)).aggregate(
+        *[Sum(c, alias_name=c) for c in cnt]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return res(t.drop_columns([c for c in cnt if c in t.column_names]))
+        arrs = [
+            np.asarray(
+                pc.fill_null(t[c], 0).to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            for c in cnt
+        ]
+        if op == "intersect":
+            mult = np.minimum.reduce(arrs)
+            if not keep_dups:
+                mult = (mult > 0).astype(np.int64)
+        else:
+            rest = np.sum(arrs[1:], axis=0)
+            if keep_dups:
+                mult = np.maximum(arrs[0] - rest, 0)
+            else:
+                mult = ((arrs[0] > 0) & (rest == 0)).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), mult)
+        return res(t.drop_columns(cnt).take(pa.array(idx)))
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ORDER BY + LIMIT n at or below this runs combiner-first (per-block local

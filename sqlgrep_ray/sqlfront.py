@@ -171,20 +171,27 @@ class Query:
 
 @dataclass
 class SetQuery:
-    """``SELECT … UNION [ALL] SELECT … [ORDER BY …] [LIMIT n]``.
+    """``SELECT … {UNION|INTERSECT|EXCEPT} [ALL] SELECT … [ORDER BY …]
+    [LIMIT n]``.
 
     ENGINE EXTENSION — the reference dialect has no set operations
     (parser.rs has no UNION token). Members are plain :class:`Query`
     statements whose plans carry no ORDER BY/LIMIT of their own; the
     trailing ORDER BY / LIMIT bind to the whole set, and plain UNION
     (``all=False``) deduplicates the concatenated rows. Members must
-    produce identical column names (union is by name, not position —
-    no positional coercion)."""
+    produce identical column names (set ops are by name, not position —
+    no positional coercion). ``op`` is uniform across the chain (mixing
+    operators needs standard-SQL precedence and is rejected, like mixed
+    UNION / UNION ALL). INTERSECT/EXCEPT follow bag semantics under ALL
+    (multiplicities min(...) / max(first − rest, 0)); a chain folds
+    left-associatively, which for a uniform op equals the one-shot
+    multiplicity formula."""
 
     queries: tuple  # of Query
     all: bool = True
     order_by: tuple = ()
     limit: Optional[int] = None
+    op: str = "union"  # union | intersect | except
 
 
 @dataclass
@@ -575,15 +582,20 @@ class Parser:
     def parse_set_query(self) -> Union[Query, "SetQuery"]:
         parts = [self._parse_select_parts()]
         set_all: Optional[bool] = None
-        while self.at_kw("union"):
-            self.expect_kw("union")
+        set_op: Optional[str] = None
+        while self.at_kw("union", "intersect", "except"):
+            op = self.next().value.lower()
             is_all = self.eat_kw("all")
-            if set_all is None:
-                set_all = is_all
-            elif set_all != is_all:
-                # mixed UNION / UNION ALL is left-associative in standard
-                # SQL and not expressible as one final distinct — reject
-                raise SqlError("mixing UNION and UNION ALL is not supported")
+            if set_op is None:
+                set_op, set_all = op, is_all
+            elif set_op != op or set_all != is_all:
+                # mixed operators (or UNION vs UNION ALL) need standard-SQL
+                # precedence (INTERSECT binds tighter) and are not
+                # expressible as one uniform fold — reject, don't guess
+                raise SqlError(
+                    "mixing set operators (or ALL with distinct forms) "
+                    "in one chain is not supported"
+                )
             parts.append(self._parse_select_parts())
         if len(parts) == 1:
             return self._build_query(parts[0])
@@ -593,7 +605,7 @@ class Parser:
             if p["order_by"] or p["limit"] is not None:
                 raise SqlError(
                     "ORDER BY / LIMIT are only allowed after the last "
-                    "UNION member (they apply to the whole set)"
+                    "set-query member (they apply to the whole set)"
                 )
         tail_order = tuple(parts[-1]["order_by"])
         tail_limit = parts[-1]["limit"]
@@ -604,6 +616,7 @@ class Parser:
             all=bool(set_all),
             order_by=tail_order,
             limit=tail_limit,
+            op=set_op,
         )
 
     def _build_query(self, parts: dict) -> Query:

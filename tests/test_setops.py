@@ -50,7 +50,7 @@ def test_with_parses_cte_chain():
 
 
 def test_union_member_order_by_rejected():
-    with pytest.raises(SqlError, match="last UNION member"):
+    with pytest.raises(SqlError, match="last set-query member"):
         parse_query("SELECT a FROM t ORDER BY a UNION ALL SELECT a FROM u")
 
 
@@ -392,3 +392,108 @@ def test_exists_subquery(ray_session):
         src,
     ).take_all()
     assert neg == [{"n": total}]
+
+
+# -- INTERSECT / EXCEPT [ALL] --------------------------------------------------
+
+
+def test_intersect_except_parse_shapes():
+    s = parse_query("SELECT a FROM t INTERSECT SELECT a FROM u")
+    assert isinstance(s, SetQuery) and s.op == "intersect" and not s.all
+    s = parse_query("SELECT a FROM t INTERSECT ALL SELECT a FROM u")
+    assert s.op == "intersect" and s.all
+    s = parse_query(
+        "SELECT a FROM t EXCEPT SELECT a FROM u EXCEPT SELECT a FROM v"
+    )
+    assert s.op == "except" and not s.all and len(s.queries) == 3
+    with pytest.raises(SqlError, match="mixing"):
+        parse_query(
+            "SELECT a FROM t UNION SELECT a FROM u INTERSECT SELECT a FROM v"
+        )
+    with pytest.raises(SqlError, match="mixing"):
+        parse_query(
+            "SELECT a FROM t EXCEPT SELECT a FROM u EXCEPT ALL SELECT a FROM v"
+        )
+
+
+@pytest.mark.parametrize(
+    "op",
+    ["INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"],
+)
+def test_set_op_matches_duckdb_on_docs(ray_session, op):
+    import ray.data as rd
+
+    docs = rd.read_parquet(DOCS)
+    sql = (
+        f"SELECT lang FROM t WHERE n_chars < 2000 {op} "
+        "SELECT lang FROM t WHERE n_chars > 100"
+    )
+    got = sorted(r["lang"] for r in run_sql(sql, docs).take_all())
+    assert got == sorted(r[0] for r in _duck(sql))
+
+
+def test_except_chain_three_members(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(DOCS)
+    sql = (
+        "SELECT lang FROM t WHERE n_chars < 3000 "
+        "EXCEPT ALL SELECT lang FROM t WHERE n_chars > 2000 "
+        "EXCEPT ALL SELECT lang FROM t WHERE n_chars < 150"
+    )
+    got = sorted(r["lang"] for r in run_sql(sql, docs).take_all())
+    assert got == sorted(r[0] for r in _duck(sql))
+
+
+def test_set_ops_null_rows_compare_equal(ray_session):
+    import ray.data as rd
+
+    a = rd.from_items([{"x": 1}, {"x": None}, {"x": None}, {"x": 2}])
+    b = rd.from_items([{"x": None}, {"x": 2}, {"x": 3}])
+
+    def vals(sql):
+        return sorted(
+            (r["x"] for r in run_sql(sql, {"a": a, "b": b}).take_all()),
+            key=lambda v: (v is None, v),
+        )
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW a AS SELECT * FROM (VALUES (1),(NULL),(NULL),(2)) v(x)")
+    con.execute("CREATE VIEW b AS SELECT * FROM (VALUES (NULL),(2),(3)) v(x)")
+
+    def duck(sql):
+        return sorted(
+            (r[0] for r in con.execute(sql).fetchall()),
+            key=lambda v: (v is None, v),
+        )
+
+    for sql in (
+        "SELECT x FROM a INTERSECT SELECT x FROM b",
+        "SELECT x FROM a INTERSECT ALL SELECT x FROM b",
+        "SELECT x FROM a EXCEPT SELECT x FROM b",
+        "SELECT x FROM a EXCEPT ALL SELECT x FROM b",
+    ):
+        assert vals(sql) == duck(sql), sql
+    con.close()
+
+
+def test_set_op_tail_order_limit(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(DOCS)
+    sql = (
+        "SELECT lang, n_chars FROM t WHERE n_chars < 500 INTERSECT "
+        "SELECT lang, n_chars FROM t WHERE n_chars > 100 "
+        "ORDER BY n_chars DESC, lang LIMIT 7"
+    )
+    got = _rows(run_sql(sql, docs), ["lang", "n_chars"])
+    assert got == _duck(sql)
+
+
+def test_tables_except_raw_text(ray_session, ev_tables):
+    rows = ev_tables.execute_query_rows(
+        "SELECT kind FROM ev EXCEPT SELECT kind FROM ev WHERE uid = 2 "
+        "ORDER BY kind",
+        source=LINES,
+    )
+    assert rows == [{"kind": "buy"}]
