@@ -153,7 +153,7 @@ def _bind_dataset_query(
             right=right,
             left_key=q.join_left_col,
             right_key=q.join_right_col,
-            how="left" if q.join_how == "left" else "inner",
+            how=q.join_how if q.join_how in ("left", "right") else "inner",
             right_prefix=prefix,
         )
 
@@ -722,7 +722,7 @@ class Tables:
                 right=right,
                 left_key=q.join_left_col,
                 right_key=q.join_right_col,
-                how="left" if q.join_how == "left" else "inner",
+                how=q.join_how if q.join_how in ("left", "right") else "inner",
                 right_prefix=prefix,
             )
 

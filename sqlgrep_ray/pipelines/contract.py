@@ -2021,6 +2021,88 @@ ORDER BY lang
 """
 
 
+def q_sql_rollup_docs(sf_dir: str) -> Result:
+    """GROUP BY ROLLUP through the SQL dialect (round-5 extension). The
+    Expand path (runner._grouping_sets_path): rows re-emitted once per
+    grouping set with excluded keys NULLed + a __gid ordinal, ONE ordinary
+    combiner-first aggregate over (source, lang, __gid) — shuffle bytes
+    bounded by groups × sets, not rows × sets. Covers subtotal rows per
+    source and the grand total."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, lang, COUNT(*) AS n, SUM(n_chars) AS total_chars, "
+        "MIN(n_chars) AS min_chars FROM docs "
+        "GROUP BY ROLLUP(source, lang)",
+        {"docs": _t(sf_dir, "documents", ["source", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_ROLLUP_DOCS = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_sql_grouping_sets_docs(sf_dir: str) -> Result:
+    """Explicit GROUPING SETS incl. the empty set and a HAVING filter
+    evaluated per grouping-set group (round-5 extension). The genuine-NULL
+    vs rolled-up-NULL distinction rides the hidden __gid key during the
+    aggregate and is dropped from the output (standard SQL shape)."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, lang, COUNT(*) AS n FROM docs "
+        "WHERE n_chars > 100 "
+        "GROUP BY GROUPING SETS ((source), (lang), ()) "
+        "HAVING COUNT(*) > 3",
+        {"docs": _t(sf_dir, "documents", ["source", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_GROUPING_SETS_DOCS = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE n_chars > 100
+GROUP BY GROUPING SETS ((source), (lang), ())
+HAVING COUNT(*) > 3
+"""
+
+
+def q_sql_right_join(sf_dir: str) -> Result:
+    """RIGHT OUTER JOIN through the SQL dialect (round-5 extension; the
+    reference's only join shapes are inner and streamed-side left-outer).
+    The streamed side is a CTE-filtered orders subset so unmatched
+    customers exist — they surface once with NULL order columns via the
+    anti half of runner._right_outer_broadcast (inner broadcast probe +
+    narrow matched-key scan bounded by |build keys|)."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "WITH big AS (SELECT o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 250000) "
+        "SELECT o_totalprice, customer.c_custkey AS ck, "
+        "customer.c_acctbal AS bal FROM big "
+        "RIGHT JOIN customer ON o_custkey = c_custkey",
+        {
+            "orders": _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+            "customer": _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        },
+    )
+
+
+SQL_SQL_RIGHT_JOIN = """
+WITH big AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 250000
+)
+SELECT o_totalprice, c_custkey AS ck, c_acctbal AS bal
+FROM big RIGHT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 _SCALAR_EXT_SQL = """
 SELECT doc_id,
        concat(upper(left(lang, 1)), '-', source) AS tag,
@@ -3557,6 +3639,9 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_cte_quality": q_sql_cte_quality,
     "sql_intersect_pairs": q_sql_intersect_pairs,
     "sql_except_langs": q_sql_except_langs,
+    "sql_rollup_docs": q_sql_rollup_docs,
+    "sql_grouping_sets_docs": q_sql_grouping_sets_docs,
+    "sql_right_join": q_sql_right_join,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3624,6 +3709,9 @@ ORACLES: dict[str, str] = {
     "sql_cte_quality": SQL_SQL_CTE_QUALITY,
     "sql_intersect_pairs": SQL_SQL_INTERSECT_PAIRS,
     "sql_except_langs": SQL_SQL_EXCEPT_LANGS,
+    "sql_rollup_docs": SQL_SQL_ROLLUP_DOCS,
+    "sql_grouping_sets_docs": SQL_SQL_GROUPING_SETS_DOCS,
+    "sql_right_join": SQL_SQL_RIGHT_JOIN,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

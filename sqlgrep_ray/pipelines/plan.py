@@ -30,9 +30,11 @@ class JoinSpec:
 
     ``right`` is resolved by the runner to a pyarrow Table (it may be a
     pyarrow Table, a callable returning one, or a ray.ObjectRef of one).
-    ``how`` ∈ {"inner", "left"} — OUTER is the reference's left-outer on the
-    streamed side (``join.rs:125-138``). Under aggregation OUTER degrades to
-    INNER (``execution_engine.rs:227-244``).
+    ``how`` ∈ {"inner", "left", "right"} — OUTER/FULL are the reference's
+    left-outer on the streamed side (``join.rs:125-138``); "right" is an
+    ENGINE EXTENSION (all build rows survive, unmatched ones NULL-extended —
+    ``runner._right_outer_broadcast``). Under aggregation any OUTER degrades
+    to INNER (``execution_engine.rs:227-244``).
     """
 
     right: Any
@@ -126,6 +128,16 @@ class AggregatePlan:
     # ENGINE EXTENSION: explicit output order (see SelectPlan.order_by);
     # overrides the default group-key order when present.
     order_by: tuple = ()
+    # ENGINE EXTENSION: GROUP BY ROLLUP / CUBE / GROUPING SETS. Each entry
+    # is a tuple of group-key NAMES (a subset of ``group_by`` names; () =
+    # the grand total). Empty tuple ⇒ plain GROUP BY. Executed by the
+    # expand path (runner._grouping_sets_path): every input row is
+    # replicated once per grouping set with the excluded keys NULLed and a
+    # ``__gid`` set-ordinal key appended, then ONE ordinary combiner-first
+    # aggregate runs over (keys…, __gid) — the Spark/Calcite Expand design,
+    # so all aggregate kinds (incl. holistic) work unchanged and shuffle
+    # bytes stay bounded by groups × sets, not rows × sets.
+    grouping_sets: tuple = ()
     # Merge-path selection for the per-block partials:
     #   True  — group-key cardinality is small (sqlgrep's norm): partials are
     #           coalesced to ONE block and merged/finalized/sorted locally,

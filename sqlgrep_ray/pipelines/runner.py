@@ -40,6 +40,7 @@ from sqlgrep_ray.pipelines.plan import (
 from sqlgrep_ray.stages.aggregate import (
     _CONST_KEY,
     HOLISTIC,
+    _null_default,
     FinalizeAggregates,
     GroupEvaluator,
     HolisticGroupAgg,
@@ -127,12 +128,118 @@ def run_plan(
     raise TypeError(f"unknown plan {type(plan)}")
 
 
+def _right_outer_broadcast(
+    ds: "ray.data.Dataset", join: JoinSpec
+) -> "ray.data.Dataset":
+    """RIGHT OUTER under the broadcast-join contract — ENGINE EXTENSION
+    (the reference has inner / streamed-side left-outer only,
+    join.rs:109-138): every build-side (joined-table) row survives;
+    unmatched ones are emitted once with NULL streamed-side columns.
+
+    Two streaming passes over the big side, no shuffle of it:
+    1. the usual inner broadcast probe (BroadcastJoiner);
+    2. a narrow matched-key scan — per-block semi-filter of the streamed
+       key against the build keys + block-local unique, then a global
+       ``_distinct`` (narrow shuffle) and ONE driver pull bounded by
+       |build keys| + 1 rows (the build side already satisfies the
+       in-memory broadcast contract, so the pull is bounded by
+       construction).
+    NULL keys follow the probe's pandas-merge semantics (NULL == NULL
+    matches): a NULL build key counts as matched iff the streamed side has
+    a NULL key anywhere."""
+    from sqlgrep_ray.stages.enrich import _resolve_right
+
+    right = _resolve_right(join.right)
+    inner = ds.map_batches(
+        BroadcastJoiner(
+            right=right,
+            left_key=join.left_key,
+            right_key=join.right_key,
+            how="inner",
+            right_prefix=join.right_prefix,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rkeys = right[join.right_key]
+    if isinstance(rkeys, pa.ChunkedArray):
+        rkeys = rkeys.combine_chunks()
+    left_schema = ds.schema(fetch_if_missing=True)
+    kcol = join.left_key
+    build_non_null = pc.unique(pc.drop_null(rkeys))
+    build_has_null = rkeys.null_count > 0
+
+    def block_keys(t: pa.Table) -> pa.Table:
+        k = t[kcol]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if pa.types.is_null(k.type):
+            k = pa.nulls(len(k), build_non_null.type)
+        mask = pc.fill_null(pc.is_in(k, value_set=build_non_null), False)
+        matched = pc.unique(k.filter(mask))
+        if build_has_null and k.null_count > 0:
+            # NULL==NULL matches in the probe: ride a NULL sentinel
+            matched = pa.concat_arrays(
+                [matched, pa.nulls(1, matched.type)]
+            )
+        return pa.table({kcol: matched})
+
+    if left_schema is None:
+        # zero streamed blocks: nothing matches; emit only the (prefixed)
+        # build columns — there are no streamed columns to NULL-extend
+        anti = right
+        matched_has_null = False
+        matched_non_null = pa.array([], type=rkeys.type)
+    else:
+        keys_narrow = ds.map_batches(
+            block_keys, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tbls = list(
+            _distinct(keys_narrow).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        matched = (
+            pa.concat_tables(tbls, promote_options="default")[kcol]
+            if tbls
+            else pa.chunked_array([pa.array([], type=rkeys.type)])
+        )
+        matched = matched.combine_chunks()
+        matched_has_null = matched.null_count > 0
+        matched_non_null = pc.drop_null(matched)
+        anti_mask = pc.invert(
+            pc.fill_null(pc.is_in(rkeys, value_set=matched_non_null), False)
+        )
+        if matched_has_null:
+            anti_mask = pc.and_(anti_mask, pc.is_valid(rkeys))
+        anti = right.filter(anti_mask)
+
+    # NULL-extended rows in EXACTLY the probe's output column layout:
+    # streamed columns first (typed nulls), then prefixed build columns
+    # (overriding on name collision, as the probe's dict build does)
+    cols: dict = {}
+    if left_schema is not None:
+        for name, typ in _schema_types(left_schema).items():
+            cols[name] = pa.nulls(anti.num_rows, typ)
+    prefix = join.right_prefix
+    for name, col in zip(right.column_names, anti.columns):
+        cols[(prefix + name) if prefix else name] = col
+    extra = ray.data.from_arrow(pa.table(cols))
+    if left_schema is None:
+        return extra
+    return inner.union(extra)
+
+
 def _apply_join(
     ds: "ray.data.Dataset", join: Optional[JoinSpec], force_inner: bool
 ) -> "ray.data.Dataset":
     if join is None:
         return ds
     how = "inner" if force_inner else join.how
+    if how == "right":
+        # engine extension; under aggregation the same OUTER→INNER
+        # downgrade as the reference's left-outer applies (force_inner)
+        return _right_outer_broadcast(ds, join)
     # build the hash index ONCE at plan time; the instance (index + small
     # right table) ships with the task definition and is deserialized once
     # per worker process — no actor-pool spin-up (broadcast contract: the
@@ -171,18 +278,6 @@ def _apply_where(
 # interleaved (marker, key) tuple — ascending puts nulls first — and restore
 # the nulls after the last order-sensitive stage.
 # ---------------------------------------------------------------------------
-
-
-def _null_default(t: pa.DataType):
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return pa.scalar("", t)
-    if pa.types.is_boolean(t):
-        return pa.scalar(False, t)
-    if pa.types.is_timestamp(t) or pa.types.is_duration(t):
-        return pa.scalar(0, t)
-    if pa.types.is_integer(t) or pa.types.is_floating(t):
-        return pa.scalar(0, t)
-    return None  # exotic key type: leave nulls (fails only if nulls occur)
 
 
 def _marker(i: int) -> str:
@@ -1017,12 +1112,103 @@ def _mode_path(
     return out
 
 
+def _grouping_sets_path(
+    ds: "ray.data.Dataset",
+    plan: AggregatePlan,
+    ctx: Optional[CompileCtx],
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS — the Expand design (as in
+    Spark/Calcite): after join+WHERE, every input block is re-emitted once
+    per grouping set with the excluded key columns NULLed and a ``__gid``
+    set-ordinal appended, then ONE ordinary combiner-first aggregate runs
+    keyed on (keys…, __gid). All aggregate kinds (incl. holistic
+    count-distinct / percentile) work unchanged; the per-block partial
+    combiner collapses the ×sets row inflation immediately, so shuffle
+    bytes are bounded by groups × sets, not rows × sets. The expand stage
+    prunes to the agg-referenced input columns first, and yields one table
+    per set (a generator) so worker heap never holds sets × block at once.
+    Rows whose keys are NULL because they were rolled up are distinguished
+    from genuine NULL group keys by ``__gid`` during the aggregate;
+    ``__gid`` also makes the default key-sorted output order deterministic,
+    and is dropped from the final result (standard SQL output, where both
+    look like NULL)."""
+    ds = _apply_join(ds, plan.join, force_inner=True)
+    ds = _apply_where(ds, plan.where, ctx)
+
+    kernels = [compile_expr(k.expr, ctx) for k in plan.group_by]
+    key_names = [k.name for k in plan.group_by]
+    sets = [frozenset(s) for s in plan.grouping_sets]
+    gids = list(range(len(sets)))
+    agg_need = referenced_columns(
+        AggregatePlan(group_by=(), aggs=plan.aggs)
+    )
+    agg_need_set = set(agg_need or ())
+    # dataset-level column types: all-NULL (null-typed) blocks — tiny
+    # from_items blocks — must be normalized BEFORE key evaluation, or the
+    # per-set masked key columns get inconsistent types across blocks
+    schema = ds.schema(fetch_if_missing=True)
+    in_types = _schema_types(schema) if schema is not None else {}
+
+    def expand(t: pa.Table):
+        t = _fix_null_type_cols(t, in_types)
+        keyarrs = []
+        for kern in kernels:
+            arr = _as_array(kern(t), t.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_null(arr.type):  # all-NULL key: give it a type
+                arr = pa.nulls(t.num_rows, pa.int8())
+            keyarrs.append(arr)
+        base = {
+            c: t.column(i)
+            for i, c in enumerate(t.column_names)
+            if c in agg_need_set
+        }
+        for gid, s in zip(gids, sets):
+            cols = dict(base)
+            for j, name in enumerate(key_names):
+                cols[f"__gs{j}"] = (
+                    keyarrs[j]
+                    if name in s
+                    else pa.nulls(t.num_rows, keyarrs[j].type)
+                )
+            cols["__gid"] = pa.array(np.full(t.num_rows, gid, dtype=np.int64))
+            yield pa.table(cols)
+
+    from sqlgrep_ray.functions.exprs import Col as _Col
+
+    expanded = ds.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+    plan2 = AggregatePlan(
+        group_by=tuple(
+            GroupKey(name, _Col(f"__gs{j}"))
+            for j, name in enumerate(key_names)
+        )
+        + (GroupKey("__gid", _Col("__gid")),),
+        aggs=plan.aggs,
+        having=plan.having,
+        distinct=plan.distinct,
+        limit=plan.limit,
+        order_by=getattr(plan, "order_by", ()),
+        small_result=plan.small_result,
+    )
+    out = run_aggregate(expanded, plan2, ctx)
+    return out.map_batches(
+        lambda t: t.drop_columns(["__gid"]) if "__gid" in t.column_names else t,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def run_aggregate(
     ds: "ray.data.Dataset",
     plan: AggregatePlan,
     ctx: Optional[CompileCtx] = None,
     batch_size: Optional[int] = None,
 ) -> "ray.data.Dataset":
+    if getattr(plan, "grouping_sets", ()):
+        return _grouping_sets_path(ds, plan, ctx)
     # OUTER degrades to INNER under aggregation (execution_engine.rs:227-244)
     ds = _apply_join(ds, plan.join, force_inner=True)
     ds = _apply_where(ds, plan.where, ctx)

@@ -711,6 +711,7 @@ class Parser:
             parts["projections"], where, parts["group_by"],
             parts["having"], parts["distinct"], parts["limit"],
             order_by=tuple(parts["order_by"]), qualify=parts["qualify"],
+            grouping_sets=parts.get("grouping_sets"),
         )
         return Query(
             plan=plan,
@@ -752,10 +753,17 @@ class Parser:
 
         join_table = join_file = None
         join_left = join_right = join_how = None
-        if self.at_kw("inner", "outer", "full", "left", "join"):
+        if self.at_kw("inner", "outer", "full", "left", "right", "join"):
             join_how = "inner"
             if self.eat_kw("inner"):
                 pass
+            elif self.eat_kw("right"):
+                # ENGINE EXTENSION: the reference dialect has no RIGHT JOIN
+                # (OUTER/FULL are its spellings of streamed-side left-outer,
+                # join.rs:125-138); all joined-table rows survive, unmatched
+                # ones NULL-extended on the streamed side
+                join_how = "right"
+                self.eat_kw("outer")
             elif self.eat_kw("outer") or self.eat_kw("full") or self.eat_kw("left"):
                 join_how = "left"
                 self.eat_kw("outer")
@@ -778,11 +786,70 @@ class Parser:
         where = self.parse_expr() if self.eat_kw("where") else None
 
         group_by: Optional[list[Expr]] = None
+        grouping_sets: Optional[list[tuple]] = None
         if self.eat_kw("group"):
             self.expect_kw("by")
-            group_by = [self.parse_expr()]
-            while self.eat_op(","):
-                group_by.append(self.parse_expr())
+            if self.at_kw("rollup", "cube"):
+                # ENGINE EXTENSION: GROUP BY ROLLUP(a,b,…) / CUBE(a,b,…)
+                kind = self.next().value.lower()
+                self.expect_op("(")
+                group_by = [self.parse_expr()]
+                while self.eat_op(","):
+                    group_by.append(self.parse_expr())
+                self.expect_op(")")
+                n = len(group_by)
+                if kind == "rollup":
+                    # (a,b,…), (a,b), (a), () — coarsening prefixes
+                    grouping_sets = [tuple(range(i)) for i in range(n, -1, -1)]
+                else:
+                    if n > 6:
+                        raise SqlError(
+                            "CUBE over more than 6 keys (2^n grouping sets)"
+                        )
+                    grouping_sets = [
+                        tuple(j for j in range(n) if m >> j & 1)
+                        for m in range(2**n - 1, -1, -1)
+                    ]
+            elif self.at_kw("grouping"):
+                # ENGINE EXTENSION: GROUP BY GROUPING SETS ((a,b),(a),())
+                self.expect_kw("grouping")
+                self.expect_kw("sets")
+                self.expect_op("(")
+                group_by = []
+                grouping_sets = []
+                while True:
+                    self.expect_op("(")
+                    s: list[int] = []
+                    if not self.at_op(")"):
+                        while True:
+                            e = self.parse_expr()
+                            idx = next(
+                                (
+                                    j
+                                    for j, g in enumerate(group_by)
+                                    if g == e
+                                ),
+                                None,
+                            )
+                            if idx is None:
+                                idx = len(group_by)
+                                group_by.append(e)
+                            s.append(idx)
+                            if not self.eat_op(","):
+                                break
+                    self.expect_op(")")
+                    grouping_sets.append(tuple(s))
+                    if not self.eat_op(","):
+                        break
+                self.expect_op(")")
+                if not group_by:
+                    raise SqlError(
+                        "GROUPING SETS needs at least one non-empty set"
+                    )
+            else:
+                group_by = [self.parse_expr()]
+                while self.eat_op(","):
+                    group_by.append(self.parse_expr())
 
         having = self.parse_expr() if self.eat_kw("having") else None
 
@@ -814,7 +881,8 @@ class Parser:
 
         return {
             "projections": projections, "where": where,
-            "group_by": group_by, "having": having, "distinct": distinct,
+            "group_by": group_by, "grouping_sets": grouping_sets,
+            "having": having, "distinct": distinct,
             "limit": limit, "order_by": order_by, "qualify": qualify,
             "table": table, "file": file, "join_table": join_table,
             "join_file": join_file, "join_left": join_left,
@@ -1596,6 +1664,7 @@ def convert_query(
     limit: Optional[int],
     order_by: tuple = (),
     qualify: Optional[Expr] = None,
+    grouping_sets: Optional[list[tuple]] = None,
 ) -> Plan:
     is_agg = bool(group_by) or (
         projections is not None and any(_contains_agg(e) for _, e in projections)
@@ -1661,6 +1730,7 @@ def convert_query(
         raise SqlError("window functions cannot be combined with aggregation")
     group_exprs = list(group_by or [])
     keys: list[GroupKey] = []
+    key_origin: list[int] = []  # group_exprs index each GroupKey came from
     aggs: list[AggItem] = []
     used_keys: set[int] = set()
 
@@ -1694,6 +1764,7 @@ def convert_query(
             used_keys.add(match)
             name = alias or (e.name if isinstance(e, Col) else f"p{i}")
             keys.append(GroupKey(name, e))
+            key_origin.append(match)
 
     # GROUP BY entries never projected still partition the groups
     for j, g in enumerate(group_exprs):
@@ -1701,6 +1772,16 @@ def convert_query(
             keys.append(
                 GroupKey(g.name if isinstance(g, Col) else f"gk{j}", g)
             )
+            key_origin.append(j)
+
+    # ROLLUP/CUBE/GROUPING SETS: translate index sets over group_exprs to
+    # name sets over the (possibly multiply-projected) GroupKeys
+    plan_sets: tuple = ()
+    if grouping_sets is not None:
+        plan_sets = tuple(
+            tuple(k.name for k, j in zip(keys, key_origin) if j in s)
+            for s in grouping_sets
+        )
 
     # HAVING: group keys → their output names; aggregates → existing slots or
     # hidden __having{i} extras (aggregate_execution.rs:88-115)
@@ -1737,6 +1818,7 @@ def convert_query(
         distinct=distinct,
         limit=limit,
         order_by=order_by,
+        grouping_sets=plan_sets,
     )
 
 

@@ -59,6 +59,70 @@ HOLISTIC = {"percentile", "array_agg", "string_agg", "count_distinct"}
 _CONST_KEY = "__gk"
 
 
+def _null_default(t: pa.DataType):
+    """Fill value standing in for NULL while a validity marker rides along
+    (the (marker, filled) pair encoding used for every null-safe grouping
+    and sort in the engine)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    if pa.types.is_timestamp(t) or pa.types.is_duration(t):
+        return pa.scalar(0, t)
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return pa.scalar(0, t)
+    return None  # exotic key type: leave nulls (fails only if nulls occur)
+
+
+def group_table_null_safe(
+    t: pa.Table, keys: "Sequence[str]", specs: "list"
+) -> pa.Table:
+    """``pa.TableGroupBy`` with NULL-proof keys.
+
+    pyarrow's hash group-by (observed on 16.1) emits DUPLICATE group rows
+    when a NULLABLE var-width key column (string) is grouped together with
+    fixed-width key columns (e.g. ``str? + int64``) once the table is large
+    enough — sums still partition correctly, but the groups don't merge
+    (row-encoder null handling). Any final merge relying on raw-NULL keys
+    is therefore wrong at exactly the scale tests don't cover. Encode each
+    nullable key as (validity int8, null-filled value), group on the
+    encoded list, restore NULLs after. Zero extra work when no key has
+    NULLs."""
+    enc_keys: list[str] = []
+    restore: list[str] = []
+    for k in keys:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = _null_default(col.type)
+        if col.null_count == 0 or d is None:
+            enc_keys.append(k)
+            continue
+        m = f"__nv_{k}"
+        t = t.set_column(
+            t.column_names.index(k), k, pc.fill_null(col, d)
+        )
+        t = t.append_column(m, pc.is_valid(col).cast(pa.int8()))
+        enc_keys.extend([m, k])
+        restore.append(k)
+    g = pa.TableGroupBy(t, enc_keys).aggregate(specs)
+    for k in restore:
+        mark = g[f"__nv_{k}"]
+        if isinstance(mark, pa.ChunkedArray):
+            mark = mark.combine_chunks()
+        col = g[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        g = g.set_column(
+            g.column_names.index(k),
+            k,
+            pc.if_else(pc.equal(mark, 0), pa.scalar(None, col.type), col),
+        )
+    if restore:
+        g = g.drop_columns([f"__nv_{k}" for k in restore])
+    return g
+
+
 # ---------------------------------------------------------------------------
 # Phase 0+1: evaluate exprs, block-level combine
 # ---------------------------------------------------------------------------
@@ -107,8 +171,7 @@ class PartialAggregator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         narrow = self._narrow(batch)
-        gb = pa.TableGroupBy(narrow, self.key_names)
-        return gb.aggregate(self.pa_aggs)
+        return group_table_null_safe(narrow, self.key_names, self.pa_aggs)
 
 
 def _partial_specs(i: int, a: AggItem) -> list[tuple[Any, str]]:
@@ -139,8 +202,9 @@ class LocalMergeFinalize:
     does with two all-to-alls: merge partials per key (``pa.TableGroupBy``),
     finalize, filter by HAVING, and sort ascending by group key with NULLs
     FIRST (``pc.sort_indices(null_placement="at_start")`` — reference BTreeMap
-    order, ``Value::Null`` variant 0).  Arrow handles NULL keys natively, so
-    no marker encoding is needed on this path.
+    order, ``Value::Null`` variant 0).  NULL keys go through
+    ``group_table_null_safe`` — pyarrow's raw hash group-by duplicates
+    null-keyed groups for mixed var/fixed-width key lists at scale.
     """
 
     def __init__(self, plan: AggregatePlan, ctx: Optional[CompileCtx] = None):
@@ -162,8 +226,7 @@ class LocalMergeFinalize:
                 self.merge_spec.append((pcol, kind2))
 
     def __call__(self, partials: pa.Table) -> pa.Table:
-        gb = pa.TableGroupBy(partials, self.key_names)
-        merged = gb.aggregate(self.merge_spec)
+        merged = group_table_null_safe(partials, self.key_names, self.merge_spec)
         # pa names outputs "<pcol>_<kind2>" — rename back to "<pcol>"
         renames = {f"{pcol}_{kind2}": pcol for pcol, kind2 in self.merge_spec}
         merged = merged.rename_columns(

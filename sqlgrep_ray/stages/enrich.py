@@ -56,6 +56,7 @@ class BroadcastJoiner:
         tbl = _resolve_right(right)
         self.left_key = left_key
         self.how = how
+        self._build_key_type = tbl[right_key].type
         # build-side frame: join key + row position
         self._right_tbl = tbl
         self._build = pd.DataFrame(
@@ -72,6 +73,13 @@ class BroadcastJoiner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         left_keys = batch[self.left_key]
+        if pa.types.is_null(
+            left_keys.type if not isinstance(left_keys, pa.ChunkedArray)
+            else left_keys.type
+        ):
+            # all-NULL (null-typed) key block — tiny from_items blocks:
+            # give it the build key's type so the pandas merge dtypes line up
+            left_keys = pa.nulls(batch.num_rows, self._build_key_type)
         probe = pd.DataFrame(
             {
                 "__key": left_keys.to_pandas(),

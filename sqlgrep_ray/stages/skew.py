@@ -45,7 +45,12 @@ def salted_count_distinct(
     narrow = ds.select_columns(keys + [col])
 
     def block_dedup(t: pa.Table) -> pa.Table:
-        return t.group_by(keys + [col]).aggregate([])
+        from sqlgrep_ray.stages.aggregate import group_table_null_safe
+
+        # null-safe: a nullable string value among int keys would hit
+        # pyarrow's duplicate-group bug (harmless here — partials — but free
+        # to avoid)
+        return group_table_null_safe(t, keys + [col], [])
 
     deduped = narrow.map_batches(
         block_dedup, batch_format="pyarrow", zero_copy_batch=True

@@ -111,8 +111,11 @@ class FollowRun:
         if len(self._partials) <= 1:
             return
         merged = pa.concat_tables(self._partials, promote_options="default")
-        gb = pa.TableGroupBy(merged, self._finalize.key_names)
-        out = gb.aggregate(self._finalize.merge_spec)
+        from sqlgrep_ray.stages.aggregate import group_table_null_safe
+
+        out = group_table_null_safe(
+            merged, self._finalize.key_names, self._finalize.merge_spec
+        )
         renames = {f"{p}_{k}": p for p, k in self._finalize.merge_spec}
         out = out.rename_columns([renames.get(c, c) for c in out.column_names])
         self._partials = [out]
