@@ -203,7 +203,7 @@ def _plan_exprs(plan) -> list:
         for a in plan.aggs:
             out.extend([a.arg, a.transform])
         out.extend([plan.where, plan.having])
-    out.extend(e for e, _ in plan.order_by)
+    out.extend(t[0] for t in plan.order_by)
     return [e for e in out if e is not None]
 
 
@@ -289,7 +289,7 @@ def _substitute_scalar_subs(plan, run_sub):
             projections=projs,
             where=rewrite(plan.where),
             qualify=rewrite(plan.qualify),
-            order_by=tuple((rewrite(e), d) for e, d in plan.order_by),
+            order_by=tuple((rewrite(t[0]),) + tuple(t[1:]) for t in plan.order_by),
         )
     return dataclasses.replace(
         plan,
@@ -304,7 +304,7 @@ def _substitute_scalar_subs(plan, run_sub):
         ),
         where=rewrite(plan.where),
         having=rewrite(plan.having),
-        order_by=tuple((rewrite(e), d) for e, d in plan.order_by),
+        order_by=tuple((rewrite(t[0]),) + tuple(t[1:]) for t in plan.order_by),
     )
 
 

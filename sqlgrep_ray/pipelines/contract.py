@@ -2103,6 +2103,52 @@ FROM big RIGHT JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_sql_grouping_fn(sf_dir: str) -> Result:
+    """GROUPING(col) indicator columns over a ROLLUP (round-5 extension):
+    1 when the key is rolled up in the row's grouping set, else 0 —
+    distinguishes rolled-up NULLs from genuine NULL keys. Emitted by the
+    expand stage as set-constant columns riding as extra group keys."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, lang, GROUPING(source) AS gs, GROUPING(lang) AS gl, "
+        "COUNT(*) AS n FROM docs GROUP BY ROLLUP(source, lang) "
+        "HAVING GROUPING(source) = 1 OR COUNT(*) > 2",
+        {"docs": _t(sf_dir, "documents", ["source", "lang"])},
+    )
+
+
+SQL_SQL_GROUPING_FN = """
+SELECT source, lang, CAST(GROUPING(source) AS BIGINT) AS gs,
+       CAST(GROUPING(lang) AS BIGINT) AS gl,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY ROLLUP(source, lang)
+HAVING GROUPING(source) = 1 OR COUNT(*) > 2
+"""
+
+
+def q_sql_order_nulls_last(sf_dir: str) -> Result:
+    """ORDER BY … NULLS LAST with LIMIT (round-5 extension; the engine
+    default is NULLs first). The NULL placement is observable through the
+    LIMIT cut: NULL-keyed rows (injected via CASE) fall out of the top-N
+    instead of monopolizing it."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT doc_id, "
+        "CASE WHEN n_chars < 300 THEN NULL ELSE n_chars END AS k "
+        "FROM docs ORDER BY k NULLS LAST, doc_id LIMIT 200",
+        {"docs": _t(sf_dir, "documents", ["doc_id", "n_chars"])},
+    )
+
+
+SQL_SQL_ORDER_NULLS_LAST = """
+SELECT doc_id, CASE WHEN n_chars < 300 THEN NULL ELSE n_chars END AS k
+FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
+"""
+
+
 _SCALAR_EXT_SQL = """
 SELECT doc_id,
        concat(upper(left(lang, 1)), '-', source) AS tag,
@@ -3642,6 +3688,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_rollup_docs": q_sql_rollup_docs,
     "sql_grouping_sets_docs": q_sql_grouping_sets_docs,
     "sql_right_join": q_sql_right_join,
+    "sql_grouping_fn": q_sql_grouping_fn,
+    "sql_order_nulls_last": q_sql_order_nulls_last,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3712,6 +3760,8 @@ ORACLES: dict[str, str] = {
     "sql_rollup_docs": SQL_SQL_ROLLUP_DOCS,
     "sql_grouping_sets_docs": SQL_SQL_GROUPING_SETS_DOCS,
     "sql_right_join": SQL_SQL_RIGHT_JOIN,
+    "sql_grouping_fn": SQL_SQL_GROUPING_FN,
+    "sql_order_nulls_last": SQL_SQL_ORDER_NULLS_LAST,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

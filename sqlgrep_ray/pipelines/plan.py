@@ -138,6 +138,12 @@ class AggregatePlan:
     # so all aggregate kinds (incl. holistic) work unchanged and shuffle
     # bytes stay bounded by groups × sets, not rows × sets.
     grouping_sets: tuple = ()
+    # ENGINE EXTENSION: GROUPING(col) outputs — (output column name,
+    # group-key name) pairs. Constant per grouping set (1 when that key is
+    # rolled up in the set, else 0), emitted by the expand stage and
+    # carried as extra group keys; names starting with ``__grouping`` are
+    # HAVING-only and dropped from the output.
+    grouping_cols: tuple = ()
     # Merge-path selection for the per-block partials:
     #   True  — group-key cardinality is small (sqlgrep's norm): partials are
     #           coalesced to ONE block and merged/finalized/sorted locally,

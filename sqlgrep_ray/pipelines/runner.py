@@ -499,15 +499,32 @@ def _apply_order(
 ) -> "ray.data.Dataset":
     """ORDER BY (engine extension): append compiled sort-key columns
     (plus a 0/1 null marker per key so Ray's sort never compares NULLs —
-    NULLs order first), ``Dataset.sort``, strip the temp columns. With a
-    small ``limit``, top-n combiner-first instead of the full sort."""
+    NULLs order first by default; a per-key ``NULLS LAST`` flips that
+    key's marker direction), ``Dataset.sort``, strip the temp columns.
+    With a small ``limit``, top-n combiner-first instead of the full
+    sort. Entries are (expr, desc) or (expr, desc, nulls_last) tuples."""
     if not order_by:
         return ds
-    kernels = [compile_expr(e, ctx) for e, _ in order_by]
+    entries = [
+        (t[0], t[1], t[2] if len(t) > 2 else None) for t in order_by
+    ]
+    kernels = [compile_expr(e, ctx) for e, _, _ in entries]
+    # all-NULL (null-typed) block columns — tiny from_items blocks — must
+    # be normalized to the dataset-level type BEFORE key evaluation, or
+    # the sort-key columns get inconsistent types across blocks and Ray's
+    # sort compares raw NULLs; the input is about to be sorted all-to-all
+    # anyway, so one schema fetch is negligible
+    schema = ds.schema(fetch_if_missing=True)
+    in_types = _schema_types(schema) if schema is not None else {}
 
     def add_keys(t: pa.Table) -> pa.Table:
+        t = _fix_null_type_cols(t, in_types)
         for i, k in enumerate(kernels):
             arr = _as_array(k(t), t.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_null(arr.type):  # e.g. a literal NULL key
+                arr = pa.nulls(t.num_rows, pa.int8())
             marker = pc.cast(pc.is_valid(arr), pa.int8())
             d = _null_default(arr.type)
             filled = pc.fill_null(arr, d) if d is not None else arr
@@ -517,13 +534,15 @@ def _apply_order(
 
     sort_cols: list = []
     sort_desc: list = []
-    for i, (_, desc) in enumerate(order_by):
-        sort_cols.append(f"__obm{i}")  # nulls (0) first
-        sort_desc.append(False)
+    for i, (_, desc, nulls_last) in enumerate(entries):
+        # marker ascending ⇒ nulls (0) first; NULLS LAST sorts it
+        # descending so valid (1) rows come first
+        sort_cols.append(f"__obm{i}")
+        sort_desc.append(bool(nulls_last))
         sort_cols.append(f"__ob{i}")
         sort_desc.append(bool(desc))
-    temp = [f"__obm{i}" for i in range(len(order_by))] + [
-        f"__ob{i}" for i in range(len(order_by))
+    temp = [f"__obm{i}" for i in range(len(entries))] + [
+        f"__ob{i}" for i in range(len(entries))
     ]
     sort_spec = [
         (c, "descending" if d else "ascending")
@@ -1139,6 +1158,7 @@ def _grouping_sets_path(
     key_names = [k.name for k in plan.group_by]
     sets = [frozenset(s) for s in plan.grouping_sets]
     gids = list(range(len(sets)))
+    gcols = list(getattr(plan, "grouping_cols", ()))
     agg_need = referenced_columns(
         AggregatePlan(group_by=(), aggs=plan.aggs)
     )
@@ -1172,6 +1192,15 @@ def _grouping_sets_path(
                     if name in s
                     else pa.nulls(t.num_rows, keyarrs[j].type)
                 )
+            for out, keyname in gcols:
+                # GROUPING(key): set-constant 0/1 indicator column
+                cols[out] = pa.array(
+                    np.full(
+                        t.num_rows,
+                        0 if keyname in s else 1,
+                        dtype=np.int64,
+                    )
+                )
             cols["__gid"] = pa.array(np.full(t.num_rows, gid, dtype=np.int64))
             yield pa.table(cols)
 
@@ -1185,6 +1214,7 @@ def _grouping_sets_path(
             GroupKey(name, _Col(f"__gs{j}"))
             for j, name in enumerate(key_names)
         )
+        + tuple(GroupKey(out, _Col(out)) for out, _ in gcols)
         + (GroupKey("__gid", _Col("__gid")),),
         aggs=plan.aggs,
         having=plan.having,
@@ -1194,8 +1224,11 @@ def _grouping_sets_path(
         small_result=plan.small_result,
     )
     out = run_aggregate(expanded, plan2, ctx)
+    hidden = ["__gid"] + [
+        o for o, _ in gcols if o.startswith("__grouping")
+    ]
     return out.map_batches(
-        lambda t: t.drop_columns(["__gid"]) if "__gid" in t.column_names else t,
+        lambda t: t.drop_columns([c for c in hidden if c in t.column_names]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -701,7 +701,7 @@ class Parser:
                 raise SqlError(f"subqueries are not allowed in {slot.upper()}")
         if any(_contains_subquery(g) for g in parts["group_by"] or []):
             raise SqlError("subqueries are not allowed in GROUP BY")
-        if any(_contains_subquery(e) for e, _ in parts["order_by"]):
+        if any(_contains_subquery(t[0]) for t in parts["order_by"]):
             raise SqlError("subqueries are not allowed in ORDER BY")
         if parts["projections"] is not None and any(
             _contains_subquery(e) for _, e in parts["projections"]
@@ -868,7 +868,17 @@ class Parser:
                 desc = bool(self.eat_kw("desc"))
                 if not desc:
                     self.eat_kw("asc")
-                order_by.append((e, desc))
+                # ENGINE EXTENSION: NULLS FIRST|LAST (engine default is
+                # NULLs first; None keeps it)
+                nulls_last = None
+                if self.eat_kw("nulls"):
+                    if self.eat_kw("last"):
+                        nulls_last = True
+                    elif self.eat_kw("first"):
+                        nulls_last = False
+                    else:
+                        raise SqlError("expected FIRST or LAST after NULLS")
+                order_by.append((e, desc, nulls_last))
                 if not self.eat_op(","):
                     break
 
@@ -1620,6 +1630,21 @@ def _find_aggs(e: Expr) -> list[AggCall]:
     return out
 
 
+def _find_grouping_calls(e: Expr) -> "list[Func]":
+    """Collect GROUPING(...) calls (ENGINE EXTENSION, grouping-sets
+    companion) anywhere in an expression tree."""
+    out: list[Func] = []
+
+    def walk(x) -> None:
+        if isinstance(x, Func) and x.name.lower() == "grouping":
+            out.append(x)
+        for c in _children(x):
+            walk(c)
+
+    walk(e)
+    return out
+
+
 def _find_windows(e: Expr) -> list[WindowCall]:
     out: list[WindowCall] = []
     if isinstance(e, WindowCall):
@@ -1733,8 +1758,33 @@ def convert_query(
     key_origin: list[int] = []  # group_exprs index each GroupKey came from
     aggs: list[AggItem] = []
     used_keys: set[int] = set()
+    grouping_cols: list[tuple] = []  # (out name, group_exprs index)
+
+    def _grouping_slot(arg: Expr, name: Optional[str]) -> str:
+        """Register a GROUPING(col) output (ENGINE EXTENSION, standard SQL
+        companion of grouping sets: 1 when the key is rolled up in the
+        row's set, else 0 — disambiguates rolled-up from genuine NULLs)."""
+        if grouping_sets is None:
+            raise SqlError(
+                "GROUPING() requires ROLLUP / CUBE / GROUPING SETS"
+            )
+        j = next((jj for jj, g in enumerate(group_exprs) if g == arg), None)
+        if j is None:
+            raise SqlError("GROUPING() argument must be a GROUP BY key")
+        if name is None:  # HAVING-only slot, reuse an existing output
+            for n, jj in grouping_cols:
+                if jj == j:
+                    return n
+            name = f"__grouping{j}"
+        grouping_cols.append((name, j))
+        return name
 
     for i, (alias, e) in enumerate(projections):
+        if isinstance(e, Func) and e.name.lower() == "grouping":
+            if len(e.args) != 1:
+                raise SqlError("GROUPING() takes exactly one argument")
+            _grouping_slot(e.args[0], alias or f"p{i}")
+            continue
         calls = _find_aggs(e)
         if len(calls) > 1:
             raise SqlError("at most one aggregate per projection")  # TooManyAggregates
@@ -1782,11 +1832,16 @@ def convert_query(
             tuple(k.name for k, j in zip(keys, key_origin) if j in s)
             for s in grouping_sets
         )
-
     # HAVING: group keys → their output names; aggregates → existing slots or
-    # hidden __having{i} extras (aggregate_execution.rs:88-115)
+    # hidden __having{i} extras (aggregate_execution.rs:88-115);
+    # GROUPING(col) → its output slot (or a hidden __grouping{j} one)
     having_expr = having
     if having_expr is not None:
+        for gcall in _find_grouping_calls(having_expr):
+            if len(gcall.args) != 1:
+                raise SqlError("GROUPING() takes exactly one argument")
+            n = _grouping_slot(gcall.args[0], None)
+            having_expr = _replace(having_expr, gcall, Col(n))
         for call in _find_aggs(having_expr):
             # structural match: same func/arg/extra, no transform
             probe = _agg_item_of(call, "__probe")
@@ -1810,6 +1865,15 @@ def convert_query(
         for k in keys:
             having_expr = _replace(having_expr, k.expr, Col(k.name))
 
+    if grouping_cols:
+        # resolve each GROUPING() target to its (first) GroupKey name —
+        # the runner masks/marks by key name (after HAVING, which may add
+        # hidden slots)
+        origin_name: dict[int, str] = {}
+        for k, jo in zip(keys, key_origin):
+            origin_name.setdefault(jo, k.name)
+        grouping_cols = [(n, origin_name[j]) for n, j in grouping_cols]
+
     return AggregatePlan(
         group_by=tuple(keys),
         aggs=tuple(aggs),
@@ -1819,6 +1883,7 @@ def convert_query(
         limit=limit,
         order_by=order_by,
         grouping_sets=plan_sets,
+        grouping_cols=tuple(grouping_cols),
     )
 
 

@@ -228,3 +228,96 @@ def test_group_table_null_safe_regression():
 
     exp = collections.Counter(rows)
     assert got == dict(exp)
+
+
+# -- GROUPING() ----------------------------------------------------------------
+
+
+def test_grouping_fn_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(DOCS)
+    sql = (
+        "SELECT source, lang, GROUPING(source) AS gs, GROUPING(lang) AS gl, "
+        "COUNT(*) AS n FROM t GROUP BY ROLLUP(source, lang)"
+    )
+    got = sorted(
+        (
+            tuple(r[c] for c in ["source", "lang", "gs", "gl", "n"])
+            for r in run_sql(sql, docs).take_all()
+        ),
+        key=_key,
+    )
+    exp = sorted(
+        (
+            tuple(r)
+            for r in _duck(
+                "SELECT source, lang, CAST(GROUPING(source) AS BIGINT) AS gs, "
+                "CAST(GROUPING(lang) AS BIGINT) AS gl, COUNT(*) AS n "
+                "FROM t GROUP BY ROLLUP(source, lang)"
+            )
+        ),
+        key=_key,
+    )
+    assert got == exp
+
+
+def test_grouping_fn_in_having_only(ray_session):
+    # HAVING-only GROUPING slot (hidden __grouping column, dropped after)
+    import ray.data as rd
+
+    docs = rd.read_parquet(DOCS)
+    rows = run_sql(
+        "SELECT lang, COUNT(*) AS n FROM t GROUP BY ROLLUP(lang) "
+        "HAVING GROUPING(lang) = 1",
+        docs,
+    ).take_all()
+    assert len(rows) == 1 and rows[0]["lang"] is None
+    assert set(rows[0]) == {"lang", "n"}  # hidden slot dropped
+
+
+def test_grouping_fn_errors():
+    with pytest.raises(SqlError, match="requires ROLLUP"):
+        parse_query("SELECT GROUPING(a) AS g FROM t GROUP BY a")
+    with pytest.raises(SqlError, match="must be a GROUP BY key"):
+        parse_query(
+            "SELECT GROUPING(z) AS g, COUNT(*) AS n FROM t GROUP BY ROLLUP(a)"
+        )
+
+
+# -- ORDER BY … NULLS FIRST/LAST -------------------------------------------------
+
+
+def test_order_by_nulls_last(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [
+            {"k": 2, "v": "b"},
+            {"k": None, "v": "d"},
+            {"k": 1, "v": "a"},
+            {"k": None, "v": "e"},
+        ]
+    )
+    rows = run_sql("SELECT k, v FROM t ORDER BY k NULLS LAST, v", ds).take_all()
+    assert [(r["k"], r["v"]) for r in rows] == [
+        (1, "a"),
+        (2, "b"),
+        (None, "d"),
+        (None, "e"),
+    ]
+    # engine default (no NULLS clause): NULLs first — unchanged
+    rows = run_sql("SELECT k, v FROM t ORDER BY k, v", ds).take_all()
+    assert [r["k"] for r in rows] == [None, None, 1, 2]
+    # DESC NULLS FIRST and the top-n (LIMIT) path honour the flag too
+    rows = run_sql(
+        "SELECT k, v FROM t ORDER BY k DESC NULLS FIRST, v", ds
+    ).take_all()
+    assert [r["k"] for r in rows] == [None, None, 2, 1]
+    rows = run_sql("SELECT k, v FROM t ORDER BY k NULLS LAST LIMIT 2", ds).take_all()
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, "a"), (2, "b")]
+
+
+def test_order_by_nulls_parse_error():
+    with pytest.raises(SqlError, match="FIRST or LAST"):
+        parse_query("SELECT a FROM t ORDER BY a NULLS SOMETIMES")
