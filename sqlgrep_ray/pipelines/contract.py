@@ -2149,6 +2149,59 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_ignore_nulls(sf_dir: str) -> Result:
+    """IGNORE NULLS navigation through the SQL dialect (round-5
+    extension): LAG/LEAD step over the partition's NON-NULL values only
+    (k-th non-null back/forward), FIRST_VALUE/LAST_VALUE read the frame's
+    first/last non-null. One cumsum of the validity bitmap per value
+    column powers all four (stages/window.py nn_stats); the NULL-bearing
+    column is derived first (tool='none' → NULL) since window args are
+    plain columns."""
+    from sqlgrep_ray.api import run_sql
+    from sqlgrep_ray.sqlfront import parse_query
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "tool"]
+    )
+    derived = run_sql(
+        "SELECT conv_id, turn_idx, "
+        "CASE WHEN tool = 'none' THEN NULL ELSE tool END AS v FROM t",
+        ds,
+    )
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, v, "
+        "LAG(v) IGNORE NULLS OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+        "AS prev_tool, "
+        "LEAD(v, 2) IGNORE NULLS OVER (PARTITION BY conv_id ORDER BY "
+        "turn_idx) AS next2_tool, "
+        "FIRST_VALUE(v) IGNORE NULLS OVER (PARTITION BY conv_id ORDER BY "
+        "turn_idx) AS first_tool, "
+        "LAST_VALUE(v) IGNORE NULLS OVER (PARTITION BY conv_id ORDER BY "
+        "turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS last_tool FROM t"
+    ).plan
+    return run_plan(derived, plan)
+
+
+SQL_SQL_IGNORE_NULLS = f"""
+WITH d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool = 'none' THEN NULL ELSE tool END AS v
+  FROM read_parquet('{_TR_GLOB}')
+)
+SELECT conv_id, turn_idx, v,
+ LAG(v, 1 IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+   AS prev_tool,
+ LEAD(v, 2 IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+   AS next2_tool,
+ FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+   AS first_tool,
+ LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx
+   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_tool
+FROM d
+"""
+
+
 _SCALAR_EXT_SQL = """
 SELECT doc_id,
        concat(upper(left(lang, 1)), '-', source) AS tag,
@@ -3690,6 +3743,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_right_join": q_sql_right_join,
     "sql_grouping_fn": q_sql_grouping_fn,
     "sql_order_nulls_last": q_sql_order_nulls_last,
+    "sql_ignore_nulls": q_sql_ignore_nulls,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3762,6 +3816,7 @@ ORACLES: dict[str, str] = {
     "sql_right_join": SQL_SQL_RIGHT_JOIN,
     "sql_grouping_fn": SQL_SQL_GROUPING_FN,
     "sql_order_nulls_last": SQL_SQL_ORDER_NULLS_LAST,
+    "sql_ignore_nulls": SQL_SQL_IGNORE_NULLS,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

@@ -64,6 +64,9 @@ class WindowSpec:
     default: Any = None  # LAG/LEAD 3-arg: literal filled past the edge
     preceding: Any = None  # bounded frame lookback (ROWS: rows; RANGE: value)
     following: Any = None  # bounded ROWS frame lookahead (<m> FOLLOWING)
+    # IGNORE NULLS (LAG/LEAD/FIRST_VALUE/LAST_VALUE): navigate the
+    # partition's non-null values only
+    ignore_nulls: bool = False
 
 
 @dataclass(frozen=True)

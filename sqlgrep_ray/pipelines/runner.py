@@ -671,6 +671,7 @@ def run_select(
                             w.func, w.out_col,
                             value_col=w.value_col, param=w.offset,
                             default=w.default,
+                            ignore_nulls=getattr(w, "ignore_nulls", False),
                         )
                     )
                 elif w.func == "ntile":
@@ -694,6 +695,7 @@ def run_select(
                             w.func, w.out_col, value_col=w.value_col,
                             frame=w.frame,
                             param=w.offset if w.func == "nth_value" else None,
+                            ignore_nulls=getattr(w, "ignore_nulls", False),
                         )
                     )
                 else:  # run_sum / run_avg / run_count / run_min / run_max

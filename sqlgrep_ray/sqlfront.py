@@ -1168,6 +1168,23 @@ class Parser:
                             )
                     elif len(args) > 1 and fname != "nth_value":
                         raise SqlError(f"{fname}() takes (column[, offset])")
+                # ENGINE EXTENSION: IGNORE NULLS (standard SQL null
+                # treatment for navigation functions) — navigate over the
+                # partition's non-null values only; RESPECT NULLS (the
+                # default) parses as a no-op
+                ignore_nulls = False
+                if self.eat_kw("ignore"):
+                    self.expect_kw("nulls")
+                    if fname not in (
+                        "lag", "lead", "first_value", "last_value"
+                    ):
+                        raise SqlError(
+                            "IGNORE NULLS applies to "
+                            "LAG/LEAD/FIRST_VALUE/LAST_VALUE"
+                        )
+                    ignore_nulls = True
+                elif self.eat_kw("respect"):
+                    self.expect_kw("nulls")
                 self.expect_kw("over")
                 self.expect_op("(")
                 key = None  # no PARTITION BY: one GLOBAL partition
@@ -1194,7 +1211,8 @@ class Parser:
                     )
                 self.expect_op(")")
                 return WindowCall(
-                    fname, value, key, order, offset, frame, default
+                    fname, value, key, order, offset, frame, default,
+                    ignore_nulls=ignore_nulls,
                 )
             if fname in AGGREGATE_FUNCS:
                 if self.at_kw("over"):
@@ -1290,6 +1308,7 @@ class WindowCall(Expr):
     default: Any = None  # LAG/LEAD 3-arg form: literal past the edge
     preceding: Any = None  # bounded frame lookback (ROWS: rows; RANGE: value)
     following: Any = None  # bounded ROWS frame lookahead (<m> FOLLOWING)
+    ignore_nulls: bool = False  # navigate non-null values only
 
 
 @dataclass(frozen=True, eq=True)
@@ -1711,6 +1730,7 @@ def convert_query(
                             out, wc.func, wc.value_col, wc.key, wc.order,
                             wc.offset, wc.frame, wc.default, wc.preceding,
                             wc.following,
+                            ignore_nulls=getattr(wc, "ignore_nulls", False),
                         )
                     )
                 e = _replace(e, wc, Col(out))

@@ -545,6 +545,10 @@ class WinFunc:
     default: "object | None" = None  # LAG/LEAD: literal past the edge
     preceding: "int | float | None" = None  # bounded lookback (rows / value)
     following: "int | None" = None  # bounded ROWS lookahead
+    # IGNORE NULLS (LAG/LEAD/FIRST_VALUE/LAST_VALUE): navigate over the
+    # partition's NON-NULL values only — k-th non-null back/forward, first/
+    # last non-null in the frame
+    ignore_nulls: bool = False
 
 
 _WIN_FUNCS = frozenset(
@@ -634,6 +638,12 @@ def partition_windows(
             raise ValueError(f"{f.func} needs a value_col")
         if f.func == "nth_value" and (f.param is None or f.param < 1):
             raise ValueError("nth_value needs a positive n")
+        if getattr(f, "ignore_nulls", False) and f.func not in (
+            "lag", "lead", "first_value", "last_value"
+        ):
+            raise ValueError(
+                "IGNORE NULLS applies to LAG/LEAD/FIRST_VALUE/LAST_VALUE"
+            )
         if f.func == "run_count_star" and f.value_col is not None:
             raise ValueError("run_count_star takes no value_col (COUNT(*))")
         if f.frame not in ("range", "rows", "full"):
@@ -698,6 +708,23 @@ def partition_windows(
         run_change = None  # lazily shared by rank/dense_rank/running aggs
         run_end = None  # index of each row's tie-run last row (RANGE frame)
         out_cols: list[tuple[str, pa.Array]] = []
+        nn_cache: dict[str, tuple] = {}
+
+        def nn_stats(col: str):
+            """IGNORE NULLS support: (is-valid 0/1 int64, inclusive
+            cumsum, non-null row positions) for a value column — O(n)
+            once, shared by every IGNORE NULLS function on that column."""
+            got = nn_cache.get(col)
+            if got is None:
+                arr = g[col].combine_chunks()
+                v = (
+                    pc.is_valid(arr)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                got = (v, np.cumsum(v), np.flatnonzero(v))
+                nn_cache[col] = got
+            return got
 
         def tie_run_end() -> np.ndarray:
             nonlocal run_change, run_end
@@ -777,7 +804,37 @@ def partition_windows(
             range_start_cache[x] = lo
             return lo
         for f in funcs:
-            if f.func in ("lag", "lead"):
+            if f.func in ("lag", "lead") and f.ignore_nulls:
+                # k-th NON-NULL value before/after the current row within
+                # the partition: global non-null ordinals (cumsum) bounded
+                # by the per-partition counts make the gather one take
+                v, cnn, nn_pos = nn_stats(f.value_col)
+                k = f.param
+                excl = cnn - v  # non-nulls strictly before each row
+                if f.func == "lag":
+                    in_part = excl - excl[first_of_key]
+                    valid = in_part >= k
+                    t = excl - k  # 0-based ordinal into nn_pos
+                else:
+                    pe = part_end()
+                    valid = (cnn[pe] - cnn) >= k
+                    t = cnn + (k - 1)
+                if len(nn_pos):
+                    idx = nn_pos[np.clip(t, 0, len(nn_pos) - 1)]
+                else:
+                    idx = np.zeros(n, dtype=np.int64)
+                    valid = np.zeros(n, dtype=bool)
+                out = (
+                    g[f.value_col]
+                    .combine_chunks()
+                    .take(pa.array(idx, mask=~valid))
+                )
+                if f.default is not None:
+                    out = pc.if_else(
+                        pa.array(valid), out, pa.scalar(f.default, out.type)
+                    )
+                out_cols.append((f.out_col, out))
+            elif f.func in ("lag", "lead"):
                 off = f.param if f.func == "lag" else -f.param
                 cached = shift_cache.get(off)
                 if cached is None:
@@ -873,6 +930,27 @@ def partition_windows(
                 # under the default RANGE-to-current-row frame that is the
                 # last PEER, not the partition end — pass frame="full" /
                 # ... UNBOUNDED FOLLOWING for the partition's final value)
+                if f.ignore_nulls:
+                    # first/last NON-NULL in the frame [partition start,
+                    # frame end]: non-null counts bracket the frame, the
+                    # ordinal gathers through nn_pos — still one take
+                    v, cnn, nn_pos = nn_stats(f.value_col)
+                    fe = frame_end(f.frame)
+                    excl0 = (cnn - v)[first_of_key]  # nn before the frame
+                    valid = (cnn[fe] - excl0) >= 1
+                    t = excl0 if f.func == "first_value" else cnn[fe] - 1
+                    if len(nn_pos):
+                        idx = nn_pos[np.clip(t, 0, len(nn_pos) - 1)]
+                    else:
+                        idx = np.zeros(n, dtype=np.int64)
+                        valid = np.zeros(n, dtype=bool)
+                    out = (
+                        g[f.value_col]
+                        .combine_chunks()
+                        .take(pa.array(idx, mask=~valid))
+                    )
+                    out_cols.append((f.out_col, out))
+                    continue
                 idx = (
                     first_of_key
                     if f.func == "first_value"

@@ -1027,3 +1027,114 @@ def test_time_range_window_vs_duckdb(ray_session):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ignore_nulls_vs_duckdb(ray_session):
+    """IGNORE NULLS navigation (LAG/LEAD k-th non-null back/forward,
+    FIRST_VALUE/LAST_VALUE first/last non-null in frame) pinned against
+    DuckDB on a NULL-dense column, through the SQL dialect end-to-end."""
+    import duckdb
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 30, n).astype("int64")),
+            "o": pa.array(rng.permutation(n).astype("int64")),
+            "v": pa.array(
+                rng.integers(0, 1000, n).astype("int64"),
+                mask=rng.random(n) < 0.4,  # 40% NULLs
+            ),
+        }
+    )
+    plan = parse_query(
+        "SELECT k, o, v, "
+        "LAG(v, 2) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS l2, "
+        "LAG(v, 1, -1) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS l1d, "
+        "LEAD(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS ld1, "
+        "FIRST_VALUE(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS fv, "
+        "LAST_VALUE(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS lv, "
+        "LAST_VALUE(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvf, "
+        "LAG(v) RESPECT NULLS OVER (PARTITION BY k ORDER BY o) AS lr "
+        "FROM t"
+    ).plan
+    got = (
+        run_plan(ray.data.from_arrow(t).repartition(5), plan)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT k, o, v, "
+            "LAG(v, 2 IGNORE NULLS) OVER (PARTITION BY k ORDER BY o) AS l2, "
+            "LAG(v, 1, -1 IGNORE NULLS) OVER (PARTITION BY k ORDER BY o) AS l1d, "
+            "LEAD(v, 1 IGNORE NULLS) OVER (PARTITION BY k ORDER BY o) AS ld1, "
+            "FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY o) AS fv, "
+            "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY o) AS lv, "
+            "LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY o "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvf, "
+            "LAG(v) OVER (PARTITION BY k ORDER BY o) AS lr "
+            "FROM t"
+        )
+        .df()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ignore_nulls_all_null_partition(ray_session):
+    """Partitions whose value column is ALL NULL (and an all-NULL bucket)
+    yield NULL everywhere — the nn_pos-empty guard path."""
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+            "v": pa.array([None, None, None, 10, None], pa.int64()),
+        }
+    )
+    plan = parse_query(
+        "SELECT k, o, "
+        "LAG(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS l, "
+        "FIRST_VALUE(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS fv "
+        "FROM t"
+    ).plan
+    rows = {
+        (r["k"], r["o"]): (r["l"], r["fv"])
+        for r in run_plan(ray.data.from_arrow(t), plan).take_all()
+    }
+    assert rows == {
+        (1, 1): (None, None),
+        (1, 2): (None, None),
+        (1, 3): (None, None),
+        (2, 1): (None, 10),
+        (2, 2): (10, 10),
+    }
+
+
+def test_ignore_nulls_parse_errors():
+    from sqlgrep_ray.sqlfront import SqlError, parse_query
+
+    with pytest.raises(SqlError, match="IGNORE NULLS applies"):
+        parse_query(
+            "SELECT ROW_NUMBER() IGNORE NULLS OVER "
+            "(PARTITION BY k ORDER BY o) AS r FROM t"
+        )
+    w = parse_query(
+        "SELECT LEAD(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o) AS x "
+        "FROM t"
+    ).plan.windows[0]
+    assert w.ignore_nulls and w.func == "lead"
