@@ -2149,6 +2149,37 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_agg_filter(sf_dir: str) -> Result:
+    """Aggregate FILTER (WHERE …) clauses (round-5 extension): rewritten
+    at parse time to NULL-skip CASE arguments (every engine aggregate
+    drops NULL inputs, so agg(CASE WHEN cond THEN x ELSE NULL END) is
+    exactly the filtered aggregate; COUNT(*) counts a literal 1) — zero
+    new runtime machinery, the partial/combine path is unchanged."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, COUNT(*) AS n, "
+        "COUNT(*) FILTER (WHERE lang = 'en') AS n_en, "
+        "SUM(n_chars) FILTER (WHERE n_chars >= 300) AS big_chars, "
+        "MIN(n_chars) FILTER (WHERE lang <> 'en') AS min_other, "
+        "COUNT(DISTINCT lang) FILTER (WHERE n_chars < 500) AS langs_small "
+        "FROM docs GROUP BY source",
+        {"docs": _t(sf_dir, "documents", ["source", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_AGG_FILTER = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+       CAST(SUM(n_chars) FILTER (WHERE n_chars >= 300) AS BIGINT)
+         AS big_chars,
+       MIN(n_chars) FILTER (WHERE lang <> 'en') AS min_other,
+       CAST(COUNT(DISTINCT lang) FILTER (WHERE n_chars < 500) AS BIGINT)
+         AS langs_small
+FROM documents GROUP BY source
+"""
+
+
 def q_sql_ignore_nulls(sf_dir: str) -> Result:
     """IGNORE NULLS navigation through the SQL dialect (round-5
     extension): LAG/LEAD step over the partition's NON-NULL values only
@@ -3744,6 +3775,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_grouping_fn": q_sql_grouping_fn,
     "sql_order_nulls_last": q_sql_order_nulls_last,
     "sql_ignore_nulls": q_sql_ignore_nulls,
+    "sql_agg_filter": q_sql_agg_filter,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3817,6 +3849,7 @@ ORACLES: dict[str, str] = {
     "sql_grouping_fn": SQL_SQL_GROUPING_FN,
     "sql_order_nulls_last": SQL_SQL_ORDER_NULLS_LAST,
     "sql_ignore_nulls": SQL_SQL_IGNORE_NULLS,
+    "sql_agg_filter": SQL_SQL_AGG_FILTER,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

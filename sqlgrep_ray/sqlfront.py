@@ -1259,6 +1259,37 @@ class Parser:
                         wfunc, value, key, order, 1, frame,
                         preceding=preceding, following=following,
                     )
+                if self.at_kw("filter"):
+                    # ENGINE EXTENSION: SQL-standard FILTER (WHERE cond),
+                    # rewritten at parse time to the NULL-skip CASE —
+                    # EVERY engine aggregate skips NULL inputs (COUNT(col),
+                    # SUM…ARRAY_AGG all drop_null), so
+                    # agg(CASE WHEN cond THEN x ELSE NULL END) is exactly
+                    # the filtered aggregate; COUNT(*) counts a literal 1.
+                    # Parameter args (percentile p, string_agg sep) ride
+                    # unchanged.
+                    self.eat_kw("filter")
+                    self.expect_op("(")
+                    self.expect_kw("where")
+                    cond = self.parse_expr()
+                    self.expect_op(")")
+                    if _contains_agg(cond) or _find_windows(cond):
+                        raise SqlError(
+                            "aggregates/windows are not allowed in FILTER"
+                        )
+                    if star:
+                        return AggCall(
+                            "count",
+                            (Case(((cond, Lit(1)),), Lit(None)),),
+                        )
+                    if not args:
+                        raise SqlError("FILTER needs an aggregate argument")
+                    return AggCall(
+                        fname,
+                        (Case(((cond, args[0]),), Lit(None)),)
+                        + tuple(args[1:]),
+                        distinct=distinct,
+                    )
                 return AggCall(fname, tuple(args), distinct=distinct, star=star)
             if distinct or star:
                 raise SqlError(f"DISTINCT/* not valid in {fname}()")

@@ -686,3 +686,69 @@ def test_sql_mode_aggregate(ray_session):
     )
     with pytest.raises(ValueError, match="cannot mix"):
         run_sql("SELECT k, MODE(v) AS mv, COUNT(v) AS c FROM t GROUP BY k", src)
+
+
+# -- aggregate FILTER (WHERE …) --------------------------------------------------
+
+
+def test_agg_filter_vs_duckdb(ray_session):
+    """FILTER clauses on grouped and global aggregates, incl. HAVING and
+    string_agg/percentile parameter args riding unchanged — pinned
+    against DuckDB."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 6, n).astype("int64")),
+            "x": pa.array(
+                rng.integers(0, 100, n).astype("int64"),
+                mask=rng.random(n) < 0.1,
+            ),
+            "s": pa.array([f"v{i % 7}" for i in range(n)]),
+        }
+    )
+    got = sorted(
+        (r["k"], r["c"], r["sx"], r["cd"], r["mn"])
+        for r in run_sql(
+            "SELECT k, COUNT(*) FILTER (WHERE x > 50) AS c, "
+            "SUM(x) FILTER (WHERE s = 'v3') AS sx, "
+            "COUNT(DISTINCT s) FILTER (WHERE x < 20) AS cd, "
+            "MIN(x) FILTER (WHERE s <> 'v0') AS mn "
+            "FROM t GROUP BY k "
+            "HAVING COUNT(*) FILTER (WHERE x IS NULL) > 10",
+            ray.data.from_arrow(t),
+        ).take_all()
+    )
+    exp = sorted(
+        duckdb.sql(
+            "SELECT k, COUNT(*) FILTER (WHERE x > 50), "
+            "SUM(x) FILTER (WHERE s = 'v3'), "
+            "COUNT(DISTINCT s) FILTER (WHERE x < 20), "
+            "MIN(x) FILTER (WHERE s <> 'v0') FROM t GROUP BY k "
+            "HAVING COUNT(*) FILTER (WHERE x IS NULL) > 10"
+        ).fetchall()
+    )
+    assert got == [tuple(r) for r in exp]
+    # global aggregate, no matching rows ⇒ SQL NULL / COUNT 0
+    g = run_sql(
+        "SELECT COUNT(*) FILTER (WHERE x > 1000) AS c, "
+        "MAX(x) FILTER (WHERE x > 1000) AS m FROM t",
+        ray.data.from_arrow(t),
+    ).take_all()
+    assert (g[0]["c"], g[0]["m"]) == (0, None)
+
+
+def test_agg_filter_parse_errors():
+    with pytest.raises(SqlError, match="not allowed in FILTER"):
+        parse_query(
+            "SELECT SUM(x) FILTER (WHERE COUNT(*) > 1) AS s FROM t GROUP BY k"
+        )
+    with pytest.raises(SqlError):
+        parse_query("SELECT SUM(x) FILTER (x > 1) AS s FROM t GROUP BY k")
