@@ -2149,6 +2149,45 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_window_desc(sf_dir: str) -> Result:
+    """DESC / composite OVER(ORDER BY …) ordering (round-5 extension):
+    the in-bucket sort takes per-column directions, tie runs (peers) are
+    equality over ALL order columns, and NULL order keys sort last in
+    either direction (DuckDB's default) — same ONE shared-frame bucket
+    exchange as ascending windows."""
+    from sqlgrep_ray.sqlfront import parse_query
+
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, "
+        "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) "
+        "AS rn_desc, "
+        "LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) "
+        "AS next_turn, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) "
+        "AS rev_cumsum, "
+        "RANK() OVER (PARTITION BY conv_id ORDER BY role, turn_idx DESC) "
+        "AS role_rank FROM t"
+    ).plan
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    )
+    return run_plan(ds, plan)
+
+
+SQL_SQL_WINDOW_DESC = f"""
+SELECT conv_id, turn_idx,
+ CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+      AS BIGINT) AS rn_desc,
+ LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+   AS next_turn,
+ CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+      AS BIGINT) AS rev_cumsum,
+ CAST(RANK() OVER (PARTITION BY conv_id ORDER BY role, turn_idx DESC)
+      AS BIGINT) AS role_rank
+FROM read_parquet('{_TR_GLOB}')
+"""
+
+
 def q_sql_agg_filter(sf_dir: str) -> Result:
     """Aggregate FILTER (WHERE …) clauses (round-5 extension): rewritten
     at parse time to NULL-skip CASE arguments (every engine aggregate
@@ -3776,6 +3815,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_order_nulls_last": q_sql_order_nulls_last,
     "sql_ignore_nulls": q_sql_ignore_nulls,
     "sql_agg_filter": q_sql_agg_filter,
+    "sql_window_desc": q_sql_window_desc,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3850,6 +3890,7 @@ ORACLES: dict[str, str] = {
     "sql_order_nulls_last": SQL_SQL_ORDER_NULLS_LAST,
     "sql_ignore_nulls": SQL_SQL_IGNORE_NULLS,
     "sql_agg_filter": SQL_SQL_AGG_FILTER,
+    "sql_window_desc": SQL_SQL_WINDOW_DESC,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

@@ -94,7 +94,10 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
             if w.key is not None:  # None = global window (constant key)
                 for k in [w.key] if isinstance(w.key, str) else list(w.key):
                     cols.add(k)
-            cols.add(w.order)
+            if isinstance(w.order, str):
+                cols.add(w.order)
+            else:  # composite/DESC ordering: ((col, desc), …)
+                cols.update(c for c, _ in w.order)
     else:
         for k in plan.group_by:
             walk(k.expr)
@@ -616,7 +619,7 @@ def run_select(
         nb = resolve_buckets(None, ds_entry)
         gw_added = False
         for (key, order), specs in frames.items():
-            if key is None and all(
+            if key is None and isinstance(order, str) and all(
                 w.func in ("run_sum", "run_avg", "run_count", "run_count_star")
                 and w.frame == "range"
                 and getattr(w, "preceding", None) is None

@@ -1196,7 +1196,7 @@ class Parser:
                     key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                 self.expect_kw("order")
                 self.expect_kw("by")
-                order = self.expect_ident()
+                order = self._parse_over_order()
                 frame, preceding, following = self.parse_frame_clause()
                 if (frame != "range" or preceding is not None) and fname not in (
                     "first_value", "last_value", "nth_value"
@@ -1247,7 +1247,7 @@ class Parser:
                         key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                     self.expect_kw("order")
                     self.expect_kw("by")
-                    order = self.expect_ident()
+                    order = self._parse_over_order()
                     frame, preceding, following = self.parse_frame_clause()
                     self.expect_op(")")
                     wfunc = (
@@ -1299,6 +1299,25 @@ class Parser:
             col = self.expect_ident()
             return Col(f"{name}.{col}")  # qualified — resolved at bind time
         return Col(name)
+
+    def _parse_over_order(self):
+        """OVER (… ORDER BY col [ASC|DESC][, …]) — ENGINE EXTENSION:
+        composite and DESC window ordering. Returns the plain column
+        name for the single-ascending form (the fast paths key on it:
+        value-based RANGE frames, the chunk-safe global ranged route),
+        else a tuple of (col, descending) pairs."""
+        entries: list[tuple[str, bool]] = []
+        while True:
+            c = self.expect_ident()
+            desc = bool(self.eat_kw("desc"))
+            if not desc:
+                self.eat_kw("asc")
+            entries.append((c, desc))
+            if not self.eat_op(","):
+                break
+        if len(entries) == 1 and not entries[0][1]:
+            return entries[0][0]
+        return tuple(entries)
 
     def _parse_case(self) -> Expr:
         whens: list[tuple[Expr, Expr]] = []

@@ -594,7 +594,7 @@ def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
 def partition_windows(
     ds: "ray.data.Dataset",
     key,
-    order_col: str,
+    order_col,
     funcs: Sequence[WinFunc],
     keep_cols: "Sequence[str] | None" = None,
     num_buckets: "int | None" = None,
@@ -623,8 +623,24 @@ def partition_windows(
     Partitioning assumption (documented, same as sessionize): one key's
     rows fit one worker; ``num_buckets=None`` auto-sizes the shuffle via
     :func:`resolve_buckets`.
+
+    ``order_col`` is a column name, or (ENGINE EXTENSION) a sequence of
+    names / ``(name, descending)`` pairs for composite and DESC ordering
+    (NULLs sort last either way, DuckDB's default). Value-based frames —
+    RANGE x PRECEDING — require the plain single-ascending form (the
+    frame-start binary search assumes ascending order values).
     """
     funcs = list(funcs)
+    ocols: list = (
+        [(order_col, False)]
+        if isinstance(order_col, str)
+        else [
+            (o, False) if isinstance(o, str) else (o[0], bool(o[1]))
+            for o in order_col
+        ]
+    )
+    plain_order = len(ocols) == 1 and not ocols[0][1]
+    order_col = ocols[0][0]  # value-frame paths read the single asc col
     for f in funcs:
         if f.func not in _WIN_FUNCS:
             raise ValueError(f"unknown window function {f.func!r}")
@@ -661,6 +677,11 @@ def partition_windows(
                         "RANGE x PRECEDING supports SUM/AVG/COUNT/COUNT(*) "
                         "only (MIN/MAX have no O(n) sliding inverse)"
                     )
+                if not plain_order:
+                    raise ValueError(
+                        "RANGE x PRECEDING requires a single ascending "
+                        "ORDER BY column"
+                    )
             elif f.frame != "rows":
                 raise ValueError("bounded frames require ROWS or RANGE")
             if f.preceding < 0:
@@ -684,7 +705,11 @@ def partition_windows(
     cols = (
         None
         if keep_cols is None
-        else list(dict.fromkeys([*keys, order_col, *value_cols, *keep_cols]))
+        else list(
+            dict.fromkeys(
+                [*keys, *(c for c, _ in ocols), *value_cols, *keep_cols]
+            )
+        )
     )
 
     def window_bucket(g: pa.Table) -> pa.Table:
@@ -697,7 +722,14 @@ def partition_windows(
                 )
             return g
         order = pc.sort_indices(
-            g, [*((k, "ascending") for k in keys), (order_col, "ascending")]
+            g,
+            [
+                *((k, "ascending") for k in keys),
+                *(
+                    (c, "descending" if d else "ascending")
+                    for c, d in ocols
+                ),
+            ],
         )
         g = g.take(order)
         karrs = [g[k].combine_chunks() for k in keys]
@@ -730,8 +762,8 @@ def partition_windows(
             nonlocal run_change, run_end
             if run_end is None:
                 if run_change is None:
-                    oarr = g[order_col].combine_chunks()
-                    run_change = key_change | _key_change_mask(oarr, n)
+                    oarrs = [g[c].combine_chunks() for c, _ in ocols]
+                    run_change = key_change | _key_change_mask(oarrs, n)
                 starts_r = np.flatnonzero(run_change)
                 lens_r = np.diff(np.r_[starts_r, n])
                 run_end = np.repeat(starts_r + lens_r - 1, lens_r)
@@ -880,8 +912,8 @@ def partition_windows(
                 out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
             elif f.func in ("rank", "dense_rank", "percent_rank", "cume_dist"):
                 if run_change is None:
-                    oarr = g[order_col].combine_chunks()
-                    run_change = key_change | _key_change_mask(oarr, n)
+                    oarrs = [g[c].combine_chunks() for c, _ in ocols]
+                    run_change = key_change | _key_change_mask(oarrs, n)
                 if f.func in ("rank", "percent_rank"):
                     # 1 + ordinal of the current tie-run's first row
                     run_start = np.maximum.accumulate(

@@ -1138,3 +1138,81 @@ def test_ignore_nulls_parse_errors():
         "FROM t"
     ).plan.windows[0]
     assert w.ignore_nulls and w.func == "lead"
+
+
+def test_window_order_desc_composite_vs_duckdb(ray_session):
+    """DESC and composite OVER(ORDER BY …) (round-5 extension): ranking,
+    navigation, running aggregates and IGNORE NULLS all pinned against
+    DuckDB, including NULL order keys (both engines default NULLS LAST
+    in either direction)."""
+    import duckdb
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, n).astype("int64")),
+            "o1": pa.array(
+                rng.integers(0, 30, n).astype("int64"),
+                mask=rng.random(n) < 0.04,  # NULL order keys
+            ),
+            "o2": pa.array(rng.permutation(n).astype("int64")),
+            "v": pa.array(
+                rng.integers(0, 100, n).astype("int64"),
+                mask=rng.random(n) < 0.2,
+            ),
+        }
+    )
+    sql_mine = (
+        "SELECT k, o1, o2, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY o1 DESC, o2) AS rn, "
+        "DENSE_RANK() OVER (PARTITION BY k ORDER BY o1 DESC) AS dr, "
+        "LAG(v, 2) OVER (PARTITION BY k ORDER BY o1 DESC, o2) AS l2, "
+        "LEAD(v) IGNORE NULLS OVER (PARTITION BY k ORDER BY o1 DESC, o2) "
+        "AS ldn, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY o1 DESC) AS rs, "
+        "LAST_VALUE(v) OVER (PARTITION BY k ORDER BY o1 DESC, o2 DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvf "
+        "FROM t"
+    )
+    sql_duck = sql_mine.replace(
+        "LEAD(v) IGNORE NULLS", "LEAD(v, 1 IGNORE NULLS)"
+    )
+    got = (
+        run_plan(ray.data.from_arrow(t).repartition(5),
+                 parse_query(sql_mine).plan)
+        .to_pandas()
+        .sort_values(["k", "o2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(sql_duck)
+        .df()
+        .sort_values(["k", "o2"])
+        .reset_index(drop=True)[got.columns]
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_window_order_desc_range_frame_rejected(ray_session):
+    """Value-based RANGE frames need a single ascending order column."""
+    import ray.data
+
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    t = pa.table({"k": [1, 1], "o": [1, 2], "v": [3, 4]})
+    with pytest.raises(ValueError, match="single ascending"):
+        partition_windows(
+            ray.data.from_arrow(t),
+            "k",
+            [("o", True)],
+            [WinFunc("run_sum", "s", value_col="v", frame="range",
+                     preceding=4)],
+            num_buckets=1,
+        )
