@@ -636,6 +636,36 @@ def _f_split_part(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     return k
 
 
+@register_function("string_to_array")
+def _f_string_to_array(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """string_to_array(s, sep) — split on a literal separator into
+    list<string> (DuckDB string_split: consecutive separators yield empty
+    fields, '' splits to ['']). NULL input ⇒ NULL list. The UNNEST
+    companion for pure-SQL tokenization."""
+    sk, sepk = args
+
+    def k(t: pa.Table) -> Any:
+        sep = _lit_str(sepk(t), "string_to_array")
+        if not sep:
+            raise ValueError("string_to_array() needs a non-empty separator")
+        return pc.split_pattern(sk(t), pattern=sep)
+
+    return k
+
+
+@register_function("regexp_split_to_array")
+def _f_regexp_split_to_array(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """regexp_split_to_array(s, pattern) — split on an RE2 regex into
+    list<string> (DuckDB regexp_split_to_array). NULL input ⇒ NULL."""
+    sk, pk = args
+
+    def k(t: pa.Table) -> Any:
+        pat = _lit_str(pk(t), "regexp_split_to_array")
+        return pc.split_pattern_regex(sk(t), pattern=pat)
+
+    return k
+
+
 @register_function("regexp_matches")
 def _f_regexp_matches(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     sk, pk = args

@@ -2149,6 +2149,32 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_unnest_tokens(sf_dir: str) -> Result:
+    """UNNEST + string_to_array (round-5 extension): pure-SQL token
+    counting — the vocab pipeline expressed in the dialect. The explode
+    is one vectorized map_batches (list_flatten + parent-row take over
+    np.repeat indices), streaming, no shuffle; empty/NULL lists drop the
+    row (SQL parity); the CTE feeds a plain grouped COUNT."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "WITH toks AS (SELECT lang, "
+        "UNNEST(string_to_array(text, ' ')) AS tok FROM docs) "
+        "SELECT lang, tok, COUNT(*) AS n FROM toks "
+        "GROUP BY lang, tok HAVING COUNT(*) >= 50",
+        {"docs": _t(sf_dir, "documents", ["lang", "text"])},
+    )
+
+
+SQL_SQL_UNNEST_TOKENS = """
+WITH toks AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY lang, tok HAVING COUNT(*) >= 50
+"""
+
+
 def q_sql_window_desc(sf_dir: str) -> Result:
     """DESC / composite OVER(ORDER BY …) ordering (round-5 extension):
     the in-bucket sort takes per-column directions, tie runs (peers) are
@@ -3816,6 +3842,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_ignore_nulls": q_sql_ignore_nulls,
     "sql_agg_filter": q_sql_agg_filter,
     "sql_window_desc": q_sql_window_desc,
+    "sql_unnest_tokens": q_sql_unnest_tokens,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3891,6 +3918,7 @@ ORACLES: dict[str, str] = {
     "sql_ignore_nulls": SQL_SQL_IGNORE_NULLS,
     "sql_agg_filter": SQL_SQL_AGG_FILTER,
     "sql_window_desc": SQL_SQL_WINDOW_DESC,
+    "sql_unnest_tokens": SQL_SQL_UNNEST_TOKENS,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

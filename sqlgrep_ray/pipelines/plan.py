@@ -88,6 +88,12 @@ class SelectPlan:
     # ENGINE EXTENSION: QUALIFY — predicate over window outputs (and any
     # input column), applied after the window stage, before projection
     qualify: Optional[Expr] = None
+    # ENGINE EXTENSION: UNNEST — (out_col, list expr). Explodes each row
+    # into one row per list element (empty/NULL lists drop the row, SQL
+    # parity) between the window/QUALIFY stages and projection; a pure
+    # vectorized map_batches (list_flatten + parent-row take), streaming,
+    # no shuffle. At most one per SELECT.
+    unnest: "Optional[tuple]" = None
 
 
 @dataclass(frozen=True)

@@ -85,6 +85,12 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
             walk(p.expr)
         walk(plan.where)
         walk(getattr(plan, "qualify", None))
+        # UNNEST: projections reference the hidden exploded column; the
+        # input need is the list expression's columns
+        unnest = getattr(plan, "unnest", None)
+        if unnest is not None:
+            cols.discard(unnest[0])
+            walk(unnest[1])
         # window stages: projections/QUALIFY reference the HIDDEN output
         # columns; the inputs are the window's value/partition/order cols
         for w in getattr(plan, "windows", ()):
@@ -729,6 +735,45 @@ def run_select(
             lambda t, _p=qpred: t.filter(_p(t)),
             batch_format="pyarrow",
             zero_copy_batch=True,
+        )
+
+    unnest = getattr(plan, "unnest", None)
+    if unnest is not None:
+        # UNNEST (engine extension): one row per list element — the list
+        # kernel evaluates once per batch, parent columns repeat via one
+        # take over np.repeat'd row indices, elements ride list_flatten
+        # (both zero-copy-ish Arrow kernels). Empty and NULL lists drop
+        # the parent row (SQL parity). Streaming, no shuffle.
+        out_name, uexpr = unnest
+        ukernel = compile_expr(uexpr, ctx)
+
+        def explode(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arr = _as_array(ukernel(t), n)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_null(arr.type):  # literal NULL: zero rows each
+                lens = np.zeros(n, dtype=np.int64)
+                flat = pa.array([], pa.null())
+            elif pa.types.is_list(arr.type) or pa.types.is_large_list(
+                arr.type
+            ):
+                lens = (
+                    pc.fill_null(pc.list_value_length(arr), 0)
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+                flat = pc.list_flatten(arr)  # skips NULL lists
+            else:
+                raise ValueError(
+                    f"UNNEST needs a list argument, got {arr.type}"
+                )
+            idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            out = t.take(pa.array(idx)) if n else t
+            return out.append_column(out_name, flat)
+
+        ds = ds.map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
         )
 
     if plan.projections is not None:

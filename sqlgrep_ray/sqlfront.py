@@ -1699,6 +1699,26 @@ def _find_aggs(e: Expr) -> list[AggCall]:
     return out
 
 
+def _find_unnest(e: Expr) -> "list[Func]":
+    """Collect UNNEST(...) calls (ENGINE EXTENSION) in an expression."""
+    out: list[Func] = []
+
+    def walk(x) -> None:
+        if isinstance(x, Func) and x.name.lower() == "unnest":
+            out.append(x)
+        for c in _children(x):
+            walk(c)
+
+    walk(e)
+    return out
+
+
+def _contains_col(e: Expr, name: str) -> bool:
+    if isinstance(e, Col) and e.name == name:
+        return True
+    return any(_contains_col(c, name) for c in _children(e))
+
+
 def _find_grouping_calls(e: Expr) -> "list[Func]":
     """Collect GROUPING(...) calls (ENGINE EXTENSION, grouping-sets
     companion) anywhere in an expression tree."""
@@ -1788,18 +1808,45 @@ def convert_query(
 
         projs = None
         alias_expr: dict[str, Expr] = {}
+        unnest_slot: Optional[tuple] = None
+        if where is not None and _find_unnest(where):
+            raise SqlError("UNNEST is not allowed in WHERE")
         if projections is not None:
             rewritten: list[tuple[Optional[str], Expr, str]] = []
             for i, (alias, e) in enumerate(projections):
                 # name resolved BEFORE the window rewrite so a bare
                 # LAG(...) projection defaults to p{i}, not the hidden col
                 name = alias or (e.name if isinstance(e, Col) else f"p{i}")
+                if isinstance(e, Func) and e.name.lower() == "unnest":
+                    # ENGINE EXTENSION: UNNEST(list) — one output row per
+                    # element (empty/NULL lists drop the row); runs after
+                    # windows/QUALIFY, before projection (runner explode)
+                    if len(e.args) != 1:
+                        raise SqlError("UNNEST takes exactly one argument")
+                    if unnest_slot is not None:
+                        raise SqlError("at most one UNNEST per SELECT")
+                    unnest_slot = (name, lift(e.args[0]))
+                    rewritten.append((alias, Col(name), name))
+                    continue
+                if _find_unnest(e):
+                    raise SqlError(
+                        "UNNEST must be a top-level SELECT item"
+                    )
                 e = lift(e)
                 if alias:
                     alias_expr[alias] = e
                 rewritten.append((alias, e, name))
             projs = tuple(Projection(n, e) for _, e, n in rewritten)
         if qualify is not None:
+            if _find_unnest(qualify):
+                raise SqlError("UNNEST is not allowed in QUALIFY")
+            if unnest_slot is not None and _contains_col(
+                qualify, unnest_slot[0]
+            ):
+                raise SqlError(
+                    "the UNNEST output cannot be referenced in QUALIFY "
+                    "(QUALIFY runs before the explode)"
+                )
             qualify = lift(qualify)
             # projection ALIASES are legal in QUALIFY (the `QUALIFY rn = 1`
             # idiom); substitute them with their rewritten expressions
@@ -1812,11 +1859,18 @@ def convert_query(
         return SelectPlan(
             projections=projs, where=where, distinct=distinct, limit=limit,
             order_by=order_by, windows=tuple(specs), qualify=qualify,
+            unnest=unnest_slot,
         )
 
     # aggregate statement
     if qualify is not None:
         raise SqlError("QUALIFY cannot be combined with aggregation")
+    for _, e in projections or []:
+        if _find_unnest(e):
+            raise SqlError(
+                "UNNEST cannot be combined with aggregation — "
+                "UNNEST in a CTE, aggregate over it"
+            )
     if projections is None:
         raise SqlError("SELECT * not allowed with GROUP BY / aggregates")
     if any(_find_windows(e) for _, e in projections) or (
