@@ -202,6 +202,8 @@ def _plan_exprs(plan) -> list:
         out.extend(k.expr for k in plan.group_by)
         for a in plan.aggs:
             out.extend([a.arg, a.transform])
+            if getattr(a, "order", None) is not None:
+                out.append(a.order[0])
         out.extend([plan.where, plan.having])
     out.extend(t[0] for t in plan.order_by)
     return [e for e in out if e is not None]
@@ -298,7 +300,14 @@ def _substitute_scalar_subs(plan, run_sub):
         ),
         aggs=tuple(
             dataclasses.replace(
-                a, arg=rewrite(a.arg), transform=rewrite(a.transform)
+                a,
+                arg=rewrite(a.arg),
+                transform=rewrite(a.transform),
+                order=(
+                    (rewrite(a.order[0]),) + tuple(a.order[1:])
+                    if getattr(a, "order", None) is not None
+                    else None
+                ),
             )
             for a in plan.aggs
         ),

@@ -2149,6 +2149,31 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_ordered_agg(sf_dir: str) -> Result:
+    """ARRAY_AGG/STRING_AGG … ORDER BY key [DESC] (round-5 extension):
+    explicit element ordering replaces the engine's default
+    value-ascending determinism choice. Elements sort by the order key
+    (NULL keys last either direction), ties by the VALUE ascending —
+    the DuckDB replay appends the value as an explicit tiebreak."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, "
+        "ARRAY_AGG(doc_id ORDER BY n_chars DESC) AS ids, "
+        "STRING_AGG(lang, ',' ORDER BY doc_id) AS langs "
+        "FROM docs GROUP BY source",
+        {"docs": _t(sf_dir, "documents", ["source", "doc_id", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_ORDERED_AGG = """
+SELECT source,
+       ARRAY_AGG(doc_id ORDER BY n_chars DESC, doc_id) AS ids,
+       STRING_AGG(lang, ',' ORDER BY doc_id) AS langs
+FROM documents GROUP BY source
+"""
+
+
 def q_sql_unnest_tokens(sf_dir: str) -> Result:
     """UNNEST + string_to_array (round-5 extension): pure-SQL token
     counting — the vocab pipeline expressed in the dialect. The explode
@@ -3843,6 +3868,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_agg_filter": q_sql_agg_filter,
     "sql_window_desc": q_sql_window_desc,
     "sql_unnest_tokens": q_sql_unnest_tokens,
+    "sql_ordered_agg": q_sql_ordered_agg,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3919,6 +3945,7 @@ ORACLES: dict[str, str] = {
     "sql_agg_filter": SQL_SQL_AGG_FILTER,
     "sql_window_desc": SQL_SQL_WINDOW_DESC,
     "sql_unnest_tokens": SQL_SQL_UNNEST_TOKENS,
+    "sql_ordered_agg": SQL_SQL_ORDERED_AGG,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

@@ -110,6 +110,12 @@ class AggItem:
     arg: Optional[Expr] = None
     extra: Any = None  # percentile p ∈ [0,1] / string_agg delimiter
     transform: Optional[Expr] = None
+    # ENGINE EXTENSION: ARRAY_AGG/STRING_AGG element ordering —
+    # (order expr, descending). Elements sort by the order key (NULL keys
+    # last), ties by the VALUE ascending (deterministic; replay in SQL as
+    # ORDER BY key [DESC], value). None keeps the default value-ascending
+    # order (module divergences note in stages/aggregate.py).
+    order: Optional[tuple] = None
 
 
 @dataclass(frozen=True)

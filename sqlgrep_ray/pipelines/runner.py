@@ -109,6 +109,9 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
             walk(k.expr)
         for a in plan.aggs:
             walk(a.arg)
+            order = getattr(a, "order", None)
+            if order is not None:  # ordered ARRAY_AGG/STRING_AGG key
+                walk(order[0])
         walk(plan.where)
         # having is NOT walked: it references OUTPUT names (agg aliases),
         # not input columns; its input needs arrive via the agg args

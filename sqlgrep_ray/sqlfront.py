@@ -1097,8 +1097,30 @@ class Parser:
                 args.append(self.parse_expr())
                 while self.eat_op(","):
                     args.append(self.parse_expr())
+            # ENGINE EXTENSION: ARRAY_AGG/STRING_AGG(x … ORDER BY y
+            # [ASC|DESC]) — element ordering inside the aggregate
+            agg_order = None
+            if self.eat_kw("order"):
+                self.expect_kw("by")
+                oe = self.parse_expr()
+                odesc = bool(self.eat_kw("desc"))
+                if not odesc:
+                    self.eat_kw("asc")
+                if _contains_subquery(oe):
+                    raise SqlError(
+                        "subqueries are not allowed in an aggregate's "
+                        "ORDER BY"
+                    )
+                agg_order = (oe, odesc)
             self.expect_op(")")
             fname = _FUNC_ALIASES.get(lname, lname)
+            if agg_order is not None and fname not in (
+                "array_agg", "string_agg"
+            ):
+                raise SqlError(
+                    "ORDER BY inside an aggregate applies to "
+                    "ARRAY_AGG/STRING_AGG only"
+                )
             if fname in (
                 "lag", "lead", "row_number", "rank", "dense_rank",
                 "percent_rank", "cume_dist", "first_value", "last_value",
@@ -1289,8 +1311,12 @@ class Parser:
                         (Case(((cond, args[0]),), Lit(None)),)
                         + tuple(args[1:]),
                         distinct=distinct,
+                        agg_order=agg_order,
                     )
-                return AggCall(fname, tuple(args), distinct=distinct, star=star)
+                return AggCall(
+                    fname, tuple(args), distinct=distinct, star=star,
+                    agg_order=agg_order,
+                )
             if distinct or star:
                 raise SqlError(f"DISTINCT/* not valid in {fname}()")
             return Func(fname, tuple(args))
@@ -1340,6 +1366,8 @@ class AggCall(Expr):
     args: tuple[Expr, ...]
     distinct: bool = False
     star: bool = False
+    # ENGINE EXTENSION: ARRAY_AGG/STRING_AGG(x … ORDER BY y [DESC])
+    agg_order: "Optional[tuple]" = None
 
 
 @dataclass(frozen=True)
@@ -1763,10 +1791,14 @@ def _agg_item_of(call: AggCall, name: str) -> AggItem:
     if f == "string_agg":
         if len(call.args) != 2 or not isinstance(call.args[1], Lit):
             raise SqlError("string_agg(x, delim) needs a literal delimiter")
-        return AggItem(name, "string_agg", call.args[0], extra=str(call.args[1].value))
+        return AggItem(
+            name, "string_agg", call.args[0],
+            extra=str(call.args[1].value),
+            order=getattr(call, "agg_order", None),
+        )
     if not call.args:
         raise SqlError(f"{f}() needs an argument")
-    return AggItem(name, f, call.args[0])
+    return AggItem(name, f, call.args[0], order=getattr(call, "agg_order", None))
 
 
 def convert_query(
@@ -1923,7 +1955,10 @@ def convert_query(
             if e != call:  # surrounding scalar expr → $value transform (:486-653)
                 transform = _replace(e, call, Col("$value"))
             aggs.append(
-                AggItem(item.name, item.func, item.arg, item.extra, transform)
+                AggItem(
+                    item.name, item.func, item.arg, item.extra, transform,
+                    order=item.order,
+                )
             )
         else:
             # must match a GROUP BY entry by expression-tree equality

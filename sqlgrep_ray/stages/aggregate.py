@@ -350,6 +350,13 @@ class GroupEvaluator:
             compile_expr(a.arg, ctx) if a.arg is not None else None
             for a in plan.aggs
         ]
+        # ordered ARRAY_AGG/STRING_AGG: the order key rides as __ao{i}
+        self.ord_kernels = [
+            compile_expr(a.order[0], ctx)
+            if getattr(a, "order", None) is not None
+            else None
+            for a in plan.aggs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -361,6 +368,9 @@ class GroupEvaluator:
         for i, vk in enumerate(self.val_kernels):
             if vk is not None:
                 cols[f"__a{i}"] = _as_array(vk(batch), n)
+        for i, ok in enumerate(self.ord_kernels):
+            if ok is not None:
+                cols[f"__ao{i}"] = _as_array(ok(batch), n)
         return pa.table(cols)
 
 
@@ -423,12 +433,30 @@ def _holistic_value(group: pa.Table, i: int, a: AggItem) -> Any:
         idx = int(a.extra * len(vals))
         v = vals[idx].as_py() if idx < len(vals) else None
         return pa.array([v], col.type)
-    if f == "array_agg":
-        vals = col.drop_null().sort()  # deterministic (see module divergences)
-        return pa.array([vals.to_pylist()], pa.list_(col.type))
-    if f == "string_agg":
-        vals = col.drop_null().sort().to_pylist()
-        return pa.array([a.extra.join(str(v) for v in vals)], pa.string())
+    if f in ("array_agg", "string_agg"):
+        if getattr(a, "order", None) is not None:
+            # explicit ORDER BY y [DESC] inside the aggregate (ENGINE
+            # EXTENSION): sort by the order key (NULL keys last, either
+            # direction), ties by the VALUE ascending — deterministic;
+            # replay in SQL as ORDER BY y [DESC], value
+            okey = _chunk(group[f"__ao{i}"])
+            mask = pc.is_valid(col)
+            vals, okey = col.filter(mask), okey.filter(mask)
+            idx = pc.sort_indices(
+                pa.table({"k": okey, "v": vals}),
+                [
+                    ("k", "descending" if a.order[1] else "ascending"),
+                    ("v", "ascending"),
+                ],
+            )
+            vals = vals.take(idx)
+        else:
+            vals = col.drop_null().sort()  # deterministic (module divergences)
+        if f == "array_agg":
+            return pa.array([vals.to_pylist()], pa.list_(col.type))
+        return pa.array(
+            [a.extra.join(str(v) for v in vals.to_pylist())], pa.string()
+        )
     if f in ("bool_and", "bool_or"):
         vals = col.drop_null()
         if len(vals) == 0:

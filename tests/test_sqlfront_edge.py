@@ -752,3 +752,65 @@ def test_agg_filter_parse_errors():
         )
     with pytest.raises(SqlError):
         parse_query("SELECT SUM(x) FILTER (x > 1) AS s FROM t GROUP BY k")
+
+
+# -- ARRAY_AGG / STRING_AGG ... ORDER BY ------------------------------------------
+
+
+def test_ordered_array_string_agg_vs_duckdb(ray_session):
+    """ORDER BY inside ARRAY_AGG/STRING_AGG: elements sort by the order
+    key (NULL keys last either direction), ties by the VALUE ascending —
+    replayed in DuckDB as ORDER BY key [DESC], value."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 5, n).astype("int64")),
+            "o": pa.array(
+                rng.integers(0, 25, n).astype("int64"),
+                mask=rng.random(n) < 0.05,
+            ),
+            "v": pa.array(rng.permutation(n).astype("int64")),
+            "s": pa.array([f"w{i % 13}" for i in range(n)]),
+        }
+    )
+    got = sorted(
+        (r["k"], tuple(r["ids"]), r["js"])
+        for r in run_sql(
+            "SELECT k, ARRAY_AGG(v ORDER BY o DESC) AS ids, "
+            "STRING_AGG(s, ',' ORDER BY v) AS js FROM t GROUP BY k",
+            ray.data.from_arrow(t).repartition(4),
+        ).take_all()
+    )
+    exp = sorted(
+        (k, tuple(ids), js)
+        for k, ids, js in duckdb.sql(
+            "SELECT k, ARRAY_AGG(v ORDER BY o DESC, v) AS ids, "
+            "STRING_AGG(s, ',' ORDER BY v) AS js FROM t GROUP BY k"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_ordered_agg_parse_errors():
+    with pytest.raises(SqlError, match="ARRAY_AGG/STRING_AGG"):
+        parse_query("SELECT SUM(v ORDER BY o) AS s FROM t GROUP BY k")
+    with pytest.raises(SqlError, match="subqueries"):
+        parse_query(
+            "SELECT ARRAY_AGG(v ORDER BY o IN (SELECT x FROM u)) AS s "
+            "FROM t GROUP BY k"
+        )
+    # scalar subqueries in the agg ORDER BY are LEGAL — they substitute
+    # to a literal like every other slot (api._substitute_scalar_subs)
+    p = parse_query(
+        "SELECT ARRAY_AGG(v ORDER BY (SELECT MAX(x) FROM u)) AS s "
+        "FROM t GROUP BY k"
+    )
+    assert p.plan.aggs[0].order is not None
