@@ -478,11 +478,15 @@ def _finish_set_query(parts: list, stmt: SetQuery) -> "ray.data.Dataset":
     whole-set trailing ORDER BY / LIMIT. UNION concatenates (plain UNION
     dedups via the distinct plan); INTERSECT / EXCEPT run the bounded
     one-shuffle multiplicity path (runner.run_set_op)."""
+    offset = getattr(stmt, "offset", None)
     if stmt.op in ("intersect", "except"):
         ds = run_set_op(parts, stmt.op, keep_dups=stmt.all)
         if stmt.order_by or stmt.limit is not None:
             ds = run_plan(
-                ds, SelectPlan(order_by=stmt.order_by, limit=stmt.limit)
+                ds,
+                SelectPlan(
+                    order_by=stmt.order_by, limit=stmt.limit, offset=offset
+                ),
             )
         return ds
     ds = parts[0].union(*parts[1:])
@@ -493,6 +497,7 @@ def _finish_set_query(parts: list, stmt: SetQuery) -> "ray.data.Dataset":
                 distinct=not stmt.all,
                 order_by=stmt.order_by,
                 limit=stmt.limit,
+                offset=offset,
             ),
         )
     return ds

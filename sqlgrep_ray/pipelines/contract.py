@@ -2149,6 +2149,49 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_limit_offset(sf_dir: str) -> Result:
+    """LIMIT … OFFSET paging + ORDER BY ordinals (round-5 extension):
+    the ordinal rewrites to the SELECT-list output column at parse; the
+    offset rides the combiner-first top-n pass (keep limit+offset rows,
+    final sorted slice starts at offset) — no full sort, no extra
+    exchange."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT doc_id, n_chars FROM docs "
+        "ORDER BY 2 DESC, 1 LIMIT 100 OFFSET 50",
+        {"docs": _t(sf_dir, "documents", ["doc_id", "n_chars"])},
+    )
+
+
+SQL_SQL_LIMIT_OFFSET = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY 2 DESC, 1 LIMIT 100 OFFSET 50
+"""
+
+
+def q_sql_distinct_agg(sf_dir: str) -> Result:
+    """ARRAY_AGG/STRING_AGG(DISTINCT x) (round-5 extension): dedupe the
+    group's values; output stays value-ascending, so DuckDB replays it
+    as DISTINCT x ORDER BY x. (SUM/AVG DISTINCT are refused at parse —
+    previously DISTINCT was silently ignored there.)"""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, ARRAY_AGG(DISTINCT lang) AS langs, "
+        "STRING_AGG(DISTINCT lang, ',') AS sl "
+        "FROM docs GROUP BY source",
+        {"docs": _t(sf_dir, "documents", ["source", "lang"])},
+    )
+
+
+SQL_SQL_DISTINCT_AGG = """
+SELECT source, ARRAY_AGG(DISTINCT lang ORDER BY lang) AS langs,
+       STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS sl
+FROM documents GROUP BY source
+"""
+
+
 def q_sql_ordered_agg(sf_dir: str) -> Result:
     """ARRAY_AGG/STRING_AGG … ORDER BY key [DESC] (round-5 extension):
     explicit element ordering replaces the engine's default
@@ -3869,6 +3912,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_window_desc": q_sql_window_desc,
     "sql_unnest_tokens": q_sql_unnest_tokens,
     "sql_ordered_agg": q_sql_ordered_agg,
+    "sql_limit_offset": q_sql_limit_offset,
+    "sql_distinct_agg": q_sql_distinct_agg,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -3946,6 +3991,8 @@ ORACLES: dict[str, str] = {
     "sql_window_desc": SQL_SQL_WINDOW_DESC,
     "sql_unnest_tokens": SQL_SQL_UNNEST_TOKENS,
     "sql_ordered_agg": SQL_SQL_ORDERED_AGG,
+    "sql_limit_offset": SQL_SQL_LIMIT_OFFSET,
+    "sql_distinct_agg": SQL_SQL_DISTINCT_AGG,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

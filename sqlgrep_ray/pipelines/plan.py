@@ -79,6 +79,9 @@ class SelectPlan:
     join: Optional[JoinSpec] = None
     distinct: bool = False
     limit: Optional[int] = None
+    # ENGINE EXTENSION: OFFSET m (requires LIMIT) — skip the first m rows
+    # of the (ordered) result; see runner._apply_order/_limit_offset
+    offset: Optional[int] = None
     # ENGINE EXTENSION (the reference has no ORDER BY, SURVEY §2.7):
     # (expr, descending) pairs evaluated over the OUTPUT columns; NULLs
     # sort first. Applied before LIMIT (deterministic top-k).
@@ -116,6 +119,10 @@ class AggItem:
     # ORDER BY key [DESC], value). None keeps the default value-ascending
     # order (module divergences note in stages/aggregate.py).
     order: Optional[tuple] = None
+    # ENGINE EXTENSION: ARRAY_AGG/STRING_AGG(DISTINCT x) — dedupe the
+    # group's values (output stays value-ascending, so it equals DuckDB's
+    # array_agg(DISTINCT x ORDER BY x)). Mutually exclusive with order.
+    distinct: bool = False
 
 
 @dataclass(frozen=True)
@@ -140,6 +147,8 @@ class AggregatePlan:
     having: Optional[Expr] = None
     distinct: bool = False
     limit: Optional[int] = None
+    # ENGINE EXTENSION: OFFSET m (requires LIMIT) — see SelectPlan.offset
+    offset: Optional[int] = None
     # ENGINE EXTENSION: explicit output order (see SelectPlan.order_by);
     # overrides the default group-key order when present.
     order_by: tuple = ()

@@ -507,16 +507,23 @@ TOPN_LIMIT_MAX = 100_000
 
 
 def _apply_order(
-    ds: "ray.data.Dataset", order_by, ctx: Optional[CompileCtx], limit=None
+    ds: "ray.data.Dataset", order_by, ctx: Optional[CompileCtx], limit=None,
+    offset=None,
 ) -> "ray.data.Dataset":
     """ORDER BY (engine extension): append compiled sort-key columns
     (plus a 0/1 null marker per key so Ray's sort never compares NULLs —
     NULLs order first by default; a per-key ``NULLS LAST`` flips that
     key's marker direction), ``Dataset.sort``, strip the temp columns.
     With a small ``limit``, top-n combiner-first instead of the full
-    sort. Entries are (expr, desc) or (expr, desc, nulls_last) tuples."""
+    sort. Entries are (expr, desc) or (expr, desc, nulls_last) tuples.
+
+    ``offset`` (OFFSET m, requires LIMIT): handled here for ordered
+    output — the top-n pass keeps limit+offset rows and the final sorted
+    slice starts at ``offset``; an offset always forces the top-n path
+    (the consolidated block is bounded by limit+offset rows)."""
     if not order_by:
         return ds
+    offset = offset or 0
     entries = [
         (t[0], t[1], t[2] if len(t) > 2 else None) for t in order_by
     ]
@@ -564,16 +571,18 @@ def _apply_order(
     def drop_temp(t: pa.Table) -> pa.Table:
         return t.drop_columns([c for c in temp if c in t.column_names])
 
-    if limit is not None and limit <= TOPN_LIMIT_MAX:
+    if limit is not None and (offset or limit <= TOPN_LIMIT_MAX):
+        eff = limit + offset
+
         def local_topn(t: pa.Table) -> pa.Table:
-            if t.num_rows <= limit:
+            if t.num_rows <= eff:
                 return t
             idx = pc.sort_indices(t, sort_spec)
-            return t.take(idx.slice(0, limit))
+            return t.take(idx.slice(0, eff))
 
         def final_topn(t: pa.Table) -> pa.Table:
             idx = pc.sort_indices(t, sort_spec)
-            return drop_temp(t.take(idx.slice(0, min(limit, t.num_rows))))
+            return drop_temp(t.take(idx.slice(offset, limit)))
 
         return (
             ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
@@ -586,6 +595,22 @@ def _apply_order(
         ds.map_batches(add_keys, batch_format="pyarrow", zero_copy_batch=True)
         .sort(sort_cols, descending=sort_desc)
         .map_batches(drop_temp, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _limit_offset(ds, limit, offset, ordered):
+    """LIMIT/OFFSET tail. Ordered plans already sliced inside
+    _apply_order (its final block is sorted), so only the limit cap
+    applies; unordered OFFSET takes limit+offset arbitrary rows and
+    drops the first ``offset`` in one consolidated block (LIMIT without
+    ORDER BY is nondeterministic row choice either way)."""
+    if limit is None:
+        return ds
+    if ordered or not offset:
+        return ds.limit(limit)  # streaming executor early-stops upstream
+    ds = ds.limit(limit + offset)
+    return ds.repartition(1).map_batches(
+        lambda t: t.slice(min(offset, t.num_rows)), batch_format="pyarrow"
     )
 
 
@@ -789,9 +814,14 @@ def run_select(
 
     if plan.distinct:
         ds = _distinct(ds)
-    ds = _apply_order(ds, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
-    if plan.limit is not None:
-        ds = ds.limit(plan.limit)  # streaming executor early-stops upstream
+    ds = _apply_order(
+        ds, getattr(plan, "order_by", ()), ctx, limit=plan.limit,
+        offset=getattr(plan, "offset", None),
+    )
+    ds = _limit_offset(
+        ds, plan.limit, getattr(plan, "offset", None),
+        ordered=bool(getattr(plan, "order_by", ())),
+    )  # streaming executor early-stops upstream
     return ds
 
 
@@ -1052,9 +1082,14 @@ def _approx_count_distinct_path(
         out = out.repartition(1).map_batches(
             key_sort, batch_format="pyarrow", zero_copy_batch=True
         )
-    out = _apply_order(out, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
-    if plan.limit is not None:
-        out = out.limit(plan.limit)
+    out = _apply_order(
+        out, getattr(plan, "order_by", ()), ctx, limit=plan.limit,
+        offset=getattr(plan, "offset", None),
+    )
+    out = _limit_offset(
+        out, plan.limit, getattr(plan, "offset", None),
+        ordered=bool(getattr(plan, "order_by", ())),
+    )
     return out
 
 
@@ -1178,9 +1213,14 @@ def _mode_path(
         out = out.repartition(1).map_batches(
             key_sort, batch_format="pyarrow", zero_copy_batch=True
         )
-    out = _apply_order(out, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
-    if plan.limit is not None:
-        out = out.limit(plan.limit)
+    out = _apply_order(
+        out, getattr(plan, "order_by", ()), ctx, limit=plan.limit,
+        offset=getattr(plan, "offset", None),
+    )
+    out = _limit_offset(
+        out, plan.limit, getattr(plan, "offset", None),
+        ordered=bool(getattr(plan, "order_by", ())),
+    )
     return out
 
 
@@ -1273,6 +1313,7 @@ def _grouping_sets_path(
         having=plan.having,
         distinct=plan.distinct,
         limit=plan.limit,
+        offset=getattr(plan, "offset", None),
         order_by=getattr(plan, "order_by", ()),
         small_result=plan.small_result,
     )
@@ -1356,9 +1397,14 @@ def run_aggregate(
         # carries its unique group-key tuple (the reference only dedups in a
         # having-branch quirk, aggregate_execution.rs:292-310); skipping it
         # preserves the sorted output order
-        agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
-        if plan.limit is not None:
-            agged = agged.limit(plan.limit)
+        agged = _apply_order(
+            agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit,
+            offset=getattr(plan, "offset", None),
+        )
+        agged = _limit_offset(
+            agged, plan.limit, getattr(plan, "offset", None),
+            ordered=bool(getattr(plan, "order_by", ())),
+        )
         return agged
 
     if (
@@ -1377,9 +1423,14 @@ def run_aggregate(
         # output rows, reference parity).
         agged = _global_percentile(ds, plan, ctx)
         if agged is not None:
-            agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
-            if plan.limit is not None:
-                agged = agged.limit(plan.limit)
+            agged = _apply_order(
+                agged, getattr(plan, "order_by", ()), ctx,
+                limit=plan.limit, offset=getattr(plan, "offset", None),
+            )
+            agged = _limit_offset(
+                agged, plan.limit, getattr(plan, "offset", None),
+                ordered=bool(getattr(plan, "order_by", ())),
+            )
             return agged
 
     if is_holistic(plan) and _cd_two_stage_eligible(plan):
@@ -1438,7 +1489,12 @@ def run_aggregate(
             _restore_keys(key_names), batch_format="pyarrow", zero_copy_batch=True
         )
     # DISTINCT after aggregation: no-op (unique group keys per row; see above)
-    agged = _apply_order(agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit)
-    if plan.limit is not None:
-        agged = agged.limit(plan.limit)
+    agged = _apply_order(
+        agged, getattr(plan, "order_by", ()), ctx, limit=plan.limit,
+        offset=getattr(plan, "offset", None),
+    )
+    agged = _limit_offset(
+        agged, plan.limit, getattr(plan, "offset", None),
+        ordered=bool(getattr(plan, "order_by", ())),
+    )
     return agged

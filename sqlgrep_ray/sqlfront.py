@@ -191,6 +191,7 @@ class SetQuery:
     all: bool = True
     order_by: tuple = ()
     limit: Optional[int] = None
+    offset: Optional[int] = None
     op: str = "union"  # union | intersect | except
 
 
@@ -602,20 +603,23 @@ class Parser:
         # the greedy member parse consumed any trailing ORDER BY / LIMIT
         # into the LAST member; in a set query they bind to the whole set
         for p in parts[:-1]:
-            if p["order_by"] or p["limit"] is not None:
+            if p["order_by"] or p["limit"] is not None or p.get("offset") is not None:
                 raise SqlError(
                     "ORDER BY / LIMIT are only allowed after the last "
                     "set-query member (they apply to the whole set)"
                 )
         tail_order = tuple(parts[-1]["order_by"])
         tail_limit = parts[-1]["limit"]
+        tail_offset = parts[-1].get("offset")
         parts[-1]["order_by"] = []
         parts[-1]["limit"] = None
+        parts[-1]["offset"] = None
         return SetQuery(
             tuple(self._build_query(p) for p in parts),
             all=bool(set_all),
             order_by=tail_order,
             limit=tail_limit,
+            offset=tail_offset,
             op=set_op,
         )
 
@@ -712,6 +716,7 @@ class Parser:
             parts["having"], parts["distinct"], parts["limit"],
             order_by=tuple(parts["order_by"]), qualify=parts["qualify"],
             grouping_sets=parts.get("grouping_sets"),
+            offset=parts.get("offset"),
         )
         return Query(
             plan=plan,
@@ -888,12 +893,23 @@ class Parser:
             if t.kind != "number" or isinstance(t.value, float):
                 raise SqlError(f"expected integer LIMIT, got {t}")
             limit = int(t.value)
+        # ENGINE EXTENSION: OFFSET m — requires LIMIT (a bare OFFSET
+        # would need a global row count to bound; refuse)
+        offset = None
+        if self.eat_kw("offset"):
+            if limit is None:
+                raise SqlError("OFFSET requires LIMIT")
+            t = self.next()
+            if t.kind != "number" or isinstance(t.value, float):
+                raise SqlError(f"expected integer OFFSET, got {t}")
+            offset = int(t.value)
 
         return {
             "projections": projections, "where": where,
             "group_by": group_by, "grouping_sets": grouping_sets,
             "having": having, "distinct": distinct,
-            "limit": limit, "order_by": order_by, "qualify": qualify,
+            "limit": limit, "offset": offset,
+            "order_by": order_by, "qualify": qualify,
             "table": table, "file": file, "join_table": join_table,
             "join_file": join_file, "join_left": join_left,
             "join_right": join_right, "join_how": join_how,
@@ -1771,6 +1787,32 @@ def _find_windows(e: Expr) -> list[WindowCall]:
     return out
 
 
+def _resolve_order_ordinals(order_by, out_names):
+    """ORDER BY <integer literal> means the 1-based SELECT-list ordinal
+    (standard SQL; previously a constant no-op key) — rewrite to the
+    projection's output column. ``out_names=None`` ⇒ wildcard select."""
+    out = []
+    for t_ in order_by:
+        e = t_[0]
+        if (
+            isinstance(e, Lit)
+            and isinstance(e.value, int)
+            and not isinstance(e.value, bool)
+        ):
+            if out_names is None:
+                raise SqlError(
+                    "ORDER BY ordinal requires an explicit SELECT list"
+                )
+            if not 1 <= e.value <= len(out_names):
+                raise SqlError(
+                    f"ORDER BY ordinal {e.value} is out of range "
+                    f"(1..{len(out_names)})"
+                )
+            e = Col(out_names[e.value - 1])
+        out.append((e,) + tuple(t_[1:]))
+    return tuple(out)
+
+
 def _agg_item_of(call: AggCall, name: str) -> AggItem:
     f = call.func
     if f == "count":
@@ -1781,6 +1823,16 @@ def _agg_item_of(call: AggCall, name: str) -> AggItem:
         if call.distinct:
             return AggItem(name, "count_distinct", call.args[0])
         return AggItem(name, "count", call.args[0])
+    if call.distinct and f not in ("min", "max", "array_agg", "string_agg"):
+        # min/max are DISTINCT-invariant; SUM/AVG/STDDEV DISTINCT would
+        # silently compute the wrong value — refuse instead
+        raise SqlError(f"DISTINCT is not supported in {f}()")
+    if call.distinct and getattr(call, "agg_order", None) is not None:
+        raise SqlError(
+            "DISTINCT cannot be combined with ORDER BY inside an "
+            "aggregate (the deduped default order is already sorted)"
+        )
+    distinct = call.distinct and f in ("array_agg", "string_agg")
     if f == "percentile":
         if len(call.args) != 2 or not isinstance(call.args[1], Lit):
             raise SqlError("percentile(x, p) needs a literal p")
@@ -1795,10 +1847,15 @@ def _agg_item_of(call: AggCall, name: str) -> AggItem:
             name, "string_agg", call.args[0],
             extra=str(call.args[1].value),
             order=getattr(call, "agg_order", None),
+            distinct=distinct,
         )
     if not call.args:
         raise SqlError(f"{f}() needs an argument")
-    return AggItem(name, f, call.args[0], order=getattr(call, "agg_order", None))
+    return AggItem(
+        name, f, call.args[0],
+        order=getattr(call, "agg_order", None),
+        distinct=distinct,
+    )
 
 
 def convert_query(
@@ -1811,6 +1868,7 @@ def convert_query(
     order_by: tuple = (),
     qualify: Optional[Expr] = None,
     grouping_sets: Optional[list[tuple]] = None,
+    offset: Optional[int] = None,
 ) -> Plan:
     is_agg = bool(group_by) or (
         projections is not None and any(_contains_agg(e) for _, e in projections)
@@ -1890,7 +1948,12 @@ def convert_query(
                 )
         return SelectPlan(
             projections=projs, where=where, distinct=distinct, limit=limit,
-            order_by=order_by, windows=tuple(specs), qualify=qualify,
+            offset=offset,
+            order_by=_resolve_order_ordinals(
+                order_by,
+                [p.name for p in projs] if projs is not None else None,
+            ),
+            windows=tuple(specs), qualify=qualify,
             unnest=unnest_slot,
         )
 
@@ -1935,11 +1998,12 @@ def convert_query(
         grouping_cols.append((name, j))
         return name
 
+    out_names: list[str] = []  # SELECT-list output names (ORDER BY ordinals)
     for i, (alias, e) in enumerate(projections):
         if isinstance(e, Func) and e.name.lower() == "grouping":
             if len(e.args) != 1:
                 raise SqlError("GROUPING() takes exactly one argument")
-            _grouping_slot(e.args[0], alias or f"p{i}")
+            out_names.append(_grouping_slot(e.args[0], alias or f"p{i}"))
             continue
         calls = _find_aggs(e)
         if len(calls) > 1:
@@ -1957,9 +2021,10 @@ def convert_query(
             aggs.append(
                 AggItem(
                     item.name, item.func, item.arg, item.extra, transform,
-                    order=item.order,
+                    order=item.order, distinct=item.distinct,
                 )
             )
+            out_names.append(name)
         else:
             # must match a GROUP BY entry by expression-tree equality
             # (aggregate_execution.rs:268-273,341-347 via tree hash)
@@ -1974,6 +2039,7 @@ def convert_query(
             name = alias or (e.name if isinstance(e, Col) else f"p{i}")
             keys.append(GroupKey(name, e))
             key_origin.append(match)
+            out_names.append(name)
 
     # GROUP BY entries never projected still partition the groups
     for j, g in enumerate(group_exprs):
@@ -2040,7 +2106,8 @@ def convert_query(
         having=having_expr,
         distinct=distinct,
         limit=limit,
-        order_by=order_by,
+        offset=offset,
+        order_by=_resolve_order_ordinals(order_by, out_names),
         grouping_sets=plan_sets,
         grouping_cols=tuple(grouping_cols),
     )

@@ -452,6 +452,8 @@ def _holistic_value(group: pa.Table, i: int, a: AggItem) -> Any:
             vals = vals.take(idx)
         else:
             vals = col.drop_null().sort()  # deterministic (module divergences)
+            if getattr(a, "distinct", False):
+                vals = vals.unique()  # sorted input ⇒ sorted distinct
         if f == "array_agg":
             return pa.array([vals.to_pylist()], pa.list_(col.type))
         return pa.array(

@@ -814,3 +814,102 @@ def test_ordered_agg_parse_errors():
         "FROM t GROUP BY k"
     )
     assert p.plan.aggs[0].order is not None
+
+
+# -- ORDER BY ordinals / LIMIT OFFSET / DISTINCT aggs ----------------------------
+
+
+def test_order_ordinals_offset_vs_duckdb(ray_session):
+    """ORDER BY <int> = 1-based SELECT ordinal (previously a constant
+    no-op key); LIMIT n OFFSET m over ordered, unordered, and aggregate
+    outputs — pinned against DuckDB where deterministic."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(31)
+    n = 1000
+    t = pa.table(
+        {
+            "a": pa.array(rng.permutation(n).astype("int64")),
+            "b": pa.array(rng.integers(0, 10, n).astype("int64")),
+        }
+    )
+    src = ray.data.from_arrow(t).repartition(4)
+    got = [
+        (r["a"], r["nb"])
+        for r in run_sql(
+            "SELECT a, b * 2 AS nb FROM t ORDER BY 2 DESC, 1 LIMIT 5", src
+        ).take_all()
+    ]
+    exp = duckdb.sql(
+        "SELECT a, b * 2 AS nb FROM t ORDER BY 2 DESC, 1 LIMIT 5"
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+    got = [
+        r["a"]
+        for r in run_sql(
+            "SELECT a FROM t ORDER BY a LIMIT 7 OFFSET 3", src
+        ).take_all()
+    ]
+    assert got == [3, 4, 5, 6, 7, 8, 9]
+    got = [
+        (r["b"], r["n"])
+        for r in run_sql(
+            "SELECT b, COUNT(*) AS n FROM t GROUP BY b "
+            "ORDER BY 1 LIMIT 3 OFFSET 2",
+            src,
+        ).take_all()
+    ]
+    exp = duckdb.sql(
+        "SELECT b, COUNT(*) AS n FROM t GROUP BY b ORDER BY 1 LIMIT 3 OFFSET 2"
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
+    # unordered: row choice arbitrary, count contract only (+ past-end)
+    assert len(run_sql("SELECT a FROM t LIMIT 10 OFFSET 990", src).take_all()) == 10
+    assert len(run_sql("SELECT a FROM t LIMIT 10 OFFSET 995", src).take_all()) == 5
+
+
+def test_distinct_array_string_agg(ray_session):
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t2 = pa.table({"k": [0, 0, 0, 1], "x": [2, 1, 2, 5], "s": ["b", "a", "b", "c"]})
+    got = sorted(
+        (r["k"], tuple(r["xs"]), r["ss"])
+        for r in run_sql(
+            "SELECT k, ARRAY_AGG(DISTINCT x) AS xs, "
+            "STRING_AGG(DISTINCT s, ',') AS ss FROM t GROUP BY k",
+            ray.data.from_arrow(t2),
+        ).take_all()
+    )
+    exp = [
+        (k, tuple(xs), ss)
+        for k, xs, ss in duckdb.sql(
+            "SELECT k, ARRAY_AGG(DISTINCT x ORDER BY x) AS xs, "
+            "STRING_AGG(DISTINCT s, ',' ORDER BY s) AS ss "
+            "FROM t2 GROUP BY k ORDER BY k"
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+def test_ordinal_offset_distinct_parse_errors():
+    with pytest.raises(SqlError, match="OFFSET requires LIMIT"):
+        parse_query("SELECT a FROM t OFFSET 5")
+    with pytest.raises(SqlError, match="out of range"):
+        parse_query("SELECT a FROM t ORDER BY 3")
+    with pytest.raises(SqlError, match="explicit SELECT list"):
+        parse_query("SELECT * FROM t ORDER BY 1")
+    with pytest.raises(SqlError, match="DISTINCT is not supported"):
+        parse_query("SELECT SUM(DISTINCT x) AS s FROM t GROUP BY k")
+    with pytest.raises(SqlError, match="cannot be combined"):
+        parse_query(
+            "SELECT ARRAY_AGG(DISTINCT x ORDER BY y) AS s FROM t GROUP BY k"
+        )
