@@ -26,6 +26,7 @@ query anyway.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional, Sequence, Union
 
@@ -882,6 +883,82 @@ def _f_append_builder(prepend: bool):
 
 _FUNCS["array_append"] = _f_append_builder(False)
 _FUNCS["array_prepend"] = _f_append_builder(True)
+
+
+@register_function("power")
+def _f_power(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """power(x, y) — pc.power (DuckCB pow); integer bases stay integer
+    for integer exponents (Arrow semantics)."""
+    xk, yk = args
+    return lambda t: pc.power(xk(t), yk(t))
+
+
+@register_function("truncate")
+def _f_truncate(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """truncate(x) — toward-zero integral part, float in float out."""
+    (xk,) = args
+    return lambda t: pc.trunc(xk(t))
+
+
+_FUNCS["trunc"] = _FUNCS["truncate"]
+
+
+@register_function("pi")
+def _f_pi(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    if args:
+        raise ValueError("pi() takes no arguments")
+    return lambda t: pa.scalar(math.pi, pa.float64())
+
+
+@register_function("array_contains")
+def _f_array_contains(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """array_contains(list, v) / list_contains — membership per row
+    (DuckDB list_contains: NULL list ⇒ NULL; NULL elements never match).
+    Vectorized: one equality over the flattened values, segment-any via
+    np.maximum.reduceat over the list offsets."""
+    lk, vk = args
+
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        arr = _as_array(lk(t), n)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_null(arr.type):
+            return pa.nulls(n, pa.bool_())
+        null_rows = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        # offsets are ABSOLUTE into .values (see array_unique): null rows
+        # keep their extents, so index through (start + within), not
+        # flatten(), and zero null rows out of the scan
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, lens = offsets[:-1], offsets[1:] - offsets[:-1]
+        lens = np.where(null_rows, 0, lens)
+        rowid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        within = (
+            np.arange(len(rowid), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        flat_idx = np.repeat(starts, lens) + within
+        vals = (
+            arr.values.take(pa.array(flat_idx))
+            if len(flat_idx)
+            else arr.values.slice(0, 0)
+        )
+        v = vk(t)
+        eq = (
+            pc.fill_null(
+                pc.equal(vals, v if isinstance(v, pa.Scalar) else pa.scalar(v)),
+                False,
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        res = np.bincount(rowid, weights=eq, minlength=n) > 0
+        return pa.array(res, mask=null_rows)
+
+    return k
+
+
+_FUNCS["list_contains"] = _FUNCS["array_contains"]
 
 
 @register_function("now")

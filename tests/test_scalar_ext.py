@@ -55,6 +55,10 @@ CASES = [
     "log2(y)",
     "log10(y)",
     "exp(y)",
+    "power(x, 2)",
+    "power(f, y)",
+    "trunc(f)",
+    "pi()",
 ]
 
 
@@ -215,3 +219,27 @@ def test_vectorized_list_kernels_property():
     t0 = t.slice(0, 0)
     e = Parser("SELECT array_cat(a, b) AS r FROM t").parse_query().plan.projections[0].expr
     assert compile_expr(e, ctx)(t0).to_pylist() == []
+
+
+def test_list_contains_vs_duckdb():
+    """array_contains / list_contains: NULL list ⇒ NULL, NULL elements
+    never match, empty list ⇒ false — bincount segment-any, absolute
+    offsets (null rows keep extents)."""
+    t = pa.table(
+        {
+            "l": pa.array(
+                [[1, 2, None], [3], None, [], [None], [7, 1]],
+                pa.list_(pa.int64()),
+            )
+        }
+    )
+    e = Parser("SELECT array_contains(l, 1) AS r FROM t").parse_query().plan.projections[0].expr
+    got = compile_expr(e, CompileCtx())(t).to_pylist()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = [r[0] for r in con.execute("SELECT list_contains(l, 1) FROM t").fetchall()]
+    con.close()
+    assert got == exp
+    # alias + empty-table path
+    e = Parser("SELECT list_contains(l, 1) AS r FROM t").parse_query().plan.projections[0].expr
+    assert compile_expr(e, CompileCtx())(t.slice(0, 0)).to_pylist() == []
