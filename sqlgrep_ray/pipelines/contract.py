@@ -2282,6 +2282,49 @@ FROM read_parquet('{_TR_GLOB}')
 """
 
 
+def q_sql_window_nulls(sf_dir: str) -> Result:
+    """NULLS FIRST/LAST in OVER(ORDER BY …) (round-5 extension): per-key
+    placement rides 0/1 validity markers in the one bucket-sort pass
+    (pyarrow's null_placement is global, so markers are the per-key
+    mechanism); the NULL-bearing order key is derived first (window args
+    are plain columns)."""
+    from sqlgrep_ray.api import run_sql
+    from sqlgrep_ray.sqlfront import parse_query
+
+    ds = ray.data.read_parquet(
+        transcripts_for(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    derived = run_sql(
+        "SELECT conv_id, turn_idx, "
+        "CASE WHEN mod(turn_idx, 7) = 0 THEN NULL ELSE turn_idx END AS o "
+        "FROM t",
+        ds,
+    )
+    plan = parse_query(
+        "SELECT conv_id, turn_idx, "
+        "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY o NULLS FIRST, "
+        "turn_idx) AS rn_nf, "
+        "SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY o DESC "
+        "NULLS FIRST, turn_idx) AS rs_dnf FROM t"
+    ).plan
+    return run_plan(derived, plan)
+
+
+SQL_SQL_WINDOW_NULLS = f"""
+WITH d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN mod(turn_idx, 7) = 0 THEN NULL ELSE turn_idx END AS o
+  FROM read_parquet('{_TR_GLOB}')
+)
+SELECT conv_id, turn_idx,
+ CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY o NULLS FIRST,
+      turn_idx) AS BIGINT) AS rn_nf,
+ CAST(SUM(turn_idx) OVER (PARTITION BY conv_id ORDER BY o DESC NULLS FIRST,
+      turn_idx) AS BIGINT) AS rs_dnf
+FROM d
+"""
+
+
 def q_sql_agg_filter(sf_dir: str) -> Result:
     """Aggregate FILTER (WHERE …) clauses (round-5 extension): rewritten
     at parse time to NULL-skip CASE arguments (every engine aggregate
@@ -3910,6 +3953,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_ignore_nulls": q_sql_ignore_nulls,
     "sql_agg_filter": q_sql_agg_filter,
     "sql_window_desc": q_sql_window_desc,
+    "sql_window_nulls": q_sql_window_nulls,
     "sql_unnest_tokens": q_sql_unnest_tokens,
     "sql_ordered_agg": q_sql_ordered_agg,
     "sql_limit_offset": q_sql_limit_offset,
@@ -3989,6 +4033,7 @@ ORACLES: dict[str, str] = {
     "sql_ignore_nulls": SQL_SQL_IGNORE_NULLS,
     "sql_agg_filter": SQL_SQL_AGG_FILTER,
     "sql_window_desc": SQL_SQL_WINDOW_DESC,
+    "sql_window_nulls": SQL_SQL_WINDOW_NULLS,
     "sql_unnest_tokens": SQL_SQL_UNNEST_TOKENS,
     "sql_ordered_agg": SQL_SQL_ORDERED_AGG,
     "sql_limit_offset": SQL_SQL_LIMIT_OFFSET,

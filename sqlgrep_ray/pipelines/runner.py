@@ -102,8 +102,8 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
                     cols.add(k)
             if isinstance(w.order, str):
                 cols.add(w.order)
-            else:  # composite/DESC ordering: ((col, desc), …)
-                cols.update(c for c, _ in w.order)
+            else:  # composite/DESC/NULLS ordering: ((col, desc[, nf]), …)
+                cols.update(c[0] for c in w.order)
     else:
         for k in plan.group_by:
             walk(k.expr)

@@ -1343,21 +1343,33 @@ class Parser:
         return Col(name)
 
     def _parse_over_order(self):
-        """OVER (… ORDER BY col [ASC|DESC][, …]) — ENGINE EXTENSION:
-        composite and DESC window ordering. Returns the plain column
-        name for the single-ascending form (the fast paths key on it:
+        """OVER (… ORDER BY col [ASC|DESC] [NULLS FIRST|LAST][, …]) —
+        ENGINE EXTENSION: composite / DESC / NULLS-placed window
+        ordering (default NULLS LAST either direction, DuckDB's
+        default). Returns the plain column name for the plain
+        single-ascending default-nulls form (the fast paths key on it:
         value-based RANGE frames, the chunk-safe global ranged route),
-        else a tuple of (col, descending) pairs."""
-        entries: list[tuple[str, bool]] = []
+        else a tuple of (col, descending[, nulls_first]) entries."""
+        entries: list[tuple] = []
         while True:
             c = self.expect_ident()
             desc = bool(self.eat_kw("desc"))
             if not desc:
                 self.eat_kw("asc")
-            entries.append((c, desc))
+            nulls_first = None
+            if self.eat_kw("nulls"):
+                if self.eat_kw("first"):
+                    nulls_first = True
+                elif self.eat_kw("last"):
+                    nulls_first = False
+                else:
+                    raise SqlError("expected FIRST or LAST after NULLS")
+            entries.append(
+                (c, desc) if nulls_first is None else (c, desc, nulls_first)
+            )
             if not self.eat_op(","):
                 break
-        if len(entries) == 1 and not entries[0][1]:
+        if len(entries) == 1 and entries[0] == (entries[0][0], False):
             return entries[0][0]
         return tuple(entries)
 

@@ -631,15 +631,19 @@ def partition_windows(
     frame-start binary search assumes ascending order values).
     """
     funcs = list(funcs)
+    # normalize order spec to (col, descending, nulls_first) triples;
+    # nulls_first False/None = NULLS LAST, the default either direction
     ocols: list = (
-        [(order_col, False)]
+        [(order_col, False, False)]
         if isinstance(order_col, str)
         else [
-            (o, False) if isinstance(o, str) else (o[0], bool(o[1]))
+            (o, False, False)
+            if isinstance(o, str)
+            else (o[0], bool(o[1]), bool(o[2]) if len(o) > 2 else False)
             for o in order_col
         ]
     )
-    plain_order = len(ocols) == 1 and not ocols[0][1]
+    plain_order = len(ocols) == 1 and not ocols[0][1] and not ocols[0][2]
     order_col = ocols[0][0]  # value-frame paths read the single asc col
     for f in funcs:
         if f.func not in _WIN_FUNCS:
@@ -707,7 +711,7 @@ def partition_windows(
         if keep_cols is None
         else list(
             dict.fromkeys(
-                [*keys, *(c for c, _ in ocols), *value_cols, *keep_cols]
+                [*keys, *(c[0] for c in ocols), *value_cols, *keep_cols]
             )
         )
     )
@@ -721,16 +725,33 @@ def partition_windows(
                     f.out_col, pa.array([], _win_empty_type(f, g.schema))
                 )
             return g
-        order = pc.sort_indices(
-            g,
-            [
-                *((k, "ascending") for k in keys),
-                *(
-                    (c, "descending" if d else "ascending")
-                    for c, d in ocols
-                ),
-            ],
-        )
+        if any(nf for _, _, nf in ocols):
+            # explicit NULLS FIRST somewhere: pyarrow's null_placement is
+            # global, so per-key placement rides 0/1 validity markers in
+            # a parallel sort table (nulls-first ⇒ marker ascending)
+            data: dict = {}
+            spec: list = []
+            for j, k in enumerate(keys):
+                data[f"__sk{j}"] = g[k]
+                spec.append((f"__sk{j}", "ascending"))
+            for i, (c, d, nf) in enumerate(ocols):
+                arr = g[c]
+                data[f"__nm{i}"] = pc.cast(pc.is_valid(arr), pa.int8())
+                spec.append((f"__nm{i}", "ascending" if nf else "descending"))
+                data[f"__ov{i}"] = arr
+                spec.append((f"__ov{i}", "descending" if d else "ascending"))
+            order = pc.sort_indices(pa.table(data), spec)
+        else:
+            order = pc.sort_indices(
+                g,
+                [
+                    *((k, "ascending") for k in keys),
+                    *(
+                        (c, "descending" if d else "ascending")
+                        for c, d, _ in ocols
+                    ),
+                ],
+            )
         g = g.take(order)
         karrs = [g[k].combine_chunks() for k in keys]
         key_change = _key_change_mask(karrs, n)
@@ -762,7 +783,7 @@ def partition_windows(
             nonlocal run_change, run_end
             if run_end is None:
                 if run_change is None:
-                    oarrs = [g[c].combine_chunks() for c, _ in ocols]
+                    oarrs = [g[c].combine_chunks() for c, _, _ in ocols]
                     run_change = key_change | _key_change_mask(oarrs, n)
                 starts_r = np.flatnonzero(run_change)
                 lens_r = np.diff(np.r_[starts_r, n])
@@ -912,7 +933,7 @@ def partition_windows(
                 out_cols.append((f.out_col, pa.array(out.astype(np.int64))))
             elif f.func in ("rank", "dense_rank", "percent_rank", "cume_dist"):
                 if run_change is None:
-                    oarrs = [g[c].combine_chunks() for c, _ in ocols]
+                    oarrs = [g[c].combine_chunks() for c, _, _ in ocols]
                     run_change = key_change | _key_change_mask(oarrs, n)
                 if f.func in ("rank", "percent_rank"):
                     # 1 + ordinal of the current tie-run's first row

@@ -1216,3 +1216,62 @@ def test_window_order_desc_range_frame_rejected(ray_session):
                      preceding=4)],
             num_buckets=1,
         )
+
+
+def test_window_order_nulls_placement_vs_duckdb(ray_session):
+    """NULLS FIRST/LAST in OVER(ORDER BY …) (round-5 extension): per-key
+    placement rides 0/1 validity markers in the bucket sort (pyarrow's
+    null_placement is global); default stays NULLS LAST either
+    direction."""
+    import duckdb
+    import ray.data
+
+    from sqlgrep_ray.pipelines.runner import run_plan
+    from sqlgrep_ray.sqlfront import parse_query
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 15, n).astype("int64")),
+            "o": pa.array(
+                rng.permutation(n).astype("int64"),
+                mask=rng.random(n) < 0.08,
+            ),
+            "i": pa.array(np.arange(n)),
+            "v": pa.array(rng.integers(0, 100, n).astype("int64")),
+        }
+    )
+    sql = (
+        "SELECT k, i, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY o NULLS FIRST, i) AS rn, "
+        "SUM(v) OVER (PARTITION BY k ORDER BY o DESC NULLS FIRST, i) AS rs, "
+        "LAG(v) OVER (PARTITION BY k ORDER BY o NULLS LAST, i) AS lv FROM t"
+    )
+    got = (
+        run_plan(ray.data.from_arrow(t).repartition(5),
+                 parse_query(sql).plan)
+        .to_pandas()
+        .sort_values(["k", "i"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(sql).df().sort_values(["k", "i"]).reset_index(drop=True)[
+            got.columns
+        ]
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+    # explicit NULLS on a value-based RANGE frame still rejects
+    from sqlgrep_ray.stages.window import WinFunc, partition_windows
+
+    with pytest.raises(ValueError, match="single ascending"):
+        partition_windows(
+            ray.data.from_arrow(t),
+            "k",
+            [("o", False, True)],
+            [WinFunc("run_sum", "s", value_col="v", frame="range",
+                     preceding=4)],
+            num_buckets=1,
+        )
