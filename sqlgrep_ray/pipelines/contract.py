@@ -2149,6 +2149,34 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_dialect_sugar(sf_dir: str) -> Result:
+    """Round-5 dialect sugar in one driver-checked query: GROUP BY
+    ordinal (1-based SELECT position, standard SQL — previously a
+    constant key), TIMESTAMP/DATE literals (datetime Lit, one Arrow
+    comparison kernel), and CASE without ELSE (omitted → NULL, an
+    extension past the reference's required-ELSE parser.rs:990-1019)."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT event_type, COUNT(*) AS n, "
+        "CASE WHEN COUNT(*) > 2000 THEN 'hot' END AS bucket "
+        "FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "AND ts < DATE '2024-01-20' "
+        "GROUP BY 1",
+        {"events": _t(sf_dir, "events", ["event_type", "ts"])},
+    )
+
+
+SQL_SQL_DIALECT_SUGAR = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CASE WHEN COUNT(*) > 2000 THEN 'hot' END AS bucket
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < DATE '2024-01-20'
+GROUP BY 1
+"""
+
+
 def q_sql_limit_offset(sf_dir: str) -> Result:
     """LIMIT … OFFSET paging + ORDER BY ordinals (round-5 extension):
     the ordinal rewrites to the SELECT-list output column at parse; the
@@ -3957,6 +3985,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_unnest_tokens": q_sql_unnest_tokens,
     "sql_ordered_agg": q_sql_ordered_agg,
     "sql_limit_offset": q_sql_limit_offset,
+    "sql_dialect_sugar": q_sql_dialect_sugar,
     "sql_distinct_agg": q_sql_distinct_agg,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
@@ -4037,6 +4066,7 @@ ORACLES: dict[str, str] = {
     "sql_unnest_tokens": SQL_SQL_UNNEST_TOKENS,
     "sql_ordered_agg": SQL_SQL_ORDERED_AGG,
     "sql_limit_offset": SQL_SQL_LIMIT_OFFSET,
+    "sql_dialect_sugar": SQL_SQL_DIALECT_SUGAR,
     "sql_distinct_agg": SQL_SQL_DISTINCT_AGG,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,

@@ -26,6 +26,7 @@ Supported surface (the reference's full dialect):
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 from dataclasses import dataclass, field
 from typing import Any, Optional, Union
@@ -851,10 +852,35 @@ class Parser:
                     raise SqlError(
                         "GROUPING SETS needs at least one non-empty set"
                     )
+            elif self.eat_kw("all"):
+                # ENGINE EXTENSION (DuckDB idiom): GROUP BY ALL — every
+                # non-aggregate SELECT item becomes a group key
+                if projections is None:
+                    raise SqlError(
+                        "GROUP BY ALL requires an explicit SELECT list"
+                    )
+                group_by = [
+                    e
+                    for _, e in projections
+                    if not _contains_agg(e)
+                    and not (
+                        isinstance(e, Func) and e.name.lower() == "grouping"
+                    )
+                ]
+                if not group_by:
+                    raise SqlError(
+                        "GROUP BY ALL found no non-aggregate SELECT items"
+                    )
             else:
                 group_by = [self.parse_expr()]
                 while self.eat_op(","):
                     group_by.append(self.parse_expr())
+                # integer literals are 1-based SELECT ordinals (standard
+                # SQL, same as ORDER BY)
+                group_by = [
+                    _select_ordinal(g, projections, "GROUP BY")
+                    for g in group_by
+                ]
 
         having = self.parse_expr() if self.eat_kw("having") else None
 
@@ -1068,6 +1094,24 @@ class Parser:
             return Lit(None)
         if lname == "case":
             return self._parse_case()
+        if (
+            lname in ("timestamp", "date")
+            and self.peek() is not None
+            and self.peek().kind == "string"
+        ):
+            # ENGINE EXTENSION: TIMESTAMP '…' / DATE '…' literals (ISO
+            # forms) — a datetime Lit, so comparisons against timestamp
+            # columns stay one Arrow kernel
+            s = self.next().value
+            try:
+                if lname == "date":
+                    d = _dt.date.fromisoformat(s)
+                    v = _dt.datetime(d.year, d.month, d.day)
+                else:
+                    v = _dt.datetime.fromisoformat(s)
+            except ValueError:
+                raise SqlError(f"invalid {lname.upper()} literal {s!r}")
+            return Lit(v)
         if lname == "cast" and self.at_op("("):
             # standard CAST(expr AS TYPE) — sugar for the dialect's ::
             self.expect_op("(")
@@ -1380,8 +1424,9 @@ class Parser:
             self.expect_kw("then")
             val = self.parse_expr()
             whens.append((cond, val))
-        self.expect_kw("else")  # ELSE required (parser.rs:990-1019)
-        else_ = self.parse_expr()
+        # the reference REQUIRES else (parser.rs:990-1019); the engine
+        # extends with standard SQL's optional ELSE (omitted -> NULL)
+        else_ = self.parse_expr() if self.eat_kw("else") else Lit(None)
         self.expect_kw("end")
         return Case(tuple(whens), else_)
 
@@ -1797,6 +1842,25 @@ def _find_windows(e: Expr) -> list[WindowCall]:
     for c in _children(e):
         out.extend(_find_windows(c))
     return out
+
+
+def _select_ordinal(e, projections, where: str):
+    """Integer literal in GROUP BY → the 1-based SELECT item's expression
+    (standard SQL ordinals)."""
+    if (
+        isinstance(e, Lit)
+        and isinstance(e.value, int)
+        and not isinstance(e.value, bool)
+    ):
+        if projections is None:
+            raise SqlError(f"{where} ordinal requires an explicit SELECT list")
+        if not 1 <= e.value <= len(projections):
+            raise SqlError(
+                f"{where} ordinal {e.value} is out of range "
+                f"(1..{len(projections)})"
+            )
+        return projections[e.value - 1][1]
+    return e
 
 
 def _resolve_order_ordinals(order_by, out_names):

@@ -913,3 +913,67 @@ def test_ordinal_offset_distinct_parse_errors():
         parse_query(
             "SELECT ARRAY_AGG(DISTINCT x ORDER BY y) AS s FROM t GROUP BY k"
         )
+
+
+# -- GROUP BY ordinal / ALL, CASE without ELSE, TIMESTAMP/DATE literals ----------
+
+
+def test_group_by_ordinal_and_all(ray_session):
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table(
+        {
+            "lang": ["en", "fr", "en", "de"],
+            "n": [1, 2, 3, 4],
+            "ts": pa.array(
+                [
+                    dt.datetime(2024, 1, 1, 5),
+                    dt.datetime(2024, 2, 1),
+                    dt.datetime(2023, 12, 31),
+                    dt.datetime(2024, 1, 1),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    src = ray.data.from_arrow(t)
+    for q, dq in [
+        ("SELECT lang, COUNT(*) AS c FROM t GROUP BY 1", None),
+        (
+            "SELECT lang, SUM(n) AS s FROM t GROUP BY ALL",
+            "SELECT lang, SUM(n) AS s FROM t GROUP BY lang",
+        ),
+        (
+            "SELECT CASE WHEN n > 2 THEN 'big' END AS x, n FROM t",
+            None,
+        ),
+        (
+            "SELECT n FROM t WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' "
+            "ORDER BY n",
+            None,
+        ),
+        ("SELECT n FROM t WHERE ts > DATE '2024-01-01' ORDER BY n", None),
+    ]:
+        key = lambda x: tuple((v is None, v) for v in x)  # noqa: E731
+        got = sorted(
+            (tuple(r.values()) for r in run_sql(q, src).take_all()), key=key
+        )
+        exp = sorted((tuple(r) for r in duckdb.sql(dq or q).fetchall()), key=key)
+        assert got == exp, q
+
+
+def test_group_by_ordinal_errors():
+    with pytest.raises(SqlError, match="out of range"):
+        parse_query("SELECT a, COUNT(*) AS n FROM t GROUP BY 5")
+    with pytest.raises(SqlError, match="explicit SELECT"):
+        parse_query("SELECT * FROM t GROUP BY ALL")
+    with pytest.raises(SqlError, match="no non-aggregate"):
+        parse_query("SELECT COUNT(*) AS n FROM t GROUP BY ALL")
+    with pytest.raises(SqlError, match="invalid TIMESTAMP"):
+        parse_query("SELECT a FROM t WHERE ts > TIMESTAMP 'nonsense'")
