@@ -2153,8 +2153,10 @@ def q_sql_dialect_sugar(sf_dir: str) -> Result:
     """Round-5 dialect sugar in one driver-checked query: GROUP BY
     ordinal (1-based SELECT position, standard SQL — previously a
     constant key), TIMESTAMP/DATE literals (datetime Lit, one Arrow
-    comparison kernel), and CASE without ELSE (omitted → NULL, an
-    extension past the reference's required-ELSE parser.rs:990-1019)."""
+    comparison kernel), INTERVAL arithmetic (timedelta Lit — timestamp ±
+    interval is one pc.add/subtract kernel), and CASE without ELSE
+    (omitted → NULL, an extension past the reference's required-ELSE
+    parser.rs:990-1019)."""
     from sqlgrep_ray.api import run_sql
 
     return run_sql(
@@ -2162,7 +2164,7 @@ def q_sql_dialect_sugar(sf_dir: str) -> Result:
         "CASE WHEN COUNT(*) > 2000 THEN 'hot' END AS bucket "
         "FROM events "
         "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
-        "AND ts < DATE '2024-01-20' "
+        "AND ts < DATE '2024-01-10' + INTERVAL '10 days' "
         "GROUP BY 1",
         {"events": _t(sf_dir, "events", ["event_type", "ts"])},
     )
@@ -2172,7 +2174,8 @@ SQL_SQL_DIALECT_SUGAR = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        CASE WHEN COUNT(*) > 2000 THEN 'hot' END AS bucket
 FROM events
-WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < DATE '2024-01-20'
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < DATE '2024-01-10' + INTERVAL '10 days'
 GROUP BY 1
 """
 

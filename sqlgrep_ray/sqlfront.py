@@ -1095,6 +1095,16 @@ class Parser:
         if lname == "case":
             return self._parse_case()
         if (
+            lname == "interval"
+            and self.peek() is not None
+            and self.peek().kind == "string"
+        ):
+            # ENGINE EXTENSION: INTERVAL '<n> <unit>' / 'H:M:S' literal —
+            # a timedelta Lit (Arrow duration scalar), so timestamp ±
+            # interval stays one pc.add/subtract kernel. Fixed-length
+            # units only; calendar units (month/year) are rejected.
+            return Lit(_parse_interval_td(self.next().value))
+        if (
             lname in ("timestamp", "date")
             and self.peek() is not None
             and self.peek().kind == "string"
@@ -1842,6 +1852,48 @@ def _find_windows(e: Expr) -> list[WindowCall]:
     for c in _children(e):
         out.extend(_find_windows(c))
     return out
+
+
+_INTERVAL_UNITS = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _parse_interval_td(s: str) -> "_dt.timedelta":
+    """INTERVAL literal body: ``<n> <unit>[s]`` (repeatable: '1 day
+    2 hours') or the dialect's ``H:M:S`` form. Fixed-length units only —
+    month/year need calendar arithmetic and are rejected."""
+    s = s.strip()
+    if ":" in s and not any(c.isalpha() for c in s):
+        from sqlgrep_ray.stages.parse import _parse_interval_us
+
+        us = _parse_interval_us(s)
+        if us is None:
+            raise SqlError(f"bad interval literal {s!r} (want 'H:M:S')")
+        return _dt.timedelta(microseconds=us)
+    toks = s.split()
+    if len(toks) % 2 or not toks:
+        raise SqlError(f"bad interval literal {s!r} (want '<n> <unit>')")
+    total = 0
+    for num, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower().rstrip("s") if unit.lower() != "s" else unit
+        if u not in _INTERVAL_UNITS:
+            raise SqlError(
+                f"unsupported interval unit {unit!r} (fixed-length units "
+                "only: microsecond…week; month/year need calendar math)"
+            )
+        try:
+            n = float(num)
+        except ValueError:
+            raise SqlError(f"bad interval quantity {num!r}")
+        total += int(n * _INTERVAL_UNITS[u])
+    return _dt.timedelta(microseconds=total)
 
 
 def _select_ordinal(e, projections, where: str):

@@ -977,3 +977,50 @@ def test_group_by_ordinal_errors():
         parse_query("SELECT COUNT(*) AS n FROM t GROUP BY ALL")
     with pytest.raises(SqlError, match="invalid TIMESTAMP"):
         parse_query("SELECT a FROM t WHERE ts > TIMESTAMP 'nonsense'")
+
+
+def test_interval_arithmetic_vs_duckdb(ray_session):
+    """INTERVAL '<n> <unit>' / 'H:M:S' literals compile to duration
+    scalars — timestamp ± interval is one Arrow kernel; month/year
+    (calendar units) are rejected."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table(
+        {
+            "i": [0, 1],
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 12), dt.datetime(2024, 1, 3)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    q = (
+        "SELECT i, ts + INTERVAL '1 day 2 hours' AS t2, "
+        "ts - INTERVAL '30 minutes' AS t3 FROM t "
+        "WHERE ts > TIMESTAMP '2024-01-02 00:00:00' - INTERVAL '13 hours'"
+    )
+    got = sorted(
+        (r["i"], r["t2"], r["t3"])
+        for r in run_sql(q, ray.data.from_arrow(t)).take_all()
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(q).fetchall())
+    assert got == exp
+    # dialect H:M:S form
+    rows = run_sql(
+        "SELECT ts + INTERVAL '1:30:00' AS t4, i FROM t ORDER BY i",
+        ray.data.from_arrow(t),
+    ).take_all()
+    assert rows[0]["t4"] == dt.datetime(2024, 1, 1, 13, 30)
+
+
+def test_interval_parse_errors():
+    with pytest.raises(SqlError, match="unsupported interval unit"):
+        parse_query("SELECT ts + INTERVAL '3 months' AS x FROM t")
+    with pytest.raises(SqlError, match="interval"):
+        parse_query("SELECT ts + INTERVAL '' AS x FROM t")
