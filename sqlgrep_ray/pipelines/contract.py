@@ -2149,6 +2149,40 @@ FROM documents ORDER BY k NULLS LAST, doc_id LIMIT 200
 """
 
 
+def q_sql_multikey_join(sf_dir: str) -> Result:
+    """Composite-key broadcast join (round-5 extension; the reference
+    accepts exactly one ON equality): ON a = x AND b = y rides the same
+    one-pass broadcast probe — the pandas merge takes the key-column
+    list directly, NULL==NULL per key as before. The small side is a
+    per-(source, lang) aggregate of the same table (a group-stats
+    enrichment, the classic composite-key join shape)."""
+    from sqlgrep_ray.api import run_sql
+
+    docs = _t(sf_dir, "documents", ["source", "lang", "doc_id", "n_chars"])
+    stats = run_sql(
+        "SELECT source AS s, lang AS l, COUNT(*) AS grp_n, "
+        "SUM(n_chars) AS grp_chars FROM d GROUP BY source, lang",
+        {"d": docs},
+    )
+    return run_sql(
+        "SELECT doc_id, source, lang, st.grp_n AS grp_n, "
+        "st.grp_chars AS grp_chars "
+        "FROM docs INNER JOIN st ON docs.source = st.s AND docs.lang = st.l",
+        {"docs": docs, "st": stats},
+    )
+
+
+SQL_SQL_MULTIKEY_JOIN = """
+WITH st AS (
+  SELECT source AS s, lang AS l, CAST(COUNT(*) AS BIGINT) AS grp_n,
+         CAST(SUM(n_chars) AS BIGINT) AS grp_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT doc_id, source, lang, st.grp_n AS grp_n, st.grp_chars AS grp_chars
+FROM documents JOIN st ON documents.source = st.s AND documents.lang = st.l
+"""
+
+
 def q_sql_dialect_sugar(sf_dir: str) -> Result:
     """Round-5 dialect sugar in one driver-checked query: GROUP BY
     ordinal (1-based SELECT position, standard SQL — previously a
@@ -3989,6 +4023,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_ordered_agg": q_sql_ordered_agg,
     "sql_limit_offset": q_sql_limit_offset,
     "sql_dialect_sugar": q_sql_dialect_sugar,
+    "sql_multikey_join": q_sql_multikey_join,
     "sql_distinct_agg": q_sql_distinct_agg,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
@@ -4070,6 +4105,7 @@ ORACLES: dict[str, str] = {
     "sql_ordered_agg": SQL_SQL_ORDERED_AGG,
     "sql_limit_offset": SQL_SQL_LIMIT_OFFSET,
     "sql_dialect_sugar": SQL_SQL_DIALECT_SUGAR,
+    "sql_multikey_join": SQL_SQL_MULTIKEY_JOIN,
     "sql_distinct_agg": SQL_SQL_DISTINCT_AGG,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,

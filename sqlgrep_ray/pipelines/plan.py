@@ -38,8 +38,10 @@ class JoinSpec:
     """
 
     right: Any
-    left_key: str
-    right_key: str
+    # ENGINE EXTENSION: composite keys — a tuple of column names on each
+    # side (ON a = x AND b = y); RIGHT JOIN requires the single-key form
+    left_key: "str | tuple"
+    right_key: "str | tuple"
     how: str = "inner"
     right_prefix: str = ""  # prepended to right column names in the output
 

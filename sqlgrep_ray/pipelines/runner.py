@@ -116,14 +116,16 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
         # having is NOT walked: it references OUTPUT names (agg aliases),
         # not input columns; its input needs arrive via the agg args
     if plan.join is not None:
-        cols.add(plan.join.left_key)
+        lk, rk = plan.join.left_key, plan.join.right_key
+        cols.update([lk] if isinstance(lk, str) else lk)
         # right-side columns come from the broadcast table, not the read
         right = plan.join.right
         if isinstance(right, pa.Table):
             prefix = plan.join.right_prefix
             for n in right.column_names:
                 cols.discard(prefix + n if prefix else n)
-        cols.discard(plan.join.right_key)
+        for k in [rk] if isinstance(rk, str) else rk:
+            cols.discard(k)
     return sorted(cols)
 
 
@@ -251,6 +253,11 @@ def _apply_join(
     if how == "right":
         # engine extension; under aggregation the same OUTER→INNER
         # downgrade as the reference's left-outer applies (force_inner)
+        if not isinstance(join.left_key, str):
+            raise ValueError(
+                "RIGHT JOIN supports a single join key (the matched-key "
+                "anti scan is per-key); use a derived composite column"
+            )
         return _right_outer_broadcast(ds, join)
     # build the hash index ONCE at plan time; the instance (index + small
     # right table) ships with the task definition and is deserialized once

@@ -781,13 +781,24 @@ class Parser:
                     raise SqlError("expected file string after ::")
                 join_file = ftok.value
             self.expect_kw("on")
-            l_tab, l_col = self._parse_qualified()
-            self.expect_op("=")
-            r_tab, r_col = self._parse_qualified()
-            # either table order accepted (parser_tree_converter.rs:207-249)
-            if l_tab == join_table and r_tab != join_table:
-                l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
-            join_left, join_right = l_col, r_col
+            # ENGINE EXTENSION: composite keys — ON a = x AND b = y
+            # (the reference accepts exactly one equality,
+            # parser_tree_converter.rs:207-249); orientation resolved per
+            # pair, either table order accepted
+            lcols: list[str] = []
+            rcols: list[str] = []
+            while True:
+                l_tab, l_col = self._parse_qualified()
+                self.expect_op("=")
+                r_tab, r_col = self._parse_qualified()
+                if l_tab == join_table and r_tab != join_table:
+                    l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
+                lcols.append(l_col)
+                rcols.append(r_col)
+                if not self.eat_kw("and"):
+                    break
+            join_left = lcols[0] if len(lcols) == 1 else tuple(lcols)
+            join_right = rcols[0] if len(rcols) == 1 else tuple(rcols)
 
         where = self.parse_expr() if self.eat_kw("where") else None
 

@@ -54,14 +54,29 @@ class BroadcastJoiner:
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
         tbl = _resolve_right(right)
-        self.left_key = left_key
+        # ENGINE EXTENSION: composite keys — a tuple of column names on
+        # each side (ON a = x AND b = y); the pandas merge takes the key
+        # list directly, NULL==NULL matching per key as before
+        self.left_keys = (
+            [left_key] if isinstance(left_key, str) else list(left_key)
+        )
+        right_keys = (
+            [right_key] if isinstance(right_key, str) else list(right_key)
+        )
+        if len(self.left_keys) != len(right_keys):
+            raise ValueError("left/right join key counts differ")
+        self.left_key = self.left_keys[0]  # back-compat single-key readers
         self.how = how
-        self._build_key_type = tbl[right_key].type
-        # build-side frame: join key + row position
+        self._build_key_types = [tbl[rk].type for rk in right_keys]
+        self._key_names = [f"__key{i}" for i in range(len(right_keys))]
+        # build-side frame: join key(s) + row position
         self._right_tbl = tbl
         self._build = pd.DataFrame(
             {
-                "__key": tbl[right_key].to_pandas(),
+                **{
+                    kn: tbl[rk].to_pandas()
+                    for kn, rk in zip(self._key_names, right_keys)
+                },
                 "__ridx": np.arange(tbl.num_rows, dtype=np.int64),
             }
         )
@@ -72,23 +87,26 @@ class BroadcastJoiner:
         # columns too (qualified) — keep all, renamed by prefix.
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        left_keys = batch[self.left_key]
-        if pa.types.is_null(
-            left_keys.type if not isinstance(left_keys, pa.ChunkedArray)
-            else left_keys.type
+        probe_cols: dict = {}
+        for kn, lk, bt in zip(
+            self._key_names, self.left_keys, self._build_key_types
         ):
-            # all-NULL (null-typed) key block — tiny from_items blocks:
-            # give it the build key's type so the pandas merge dtypes line up
-            left_keys = pa.nulls(batch.num_rows, self._build_key_type)
-        probe = pd.DataFrame(
-            {
-                "__key": left_keys.to_pandas(),
-                "__lidx": np.arange(batch.num_rows, dtype=np.int64),
-            }
-        )
+            left_keys = batch[lk]
+            if pa.types.is_null(
+                left_keys.type
+                if not isinstance(left_keys, pa.ChunkedArray)
+                else left_keys.type
+            ):
+                # all-NULL (null-typed) key block — tiny from_items
+                # blocks: give it the build key's type so the pandas
+                # merge dtypes line up
+                left_keys = pa.nulls(batch.num_rows, bt)
+            probe_cols[kn] = left_keys.to_pandas()
+        probe_cols["__lidx"] = np.arange(batch.num_rows, dtype=np.int64)
+        probe = pd.DataFrame(probe_cols)
         merged = probe.merge(
             self._build,
-            on="__key",
+            on=self._key_names,
             how=("inner" if self.how == "inner" else "left"),
             sort=False,
         )

@@ -1024,3 +1024,84 @@ def test_interval_parse_errors():
         parse_query("SELECT ts + INTERVAL '3 months' AS x FROM t")
     with pytest.raises(SqlError, match="interval"):
         parse_query("SELECT ts + INTERVAL '' AS x FROM t")
+
+
+def test_multikey_join_vs_duckdb(ray_session):
+    """Composite-key broadcast join (ON a = x AND b = y): the pandas
+    merge takes the key list directly; INNER and LEFT, NULL==NULL per
+    key; RIGHT JOIN keeps the single-key contract."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(8)
+    n = 500
+    lt = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 20, n).astype("int64")),
+            "b": pa.array([f"g{int(x)}" for x in rng.integers(0, 5, n)]),
+            "v": pa.array(rng.integers(0, 100, n).astype("int64")),
+        }
+    )
+    rt = pa.table(
+        {
+            "x": pa.array(np.repeat(np.arange(20), 5).astype("int64")),
+            "y": pa.array([f"g{i % 5}" for i in range(100)]),
+            "w": pa.array(np.arange(100).astype("int64")),
+        }
+    )
+    key = lambda t_: tuple((v is None, v) for v in t_)  # noqa: E731
+    got = sorted(
+        (
+            (r["a"], r["b"], r["v"], r["w"])
+            for r in run_sql(
+                "SELECT a, b, v, r.w AS w FROM l "
+                "INNER JOIN r ON l.a = r.x AND l.b = r.y",
+                {"l": ray.data.from_arrow(lt), "r": ray.data.from_arrow(rt)},
+            ).take_all()
+        ),
+        key=key,
+    )
+    exp = sorted(
+        (
+            tuple(t_)
+            for t_ in duckdb.sql(
+                "SELECT a, b, v, rt.w AS w FROM lt "
+                "JOIN rt ON lt.a = rt.x AND lt.b = rt.y"
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == exp
+    rt10 = rt.slice(0, 10)
+    got = sorted(
+        (
+            (r["a"], r["b"], r["w"])
+            for r in run_sql(
+                "SELECT a, b, r.w AS w FROM l "
+                "LEFT JOIN r ON l.a = r.x AND l.b = r.y",
+                {"l": ray.data.from_arrow(lt),
+                 "r": ray.data.from_arrow(rt10)},
+            ).take_all()
+        ),
+        key=key,
+    )
+    exp = sorted(
+        (
+            tuple(t_)
+            for t_ in duckdb.sql(
+                "SELECT a, b, rt10.w AS w FROM lt "
+                "LEFT JOIN rt10 ON lt.a = rt10.x AND lt.b = rt10.y"
+            ).fetchall()
+        ),
+        key=key,
+    )
+    assert got == exp
+    with pytest.raises(Exception, match="single join key"):
+        run_sql(
+            "SELECT a FROM l RIGHT JOIN r ON l.a = r.x AND l.b = r.y",
+            {"l": ray.data.from_arrow(lt), "r": ray.data.from_arrow(rt)},
+        )
