@@ -903,6 +903,34 @@ def _f_truncate(args: list[Kernel], ctx: CompileCtx) -> Kernel:
 _FUNCS["trunc"] = _FUNCS["truncate"]
 
 
+def _f_pad_builder(side: str) -> Callable:
+    def build(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        sk, nk = args[0], args[1]
+        pk = args[2] if len(args) > 2 else None
+
+        def k(t: pa.Table) -> Any:
+            n = _lit_int(nk(t), f"{side}pad")
+            fill = _lit_str(pk(t), f"{side}pad") if pk is not None else " "
+            if len(fill) != 1:
+                # Arrow pads with a single codepoint; DuckDB repeats a
+                # multi-char fill — restrict to the common case
+                raise ValueError(f"{side}pad() fill must be one character")
+            fn = pc.utf8_lpad if side == "l" else pc.utf8_rpad
+            out = fn(sk(t), width=n, padding=fill)
+            # Postgres/DuckDB truncate overlong inputs to the target
+            # width (keeping the leftmost chars for both sides); Arrow
+            # leaves them unchanged — slice to reconcile.
+            return pc.utf8_slice_codeunits(out, start=0, stop=n)
+
+        return k
+
+    return build
+
+
+_FUNCS["lpad"] = _f_pad_builder("l")
+_FUNCS["rpad"] = _f_pad_builder("r")
+
+
 @register_function("pi")
 def _f_pi(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     if args:

@@ -2542,6 +2542,32 @@ def q_sql_scalar_ext(sf_dir: str) -> Result:
 SQL_SQL_SCALAR_EXT = _SCALAR_EXT_SQL
 
 
+SQL_SQL_PAD_FUNCS = """
+SELECT doc_id,
+       lpad(lang, 5, '_') AS lang_lpad,
+       rpad(lang, 5, '.') AS lang_rpad,
+       lpad(source, 4, '0') AS src_trunc,
+       rpad(source, 12, ' ') AS src_wide
+FROM documents
+WHERE mod(doc_id, 37) = 0
+"""
+
+
+def q_sql_pad_funcs(sf_dir: str) -> Result:
+    """lpad/rpad (round-5 extension; pc.utf8_lpad/utf8_rpad plus a
+    reconciling slice — Postgres/DuckDB truncate overlong inputs to
+    the width, Arrow does not). Exercises both the pad-out and the
+    truncate direction (DuckDB's 3-arg form is used throughout because
+    the identical SQL runs on both engines; the 2-arg space default is
+    pytest-covered)."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        SQL_SQL_PAD_FUNCS.replace("documents", "docs"),
+        {"docs": _t(sf_dir, "documents", ["doc_id", "lang", "source"])},
+    )
+
+
 def q_sql_scalar_subquery(sf_dir: str) -> Result:
     """Scalar subqueries through the SQL dialect (round-4 extension):
     ``(SELECT AVG(…))`` evaluates once to a literal spliced into the
@@ -4032,6 +4058,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_moving_window": q_sql_moving_window,
     "sql_scalar_subquery": q_sql_scalar_subquery,
     "sql_scalar_ext": q_sql_scalar_ext,
+    "sql_pad_funcs": q_sql_pad_funcs,
     "sql_like_between": q_sql_like_between,
     "grouped_kll_chars": q_grouped_kll_chars,
     "grouped_heavy_src": q_grouped_heavy_src,
@@ -4114,6 +4141,7 @@ ORACLES: dict[str, str] = {
     "sql_moving_window": SQL_SQL_MOVING_WINDOW,
     "sql_scalar_subquery": SQL_SQL_SCALAR_SUBQUERY,
     "sql_scalar_ext": SQL_SQL_SCALAR_EXT,
+    "sql_pad_funcs": SQL_SQL_PAD_FUNCS,
     "sql_like_between": SQL_SQL_LIKE_BETWEEN,
     "grouped_kll_chars": SQL_GROUPED_KLL_CHARS,
     "grouped_heavy_src": SQL_GROUPED_HEAVY_SRC,

@@ -59,6 +59,10 @@ CASES = [
     "power(f, y)",
     "trunc(f)",
     "pi()",
+    "lpad(s, 8, '*')",  # pads short, truncates long (Postgres semantics)
+    "rpad(s, 8, '.')",
+    "lpad(s, 3, '0')",  # pure-truncation widths
+    "rpad(s, 3, '0')",
 ]
 
 
@@ -83,6 +87,20 @@ def test_scalar_ext_matches_duckdb(case):
         # semantics); DuckDB coerces NULL -> ''
         exp = [None if s is None else e for s, e in zip(T["s"].to_pylist(), exp)]
     assert [_norm(v) for v in got] == [_norm(v) for v in exp], case
+
+
+def test_pad_default_fill_and_restrictions():
+    # 2-arg form defaults to a single space (Postgres; DuckDB has no
+    # 2-arg overload so this leg can't ride the parity battery)
+    e = Parser("SELECT lpad(s, 8) AS r FROM t").parse_query().plan.projections[0].expr
+    got = compile_expr(e, CompileCtx())(T).to_pylist()
+    assert got[0] == "hello wo" and got[1] == "   a,b,c" and got[3] is None
+    e = Parser("SELECT rpad(s, 4) AS r FROM t").parse_query().plan.projections[0].expr
+    assert compile_expr(e, CompileCtx())(T).to_pylist()[6] == "x,y "
+    # multi-char fill is rejected (Arrow pads with one codepoint)
+    e = Parser("SELECT lpad(s, 8, 'ab') AS r FROM t").parse_query().plan.projections[0].expr
+    with pytest.raises(ValueError, match="one character"):
+        compile_expr(e, CompileCtx())(T)
 
 
 def test_scalar_ext_literal_requirements():
