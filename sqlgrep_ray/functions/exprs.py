@@ -26,6 +26,7 @@ query anyway.
 from __future__ import annotations
 
 import datetime as _dt
+import hashlib
 import math
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional, Sequence, Union
@@ -464,6 +465,61 @@ _FUNCS["repeat"] = _simple(pc.binary_repeat)
 _FUNCS["mod"] = _simple(
     lambda a, b: pc.subtract(a, pc.multiply(pc.divide(a, b), b))
 )
+
+# trigonometry / angle conversion — straight pyarrow kernels
+_FUNCS["sin"] = _simple(pc.sin)
+_FUNCS["cos"] = _simple(pc.cos)
+_FUNCS["tan"] = _simple(pc.tan)
+_FUNCS["asin"] = _simple(pc.asin)
+_FUNCS["acos"] = _simple(pc.acos)
+_FUNCS["atan"] = _simple(pc.atan)
+_FUNCS["atan2"] = _simple(pc.atan2)
+_FUNCS["degrees"] = _simple(lambda x: pc.multiply(x, 180.0 / math.pi))
+_FUNCS["radians"] = _simple(lambda x: pc.multiply(x, math.pi / 180.0))
+_FUNCS["cbrt"] = _simple(lambda x: pc.power(pc.cast(x, pa.float64()), 1.0 / 3.0))
+# initcap: first letter of each word upper, rest lower (Postgres; DuckDB
+# has no initcap — verified by pytest against Python's str.title shape)
+_FUNCS["initcap"] = _simple(pc.utf8_title)
+# log: one arg = base-10 (DuckDB/Postgres); log(b, x) = ln(x)/ln(b)
+_FUNCS["log"] = _simple(
+    lambda *a: pc.log10(a[0]) if len(a) == 1 else pc.divide(pc.ln(a[1]), pc.ln(a[0]))
+)
+
+
+def _pyrow_str(fn: Callable[[Any], Any], out_type: pa.DataType):
+    """Per-row fallback for string utilities with no Arrow kernel
+    (translate/md5/ascii/chr/to_hex — extension utilities off every hot
+    path; SURVEY §M10 allows the per-row fallback for edge ops). NULL
+    passes through."""
+
+    def builder(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+        def k(t: pa.Table) -> Any:
+            vals = [_as_array(a(t), t.num_rows).to_pylist() for a in args]
+            out = [
+                None if any(v is None for v in row) else fn(*row)
+                for row in zip(*vals)
+            ]
+            return pa.array(out, out_type)
+
+        return k
+
+    return builder
+
+
+def _translate(s: str, frm: str, to: str) -> str:
+    # DuckDB/Postgres: chars in `frm` past len(to) are DELETED
+    tbl = {ord(c): (to[i] if i < len(to) else None) for i, c in enumerate(frm)}
+    return s.translate(tbl)
+
+
+_FUNCS["translate"] = _pyrow_str(_translate, pa.string())
+_FUNCS["md5"] = _pyrow_str(
+    lambda s: hashlib.md5(str(s).encode("utf-8")).hexdigest(), pa.string()
+)
+# ascii: codepoint of the first character, 0 for '' (DuckDB)
+_FUNCS["ascii"] = _pyrow_str(lambda s: ord(s[0]) if s else 0, pa.int64())
+_FUNCS["chr"] = _pyrow_str(lambda n: chr(int(n)), pa.string())
+_FUNCS["to_hex"] = _pyrow_str(lambda n: format(int(n), "X"), pa.string())
 
 
 def _lit_str(v: Any, fname: str) -> str:

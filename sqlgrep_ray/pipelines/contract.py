@@ -2257,6 +2257,79 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_sum_avg_distinct(sf_dir: str) -> Result:
+    """SUM/AVG(DISTINCT x) (round-5 extension): holistic aggregates
+    over each group's distinct non-null values, riding COUNT(DISTINCT)'s
+    skew-safe two-stage path (runner._count_distinct_two_stage) when
+    every distinct aggregate shares one argument — the distinct value
+    is the stage-1 subgroup key, so SUM(DISTINCT) is one extra int64
+    partial per distinct row, never a per-group set. AVG keeps the
+    engine's truncating integer division for int inputs (reference AVG,
+    aggregate_execution.rs:473-489); the DuckDB replay floor-divides,
+    identical on this non-negative column."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT source, SUM(DISTINCT n_chars) AS sd, "
+        "AVG(DISTINCT n_chars) AS ad, "
+        "COUNT(DISTINCT n_chars) AS cd, COUNT(*) AS n "
+        "FROM docs GROUP BY source",
+        {"docs": _t(sf_dir, "documents", ["source", "n_chars"])},
+    )
+
+
+SQL_SQL_SUM_AVG_DISTINCT = """
+SELECT source, CAST(SUM(DISTINCT n_chars) AS BIGINT) AS sd,
+       CAST(SUM(DISTINCT n_chars) // COUNT(DISTINCT n_chars) AS BIGINT) AS ad,
+       COUNT(DISTINCT n_chars) AS cd, COUNT(*) AS n
+FROM documents GROUP BY source
+"""
+
+
+def q_sql_scalar_ext2(sf_dir: str) -> Result:
+    """Round-5 scalar-function additions in one projection: trig family
+    (sin/cos/atan2 — pyarrow kernels), degrees/radians/cbrt, one-arg
+    (base-10) and two-arg log, POSITION(x IN y)
+    parser sugar for strpos (initcap exists too but DuckDB lacks it —
+    pytest-covered instead), and the per-row utility fallbacks
+    translate/md5/ascii/chr/to_hex (off-hot-path, SURVEY §M10 allows the
+    row loop there). Floats round to 9 decimals for a stable
+    cross-engine hash."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        _SCALAR_EXT2_SQL.replace("documents", "docs"),
+        {"docs": _t(sf_dir, "documents", ["doc_id", "lang", "source"])},
+    )
+
+
+_SCALAR_EXT2_SQL = """
+SELECT doc_id,
+       round(sin(mod(doc_id, 7)), 9) AS s,
+       round(cos(mod(doc_id, 7)), 9) AS c,
+       round(atan2(mod(doc_id, 5), 3), 9) AS a2,
+       round(degrees(1.0), 9) AS dg,
+       round(radians(180.0), 9) AS rd,
+       round(cbrt(doc_id + 1), 9) AS cb,
+       round(log(doc_id + 10), 9) AS lg10,
+       round(log(2, doc_id + 10), 9) AS lg2,
+       round(tan(0.5), 9) AS tn,
+       round(asin(0.5), 9) AS asn,
+       round(acos(0.5), 9) AS acs,
+       round(atan(0.5), 9) AS at1,
+       position('b' IN source) AS pos_b,
+       translate(source, 'abc', 'xy') AS tr,
+       md5(lang) AS h,
+       ascii(source) AS ac,
+       chr(CAST(65 + mod(doc_id, 26) AS INTEGER)) AS ch,
+       to_hex(doc_id) AS hx
+FROM documents
+WHERE mod(doc_id, 41) = 0
+"""
+
+SQL_SQL_SCALAR_EXT2 = _SCALAR_EXT2_SQL
+
+
 def q_sql_ordered_agg(sf_dir: str) -> Result:
     """ARRAY_AGG/STRING_AGG … ORDER BY key [DESC] (round-5 extension):
     explicit element ordering replaces the engine's default
@@ -4051,6 +4124,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_dialect_sugar": q_sql_dialect_sugar,
     "sql_multikey_join": q_sql_multikey_join,
     "sql_distinct_agg": q_sql_distinct_agg,
+    "sql_sum_avg_distinct": q_sql_sum_avg_distinct,
+    "sql_scalar_ext2": q_sql_scalar_ext2,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4134,6 +4209,8 @@ ORACLES: dict[str, str] = {
     "sql_dialect_sugar": SQL_SQL_DIALECT_SUGAR,
     "sql_multikey_join": SQL_SQL_MULTIKEY_JOIN,
     "sql_distinct_agg": SQL_SQL_DISTINCT_AGG,
+    "sql_sum_avg_distinct": SQL_SQL_SUM_AVG_DISTINCT,
+    "sql_scalar_ext2": SQL_SQL_SCALAR_EXT2,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

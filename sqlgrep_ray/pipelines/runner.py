@@ -840,7 +840,8 @@ def _cd_two_stage_eligible(plan: AggregatePlan) -> bool:
     Expr dataclasses are frozen with structural equality, so ``==`` compares
     the argument trees."""
     holi = [a for a in plan.aggs if a.func in HOLISTIC]
-    if not holi or any(a.func != "count_distinct" for a in holi):
+    two_stage = ("count_distinct", "sum_distinct", "avg_distinct")
+    if not holi or any(a.func not in two_stage for a in holi):
         return False
     return all(a.arg == holi[0].arg for a in holi)
 
@@ -870,10 +871,15 @@ def _count_distinct_two_stage(
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
-    cd_items = [a for a in plan.aggs if a.func == "count_distinct"]
+    _DIST = ("count_distinct", "sum_distinct", "avg_distinct")
+    cd_items = [a for a in plan.aggs if a.func in _DIST]
     cd_a = cd_items[0]  # all share the same arg (eligibility check)
+    # SUM/AVG(DISTINCT) additionally carry the distinct VALUES' sum through
+    # stage 2 (same subgroup key; the value column is already the stage-1
+    # group key, so the extra partial is one int64/float64 per distinct row)
+    need_val = any(a.func in ("sum_distinct", "avg_distinct") for a in cd_items)
     CDK = "__cdv"
-    assoc = tuple(a for a in plan.aggs if a.func != "count_distinct")
+    assoc = tuple(a for a in plan.aggs if a.func not in _DIST)
     ext_plan = AggregatePlan(
         group_by=plan.group_by + (GroupKey(CDK, cd_a.arg),), aggs=assoc
     )
@@ -899,11 +905,23 @@ def _count_distinct_two_stage(
     def block2(t: pa.Table) -> pa.Table:
         # distinct-value indicator: CDK marker 1 ⇔ non-null value
         t = t.append_column("__cd", t[cd_marker].cast(pa.int64()))
+        if need_val:
+            # the distinct value itself, NULL-masked by its marker so the
+            # null-value subgroup contributes to neither sum nor count
+            val = t[CDK]
+            if isinstance(val, pa.ChunkedArray):
+                val = val.combine_chunks()
+            valid = pc.equal(t[cd_marker], 1)
+            t = t.append_column(
+                "__cdsum", pc.if_else(valid, val, pa.scalar(None, val.type))
+            )
         if not key_names and _CONST_KEY not in t.column_names:
             t = t.append_column(
                 _CONST_KEY, pa.array(np.zeros(t.num_rows, dtype=np.int8))
             )
         spec = list(merge_spec) + [("__cd", "sum")]
+        if need_val:
+            spec.append(("__cdsum", "sum"))
         gb = pa.TableGroupBy(t, stage2_keys)
         out = gb.aggregate(spec)
         renames = {f"{p}_{k}": p for p, k in spec}
@@ -911,12 +929,15 @@ def _count_distinct_two_stage(
 
     combined = stage1.map_batches(block2, batch_format="pyarrow", zero_copy_batch=True)
     aggs2: list[Any] = [Sum("__cd", alias_name="__cd", ignore_nulls=True)]
+    if need_val:
+        aggs2.append(Sum("__cdsum", alias_name="__cdsum", ignore_nulls=True))
     for pcol, kind2 in merge_spec:
         cls = {"sum": Sum, "min": Min, "max": Max}[kind2]
         aggs2.append(cls(pcol, alias_name=pcol, ignore_nulls=True))
     merged2 = combined.groupby(stage2_keys).aggregate(*aggs2)
 
-    fin = FinalizeAggregates(fin_plan, ctx, passthrough=[*markers, "__cd"])
+    passthrough = [*markers, "__cd"] + (["__cdsum"] if need_val else [])
+    fin = FinalizeAggregates(fin_plan, ctx, passthrough=passthrough)
     cd_only = AggregatePlan(group_by=(), aggs=tuple(cd_items))
 
     def final(t: pa.Table) -> pa.Table:
@@ -924,10 +945,34 @@ def _count_distinct_two_stage(
         cd = out["__cd"]
         if isinstance(cd, pa.ChunkedArray):
             cd = cd.combine_chunks()
-        out = out.drop_columns(["__cd"])
+        drop = ["__cd"] + (["__cdsum"] if need_val else [])
+        cdsum = None
+        if need_val:
+            cdsum = out["__cdsum"]
+            if isinstance(cdsum, pa.ChunkedArray):
+                cdsum = cdsum.combine_chunks()
+            if pa.types.is_integer(cdsum.type):
+                cdsum = cdsum.cast(pa.int64())
+        out = out.drop_columns(drop)
         cd = pc.fill_null(cd, 0).cast(pa.int64())
-        for a in cd_items:  # every same-arg COUNT(DISTINCT) gets the count
-            out = out.append_column(a.name, cd)
+        for a in cd_items:  # every same-arg distinct aggregate, by kind
+            if a.func == "count_distinct":
+                out = out.append_column(a.name, cd)
+            elif a.func == "sum_distinct":
+                out = out.append_column(a.name, cdsum)
+            else:  # avg_distinct — trunc-toward-zero int division (engine
+                # AVG parity); Arrow int divide truncates toward zero
+                if pa.types.is_integer(cdsum.type):
+                    denom = pc.if_else(pc.greater(cd, 0), cd, pa.scalar(None, pa.int64()))
+                    out = out.append_column(a.name, pc.divide(cdsum, denom))
+                else:
+                    denom = pc.if_else(
+                        pc.greater(cd, 0), cd.cast(pa.float64()),
+                        pa.scalar(None, pa.float64()),
+                    )
+                    out = out.append_column(
+                        a.name, pc.divide(cdsum.cast(pa.float64()), denom)
+                    )
         out = apply_transforms(out, cd_only, ctx)
         order = key_names + [a.name for a in plan.aggs] + markers
         if not key_names and _CONST_KEY in out.column_names:

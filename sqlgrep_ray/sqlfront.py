@@ -1157,6 +1157,16 @@ class Parser:
             ts = self.parse_expr()
             self.expect_op(")")
             return Func(f"timestamp_extract_{part}", (ts,))
+        if lname == "position" and self.at_op("("):
+            # POSITION(needle IN haystack) → strpos(haystack, needle);
+            # the needle parses above comparison precedence so the
+            # connecting IN is not consumed as the IN operator
+            self.expect_op("(")
+            needle = self.parse_expr(5)
+            self.expect_kw("in")
+            hay = self.parse_expr()
+            self.expect_op(")")
+            return Func("strpos", (hay, needle))
         if lname == "array" and self.at_op("["):
             self.expect_op("[")
             items = []
@@ -1962,8 +1972,17 @@ def _agg_item_of(call: AggCall, name: str) -> AggItem:
         if call.distinct:
             return AggItem(name, "count_distinct", call.args[0])
         return AggItem(name, "count", call.args[0])
+    if call.distinct and f in ("sum", "avg"):
+        # SUM/AVG over the group's distinct values — dedicated holistic
+        # aggregates that ride COUNT(DISTINCT)'s skew-safe two-stage path
+        if getattr(call, "agg_order", None) is not None:
+            raise SqlError(
+                "DISTINCT cannot be combined with ORDER BY inside an "
+                "aggregate"
+            )
+        return AggItem(name, f"{f}_distinct", call.args[0])
     if call.distinct and f not in ("min", "max", "array_agg", "string_agg"):
-        # min/max are DISTINCT-invariant; SUM/AVG/STDDEV DISTINCT would
+        # min/max are DISTINCT-invariant; STDDEV DISTINCT etc. would
         # silently compute the wrong value — refuse instead
         raise SqlError(f"DISTINCT is not supported in {f}()")
     if call.distinct and getattr(call, "agg_order", None) is not None:

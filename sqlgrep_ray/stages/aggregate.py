@@ -55,7 +55,10 @@ from sqlgrep_ray.functions.exprs import (
 )
 from sqlgrep_ray.pipelines.plan import AggItem, AggregatePlan
 
-HOLISTIC = {"percentile", "array_agg", "string_agg", "count_distinct"}
+HOLISTIC = {
+    "percentile", "array_agg", "string_agg", "count_distinct",
+    "sum_distinct", "avg_distinct",
+}
 _CONST_KEY = "__gk"
 
 
@@ -404,6 +407,23 @@ def _holistic_value(group: pa.Table, i: int, a: AggItem) -> Any:
         return pa.array([len(col.drop_null())], pa.int64())
     if f == "count_distinct":
         return pa.array([len(pc.unique(col.drop_null()))], pa.int64())
+    if f in ("sum_distinct", "avg_distinct"):
+        # ENGINE EXTENSION: SUM/AVG(DISTINCT x) — aggregate over the
+        # group's distinct non-null values; AVG keeps the engine's
+        # truncating integer division for int inputs (reference AVG
+        # semantics, aggregate_execution.rs:473-489)
+        vals = pc.unique(col.drop_null())
+        if len(vals) == 0:
+            out_t = pa.int64() if pa.types.is_integer(col.type) else pa.float64()
+            return pa.array([None], out_t)
+        s = pc.sum(vals).as_py()
+        if f == "sum_distinct":
+            out_t = pa.int64() if pa.types.is_integer(col.type) else pa.float64()
+            return pa.array([s], out_t)
+        if pa.types.is_integer(col.type):
+            q = -((-s) // len(vals)) if s < 0 else s // len(vals)
+            return pa.array([q], pa.int64())
+        return pa.array([s / len(vals)], pa.float64())
     if f == "sum":
         return pa.array([pc.sum(col).as_py()], col.type)
     if f == "min":

@@ -908,7 +908,11 @@ def test_ordinal_offset_distinct_parse_errors():
     with pytest.raises(SqlError, match="explicit SELECT list"):
         parse_query("SELECT * FROM t ORDER BY 1")
     with pytest.raises(SqlError, match="DISTINCT is not supported"):
-        parse_query("SELECT SUM(DISTINCT x) AS s FROM t GROUP BY k")
+        parse_query("SELECT STDDEV(DISTINCT x) AS s FROM t GROUP BY k")
+    with pytest.raises(SqlError, match="ARRAY_AGG/STRING_AGG only"):
+        parse_query(
+            "SELECT SUM(DISTINCT x ORDER BY x) AS s FROM t GROUP BY k"
+        )
     with pytest.raises(SqlError, match="cannot be combined"):
         parse_query(
             "SELECT ARRAY_AGG(DISTINCT x ORDER BY y) AS s FROM t GROUP BY k"
@@ -1105,3 +1109,168 @@ def test_multikey_join_vs_duckdb(ray_session):
             "SELECT a FROM l RIGHT JOIN r ON l.a = r.x AND l.b = r.y",
             {"l": ray.data.from_arrow(lt), "r": ray.data.from_arrow(rt)},
         )
+
+
+# -- SUM/AVG(DISTINCT) and the round-5 scalar additions --------------------------
+
+
+def test_sql_sum_avg_distinct(ray_session):
+    """SUM/AVG(DISTINCT x) (round-5 extension): grouped via the skew-safe
+    two-stage path (all distinct aggs share one arg), global, the
+    holistic map_groups fallback (mixed with percentile), negative ints
+    (trunc-toward-zero AVG, engine parity), floats, NULL values and an
+    all-NULL group."""
+    import duckdb
+    import numpy as np
+    import pandas.testing as pdt
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    k = rng.integers(0, 7, n).astype("int64")
+    v = rng.integers(-50, 50, n).astype("int64")
+    t = pa.table(
+        {
+            "k": k,
+            # group 6 is all-NULL in v
+            "v": pa.array(v, mask=(rng.random(n) < 0.05) | (k == 6)),
+            "f": pa.array(
+                np.round(rng.random(n) * 10, 3), mask=rng.random(n) < 0.05
+            ),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+
+    def trunc_avg(s, c):
+        if c == 0:
+            return None
+        q = abs(s) // c
+        return -q if s < 0 else q
+
+    # grouped, two-stage eligible (sum/avg/count DISTINCT same arg + COUNT(*))
+    got = (
+        run_sql(
+            "SELECT k, SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad, "
+            "COUNT(DISTINCT v) AS cd, COUNT(*) AS n FROM t GROUP BY k",
+            src,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT k, CAST(SUM(DISTINCT v) AS BIGINT) AS sd, "
+            "COUNT(DISTINCT v) AS cd, COUNT(*) AS n FROM t GROUP BY k"
+        )
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want.insert(
+        2, "ad",
+        [trunc_avg(s, c) if s == s else None
+         for s, c in zip(want["sd"].fillna(np.nan), want["cd"])],
+    )
+    pdt.assert_frame_equal(got, want, check_dtype=False)
+    # the all-NULL group came out NULL for both distinct aggs
+    assert got.loc[got["k"] == 6, "sd"].isna().all()
+    assert got.loc[got["k"] == 6, "ad"].isna().all()
+
+    # float AVG(DISTINCT) — true division
+    gf = (
+        run_sql("SELECT k, AVG(DISTINCT f) AS af FROM t GROUP BY k", src)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    wf = (
+        duckdb.sql("SELECT k, AVG(DISTINCT f) AS af FROM t GROUP BY k")
+        .df().sort_values("k").reset_index(drop=True)
+    )
+    assert np.allclose(gf["af"], wf["af"], equal_nan=True)
+
+    # global (no GROUP BY)
+    gg = run_sql("SELECT SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad FROM t", src).to_pandas()
+    wgs = duckdb.sql("SELECT CAST(SUM(DISTINCT v) AS BIGINT) s, COUNT(DISTINCT v) c FROM t").fetchone()
+    assert gg["sd"].tolist() == [wgs[0]]
+    assert gg["ad"].tolist() == [trunc_avg(wgs[0], wgs[1])]
+
+    # holistic fallback: mixed args disqualify the two-stage path
+    gm = (
+        run_sql(
+            "SELECT k, SUM(DISTINCT v) AS sd, PERCENTILE(f, 0.5) AS p50 "
+            "FROM t GROUP BY k",
+            src,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(
+        gm[["k", "sd"]], want[["k", "sd"]], check_dtype=False
+    )
+
+
+def test_sql_scalar_ext2_functions(ray_session):
+    """Round-5 scalar additions vs DuckDB: trig family, degrees/radians,
+    cbrt, 1-/2-arg log, POSITION(x IN y), translate (delete past-end
+    chars), md5, ascii (0 for ''), chr, to_hex; initcap vs the Postgres
+    word-capitalization shape (DuckDB lacks initcap)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table(
+        {
+            "i": pa.array([0, 1, 5, 255, 1000, None], pa.int64()),
+            "s": pa.array(
+                ["abcabc", "hello world", "", "xyz", None, "foo-bar baz"]
+            ),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    sql = (
+        "SELECT i, round(sin(i), 9) AS sn, round(cos(i), 9) AS cs, "
+        "round(tan(i), 9) AS tn, round(atan(i), 9) AS at1, "
+        "round(atan2(i, 3), 9) AS a2, round(degrees(i), 6) AS dg, "
+        "round(radians(i), 9) AS rd, round(cbrt(i + 1), 9) AS cb, "
+        "round(log(i + 10), 9) AS lg10, round(log(2, i + 10), 9) AS lg2, "
+        "position('b' IN s) AS pb, translate(s, 'abc', 'xy') AS tr, "
+        "md5(s) AS h, ascii(s) AS ac, "
+        "chr(CAST(65 + mod(i, 26) AS INTEGER)) AS ch, to_hex(i) AS hx "
+        "FROM t"
+    )
+    got = run_sql(sql, src).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    con.close()
+    for c in want.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(
+                g.astype(float), w.astype(float), equal_nan=True
+            ), c
+        else:
+            assert g.fillna("__N").tolist() == w.fillna("__N").tolist(), c
+
+    # asin/acos on a bounded domain
+    t2 = pa.table({"x": pa.array([-1.0, -0.5, 0.0, 0.5, 1.0, None])})
+    src2 = {"t": ray.data.from_arrow(t2)}
+    sql2 = ("SELECT round(asin(x), 9) AS a, round(acos(x), 9) AS b FROM t")
+    g2 = run_sql(sql2, src2).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t2)
+    w2 = con.execute(sql2).df()
+    con.close()
+    for c in ("a", "b"):
+        assert np.allclose(g2[c], w2[c], equal_nan=True), c
+
+    # initcap: Postgres shape (no DuckDB twin)
+    g3 = run_sql("SELECT initcap(s) AS t FROM t", src).to_pandas()["t"]
+    assert g3.tolist() == [
+        "Abcabc", "Hello World", "", "Xyz", None, "Foo-Bar Baz"
+    ]
