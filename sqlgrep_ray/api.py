@@ -147,7 +147,8 @@ def _bind_dataset_query(
     right_cols: list[str] = []
     if q.join_table is not None:
         right = _materialize_right(resolve_join(q.join_table))
-        prefix = f"{q.join_table}."
+        # the visible name (alias when given) prefixes joined columns
+        prefix = f"{q.join_alias or q.join_table}."
         right_cols = right.column_names
         join = JoinSpec(
             right=right,
@@ -172,9 +173,9 @@ def _bind_dataset_query(
         n = c.name
         if "." in n:
             t, col = n.split(".", 1)
-            if t == q.table:
+            if t == q.table or t == q.table_alias:
                 return Col(col)
-            if q.join_table is not None and t == q.join_table:
+            if q.join_table is not None and t in (q.join_table, q.join_alias):
                 return Col(prefix + col)
             return c
         if (
@@ -358,7 +359,7 @@ def _apply_in_subqueries(
     def _unqualify(name: str) -> str:
         if "." in name:
             tab, col = name.split(".", 1)
-            return col if tab == q.table else name
+            return col if tab in (q.table, q.table_alias) else name
         return name
 
     for col_name, sub, negated in q.in_subqueries:
@@ -415,7 +416,7 @@ def _apply_in_subqueries(
         (outer_col, sub, key_col, val_col, op, other, sub_on_left, cnt) = entry
         if "." in outer_col:
             tab, col = outer_col.split(".", 1)
-            outer_col = col if tab == q.table else outer_col
+            outer_col = col if tab in (q.table, q.table_alias) else outer_col
         from sqlgrep_ray.functions.exprs import compile_predicate
         from sqlgrep_ray.stages.enrich import BroadcastJoiner, shuffle_join
 
@@ -523,6 +524,12 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
     if isinstance(stmt, SetQuery):
         parts = [_run_sql_stmt(m, env, default) for m in stmt.queries]
         return _finish_set_query(parts, stmt)
+    if stmt.derived:
+        # derived tables (FROM/JOIN (SELECT …) alias) bind like
+        # member-scoped CTEs, shadowing outer names for this query only
+        env = dict(env)
+        for alias, sub in stmt.derived:
+            env[alias] = _run_sql_stmt(sub, env, default)
     src = resolve(stmt.table)
     run_sub = lambda s: _run_sql_stmt(s, env, default)  # noqa: E731
     if stmt.in_subqueries or stmt.corr_scalars:
@@ -730,7 +737,7 @@ class Tables:
         right_cols: list[str] = []
         if q.join_table is not None:
             right = self._build_join_side(q, join_source, text_col)
-            prefix = f"{q.join_table}."
+            prefix = f"{q.join_alias or q.join_table}."
             right_cols = right.column_names
             join = JoinSpec(
                 right=right,
@@ -747,9 +754,9 @@ class Tables:
             n = c.name
             if "." in n:
                 t, col = n.split(".", 1)
-                if t == q.table:
+                if t == q.table or t == q.table_alias:
                     return Col(col)
-                if q.join_table is not None and t == q.join_table:
+                if q.join_table is not None and t in (q.join_table, q.join_alias):
                     return Col(prefix + col)
                 return c
             if (
@@ -807,6 +814,7 @@ class Tables:
             not isinstance(stmt, Query)
             or stmt.in_subqueries
             or stmt.corr_scalars
+            or stmt.derived
             or _has_scalar_subs(stmt.plan)
         ):
             return self._execute_multi(stmt, source, join_source, text_col)
@@ -845,6 +853,19 @@ class Tables:
             if isinstance(m, SetQuery):
                 parts = [run_member(x) for x in m.queries]
                 return _finish_set_query(parts, m)
+            if getattr(m, "derived", ()):
+                # derived tables bind like member-scoped CTEs: evaluate
+                # each subquery, shadow the alias for this member only
+                saved = dict(env)
+                try:
+                    for alias, dsub in m.derived:
+                        env[alias] = run_member(dsub)
+                    return run_member(
+                        dataclasses.replace(m, derived=())
+                    )
+                finally:
+                    env.clear()
+                    env.update(saved)
             if m.table in env:
                 parsed = env[m.table]
                 if m.in_subqueries or m.corr_scalars:

@@ -2286,6 +2286,35 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_derived_alias(sf_dir: str) -> Result:
+    """Derived tables + table aliases (round-5 extension): FROM
+    (SELECT …) t JOIN (SELECT … GROUP BY …) s ON … — each derived table
+    binds like a member-scoped CTE (api._run_sql_stmt), the join side
+    broadcast-materializes exactly like a named table, and alias-
+    qualified references resolve through the normal bind path. The
+    DuckDB replay only adds BIGINT casts for its HUGEINT sums."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT t.source AS source, COUNT(*) AS n, MAX(s.total) AS mx "
+        "FROM (SELECT source, lang FROM docs WHERE n_chars > 100) t "
+        "JOIN (SELECT lang, SUM(n_chars) AS total FROM docs GROUP BY lang) s "
+        "ON t.lang = s.lang "
+        "GROUP BY t.source",
+        {"docs": _t(sf_dir, "documents", ["source", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_DERIVED_ALIAS = """
+SELECT t.source AS source, COUNT(*) AS n, CAST(MAX(s.total) AS BIGINT) AS mx
+FROM (SELECT source, lang FROM documents WHERE n_chars > 100) t
+JOIN (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total
+      FROM documents GROUP BY lang) s
+ON t.lang = s.lang
+GROUP BY t.source
+"""
+
+
 def q_sql_scalar_ext2(sf_dir: str) -> Result:
     """Round-5 scalar-function additions in one projection: trig family
     (sin/cos/atan2 — pyarrow kernels), degrees/radians/cbrt, one-arg
@@ -4126,6 +4155,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_distinct_agg": q_sql_distinct_agg,
     "sql_sum_avg_distinct": q_sql_sum_avg_distinct,
     "sql_scalar_ext2": q_sql_scalar_ext2,
+    "sql_derived_alias": q_sql_derived_alias,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4211,6 +4241,7 @@ ORACLES: dict[str, str] = {
     "sql_distinct_agg": SQL_SQL_DISTINCT_AGG,
     "sql_sum_avg_distinct": SQL_SQL_SUM_AVG_DISTINCT,
     "sql_scalar_ext2": SQL_SQL_SCALAR_EXT2,
+    "sql_derived_alias": SQL_SQL_DERIVED_ALIAS,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

@@ -168,6 +168,18 @@ class Query:
     # streaming filter. Entries are (outer_col, subquery, key_col,
     # val_col, op, other_expr, sub_on_left, count_like).
     corr_scalars: tuple = ()
+    # Derived tables — ``FROM (SELECT …) [AS] alias`` and
+    # ``JOIN (SELECT …) [AS] alias`` (ENGINE EXTENSION). Entries are
+    # (alias, Query | SetQuery); the alias is what ``table`` /
+    # ``join_table`` name, and the executor binds it like a
+    # member-scoped CTE (evaluated once, shadowing outer names).
+    derived: tuple = ()
+    # ``FROM t [AS] a`` / ``JOIN r [AS] b`` aliases (ENGINE EXTENSION).
+    # ``table``/``join_table`` keep the REAL names (source resolution);
+    # qualified column references accept either spelling, and the join
+    # alias (when given) becomes the output-column prefix.
+    table_alias: Optional[str] = None
+    join_alias: Optional[str] = None
 
 
 @dataclass
@@ -226,6 +238,16 @@ _FRAME_UNBOUNDED = 1 << 62
 _CMP_OPS = {"=": "eq", "!=": "ne", "<>": "ne", "<": "lt", "<=": "le",
             ">": "gt", ">=": "ge", "+": "add", "-": "sub", "*": "mul", "/": "div"}
 _EXTRACT_PARTS = {"epoch", "year", "month", "day", "hour", "minute", "second"}
+
+# idents that can follow a FROM/JOIN table and are NOT a bare alias —
+# every keyword that may legally start the next clause
+_ALIAS_STOP = frozenset(
+    {
+        "where", "group", "having", "order", "limit", "offset", "qualify",
+        "union", "intersect", "except", "inner", "left", "right", "full",
+        "outer", "join", "on", "as", "select", "from", "with",
+    }
+)
 
 
 class Parser:
@@ -648,6 +670,9 @@ class Parser:
                     )
             return None
 
+        # correlated subqueries reference the outer table by its visible
+        # name — the alias when one was given
+        outer_name = parts.get("table_alias") or parts["table"]
         if _contains_subquery(where) or any(
             _as_exists_conjunct(c) or _scalar_cmp(c) for c in conjuncts
         ):
@@ -666,7 +691,7 @@ class Parser:
                     # semi/anti-join path; uncorrelated stays a conjunct
                     # for the evaluate-once boolean substitution
                     node, extra_neg = ex
-                    lifted = _decorrelate_exists(node.query, parts["table"])
+                    lifted = _decorrelate_exists(node.query, outer_name)
                     if lifted is None:
                         kept.append(c)
                     else:
@@ -679,7 +704,7 @@ class Parser:
                     # into a per-key aggregate + LEFT join + filter;
                     # uncorrelated stays for the literal substitution
                     node, other, sub_on_left = sc
-                    lifted = _decorrelate_scalar(node.query, parts["table"])
+                    lifted = _decorrelate_scalar(node.query, outer_name)
                     if lifted is None:
                         kept.append(c)
                     else:
@@ -687,7 +712,7 @@ class Parser:
                         corr_scalars.append(
                             (
                                 outer_col, sub2, key_col, val_col, c.op,
-                                _strip_qualifier(other, parts["table"]),
+                                _strip_qualifier(other, outer_name),
                                 sub_on_left, cnt,
                             )
                         )
@@ -730,6 +755,9 @@ class Parser:
             join_how=parts["join_how"],
             in_subqueries=tuple(in_subs),
             corr_scalars=tuple(corr_scalars),
+            derived=tuple(parts.get("derived") or ()),
+            table_alias=parts.get("table_alias"),
+            join_alias=parts.get("join_alias"),
         )
 
     def _parse_select_parts(self) -> dict:
@@ -749,13 +777,42 @@ class Parser:
                 if not self.eat_op(","):
                     break
         self.expect_kw("from")
-        table = self.expect_ident()
+        derived: list = []
         file = None
-        if self.eat_op("::"):
-            ftok = self.next()
-            if ftok.kind != "string":
-                raise SqlError(f"expected file string after ::, got {ftok}")
-            file = ftok.value
+        table_alias = join_alias = None
+
+        def opt_alias() -> Optional[str]:
+            # bare-ident alias: any ident that can't start a clause
+            if self.eat_kw("as"):
+                return self.expect_ident()
+            t = self.peek()
+            if (
+                t is not None and t.kind == "ident"
+                and t.value.lower() not in _ALIAS_STOP
+            ):
+                return self.expect_ident()
+            return None
+
+        if self.at_op("("):
+            # ENGINE EXTENSION: derived table — FROM (SELECT …) [AS] a.
+            # Parsed as a member-scoped anonymous CTE: the subquery binds
+            # to the alias and this member's FROM names the alias.
+            self.expect_op("(")
+            sub = self.parse_set_query()
+            self.expect_op(")")
+            self.eat_kw("as")
+            table = self.expect_ident()
+            derived.append((table, sub))
+        else:
+            table = self.expect_ident()
+            if self.eat_op("::"):
+                ftok = self.next()
+                if ftok.kind != "string":
+                    raise SqlError(
+                        f"expected file string after ::, got {ftok}"
+                    )
+                file = ftok.value
+            table_alias = opt_alias()
 
         join_table = join_file = None
         join_left = join_right = join_how = None
@@ -774,12 +831,22 @@ class Parser:
                 join_how = "left"
                 self.eat_kw("outer")
             self.expect_kw("join")
-            join_table = self.expect_ident()
-            if self.eat_op("::"):
-                ftok = self.next()
-                if ftok.kind != "string":
-                    raise SqlError("expected file string after ::")
-                join_file = ftok.value
+            if self.at_op("("):
+                # derived join side — JOIN (SELECT …) [AS] a ON …
+                self.expect_op("(")
+                jsub = self.parse_set_query()
+                self.expect_op(")")
+                self.eat_kw("as")
+                join_table = self.expect_ident()
+                derived.append((join_table, jsub))
+            else:
+                join_table = self.expect_ident()
+                if self.eat_op("::"):
+                    ftok = self.next()
+                    if ftok.kind != "string":
+                        raise SqlError("expected file string after ::")
+                    join_file = ftok.value
+                join_alias = opt_alias()
             self.expect_kw("on")
             # ENGINE EXTENSION: composite keys — ON a = x AND b = y
             # (the reference accepts exactly one equality,
@@ -787,11 +854,12 @@ class Parser:
             # pair, either table order accepted
             lcols: list[str] = []
             rcols: list[str] = []
+            jnames = {join_table, join_alias} - {None}
             while True:
                 l_tab, l_col = self._parse_qualified()
                 self.expect_op("=")
                 r_tab, r_col = self._parse_qualified()
-                if l_tab == join_table and r_tab != join_table:
+                if l_tab in jnames and r_tab not in jnames:
                     l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
                 lcols.append(l_col)
                 rcols.append(r_col)
@@ -950,6 +1018,8 @@ class Parser:
             "table": table, "file": file, "join_table": join_table,
             "join_file": join_file, "join_left": join_left,
             "join_right": join_right, "join_how": join_how,
+            "derived": tuple(derived),
+            "table_alias": table_alias, "join_alias": join_alias,
         }
 
     def _parse_qualified(self) -> tuple[Optional[str], str]:

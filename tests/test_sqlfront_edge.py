@@ -1274,3 +1274,125 @@ def test_sql_scalar_ext2_functions(ray_session):
     assert g3.tolist() == [
         "Abcabc", "Hello World", "", "Xyz", None, "Foo-Bar Baz"
     ]
+
+
+# -- derived tables and table aliases (round-5 extension) ------------------------
+
+
+def test_derived_table_parse():
+    q = parse_query(
+        "SELECT a FROM (SELECT a FROM base WHERE a > 1) t WHERE a < 9"
+    )
+    assert q.table == "t"
+    assert len(q.derived) == 1 and q.derived[0][0] == "t"
+    assert q.derived[0][1].table == "base"
+    # alias keyword form + bare form both accepted
+    q2 = parse_query("SELECT a FROM (SELECT a FROM base) AS u")
+    assert q2.table == "u"
+    # derived join side
+    q3 = parse_query(
+        "SELECT a FROM l JOIN (SELECT x FROM r) j ON l.a = j.x"
+    )
+    assert q3.join_table == "j" and q3.derived[0][0] == "j"
+    # missing alias is an error
+    with pytest.raises(SqlError):
+        parse_query("SELECT a FROM (SELECT a FROM base) WHERE a > 1")
+
+
+def test_table_alias_parse():
+    q = parse_query("SELECT d.a FROM base d WHERE d.a > 1")
+    assert q.table == "base" and q.table_alias == "d"
+    q2 = parse_query(
+        "SELECT d.a, r.b FROM base AS d JOIN other r ON d.k = r.k"
+    )
+    assert (q2.table, q2.table_alias) == ("base", "d")
+    assert (q2.join_table, q2.join_alias) == ("other", "r")
+    # clause keywords never swallow as aliases
+    q3 = parse_query("SELECT a FROM base WHERE a > 1")
+    assert q3.table_alias is None
+
+
+def test_derived_tables_execute(ray_session):
+    """Derived FROM + derived JOIN + aliases vs DuckDB, nested derived,
+    and the raw-text Tables surface."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table(
+        {
+            "k": ["a", "b", "a", "c", "b", "a", "c", "c"],
+            "v": [1, 2, 3, 4, 5, 6, 7, 8],
+        }
+    )
+    src = {"base": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("base", t)
+
+    # FROM (SELECT ...) t
+    got = sorted(
+        (r["k"], r["n"]) for r in run_sql(
+            "SELECT k, COUNT(*) AS n FROM (SELECT k FROM base WHERE v > 2) t "
+            "GROUP BY k",
+            src,
+        ).take_all()
+    )
+    exp = sorted(
+        con.execute(
+            "SELECT k, COUNT(*) n FROM (SELECT k FROM base WHERE v > 2) t "
+            "GROUP BY k"
+        ).fetchall()
+    )
+    assert got == exp
+
+    # nested derived + set-query derived member
+    got2 = run_sql(
+        "SELECT MAX(n) AS m FROM (SELECT k, COUNT(*) AS n FROM "
+        "(SELECT k FROM base) u GROUP BY k) t",
+        src,
+    ).take_all()
+    assert got2 == [{"m": 3}]
+
+    # aliased FROM joined to a derived aggregate, alias-qualified refs
+    got3 = sorted(
+        (r["k"], r["tot"]) for r in run_sql(
+            "SELECT d.k AS k, s.total AS tot FROM base d JOIN "
+            "(SELECT k, SUM(v) AS total FROM base GROUP BY k) s "
+            "ON d.k = s.k WHERE d.v >= 5",
+            src,
+        ).take_all()
+    )
+    exp3 = sorted(
+        con.execute(
+            "SELECT d.k, CAST(s.total AS BIGINT) FROM base d JOIN "
+            "(SELECT k, SUM(v) AS total FROM base GROUP BY k) s "
+            "ON d.k = s.k WHERE d.v >= 5"
+        ).fetchall()
+    )
+    assert got3 == exp3
+    con.close()
+
+    # same alias reused for DIFFERENT subqueries in set-query members
+    got4 = run_sql(
+        "SELECT COUNT(*) AS n FROM (SELECT k FROM base WHERE v > 6) t "
+        "UNION ALL "
+        "SELECT COUNT(*) AS n FROM (SELECT k FROM base WHERE v <= 6) t",
+        src,
+    ).take_all()
+    assert sorted(r["n"] for r in got4) == [2, 6]
+
+    # raw-text Tables surface
+    from sqlgrep_ray import Tables
+
+    tb = Tables()
+    tb.add_tables(
+        r"CREATE TABLE kv(line = '(\\w+)=(\\d+)', line[1] => k TEXT, line[2] => v INT);"
+    )
+    rows = tb.execute_query_rows(
+        "SELECT k, n FROM (SELECT k, COUNT(*) AS n FROM kv GROUP BY k) t "
+        "WHERE n > 1 ORDER BY k",
+        source=["a=1", "b=2", "a=3", "c=4", "a=5", "b=6"],
+    )
+    assert rows == [{"k": "a", "n": 3}, {"k": "b", "n": 2}]
