@@ -113,7 +113,18 @@ def _rebind_plan(plan, bind_expr, join):
             for k in plan.group_by
         ),
         aggs=tuple(
-            dataclasses.replace(a, arg=bind_expr(a.arg)) for a in plan.aggs
+            dataclasses.replace(
+                a,
+                arg=bind_expr(a.arg),
+                # two-column aggregates carry their second argument
+                # expression in ``extra`` — bind it like ``arg``
+                extra=(
+                    bind_expr(a.extra)
+                    if isinstance(a.extra, Expr)
+                    else a.extra
+                ),
+            )
+            for a in plan.aggs
         ),
         where=bind_expr(plan.where),
         having=bind_expr(plan.having),
@@ -203,6 +214,8 @@ def _plan_exprs(plan) -> list:
         out.extend(k.expr for k in plan.group_by)
         for a in plan.aggs:
             out.extend([a.arg, a.transform])
+            if isinstance(a.extra, Expr):
+                out.append(a.extra)
             if getattr(a, "order", None) is not None:
                 out.append(a.order[0])
         out.extend([plan.where, plan.having])
@@ -304,6 +317,9 @@ def _substitute_scalar_subs(plan, run_sub):
                 a,
                 arg=rewrite(a.arg),
                 transform=rewrite(a.transform),
+                extra=(
+                    rewrite(a.extra) if isinstance(a.extra, Expr) else a.extra
+                ),
                 order=(
                     (rewrite(a.order[0]),) + tuple(a.order[1:])
                     if getattr(a, "order", None) is not None

@@ -2286,6 +2286,48 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_stats_agg(sf_dir: str) -> Result:
+    """Statistical aggregate family (round-5 extension): sample
+    stddev/variance ((n−1), NULL below two observations), two-column
+    COVAR_POP/COVAR_SAMP/CORR with pairwise NULL semantics (all
+    associative — (Σx, Σy, Σxy, Σx², Σy², n) partials through the same
+    combiner-first pipeline as SUM), and MEDIAN as the engine's
+    truncation-index percentile (replayed in DuckDB via the sorted
+    array_agg index, like percentile_price). Floats rounded for a
+    stable cross-engine hash."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT l_returnflag, "
+        "round(stddev_samp(l_quantity), 6) AS ss, "
+        "round(var_samp(l_quantity), 6) AS vs, "
+        "round(covar_samp(l_quantity, l_extendedprice), 2) AS cs, "
+        "round(covar_pop(l_quantity, l_extendedprice), 2) AS cp, "
+        "round(corr(l_quantity, l_extendedprice), 8) AS cr, "
+        "median(l_quantity) AS md "
+        "FROM li GROUP BY l_returnflag",
+        {
+            "li": _t(
+                sf_dir, "lineitem",
+                ["l_returnflag", "l_quantity", "l_extendedprice"],
+            )
+        },
+    )
+
+
+SQL_SQL_STATS_AGG = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS ss,
+       round(var_samp(l_quantity), 6) AS vs,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cs,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS cp,
+       round(corr(l_quantity, l_extendedprice), 8) AS cr,
+       (array_agg(l_quantity ORDER BY l_quantity))
+         [CAST(floor(0.5 * count(*)) AS INT) + 1] AS md
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_sql_derived_alias(sf_dir: str) -> Result:
     """Derived tables + table aliases (round-5 extension): FROM
     (SELECT …) t JOIN (SELECT … GROUP BY …) s ON … — each derived table
@@ -4156,6 +4198,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_sum_avg_distinct": q_sql_sum_avg_distinct,
     "sql_scalar_ext2": q_sql_scalar_ext2,
     "sql_derived_alias": q_sql_derived_alias,
+    "sql_stats_agg": q_sql_stats_agg,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4242,6 +4285,7 @@ ORACLES: dict[str, str] = {
     "sql_sum_avg_distinct": SQL_SQL_SUM_AVG_DISTINCT,
     "sql_scalar_ext2": SQL_SQL_SCALAR_EXT2,
     "sql_derived_alias": SQL_SQL_DERIVED_ALIAS,
+    "sql_stats_agg": SQL_SQL_STATS_AGG,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

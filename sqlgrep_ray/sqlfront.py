@@ -71,6 +71,11 @@ from sqlgrep_ray.schema import (
 AGGREGATE_FUNCS = {
     "count", "min", "max", "sum", "avg", "stddev", "variance",
     "percentile", "bool_and", "bool_or", "array_agg", "string_agg",
+    # ENGINE EXTENSION: statistical family — sample forms (n−1, NULL
+    # below two observations), pop-name aliases, two-column covariance/
+    # correlation (pairwise NULL semantics), MEDIAN as percentile 0.5
+    "stddev_samp", "var_samp", "stddev_pop", "var_pop",
+    "covar_pop", "covar_samp", "corr", "median",
     # ENGINE EXTENSION: HLL++-backed approximate COUNT(DISTINCT) — the
     # fixed-size-sketch scale path (runner._approx_count_distinct_path)
     "approx_count_distinct",
@@ -2061,6 +2066,21 @@ def _agg_item_of(call: AggCall, name: str) -> AggItem:
             "aggregate (the deduped default order is already sorted)"
         )
     distinct = call.distinct and f in ("array_agg", "string_agg")
+    if f in ("stddev_pop", "var_pop"):
+        # the engine's bare STDDEV/VARIANCE are already population
+        # (reference parity, aggregate_execution.rs:490-539)
+        f = {"stddev_pop": "stddev", "var_pop": "variance"}[f]
+    if f == "median":
+        # MEDIAN(x) ≡ PERCENTILE(x, 0.5) — the engine's truncation-index
+        # percentile (no even-count interpolation; documented divergence
+        # from DuckDB's interpolating MEDIAN)
+        if len(call.args) != 1:
+            raise SqlError("median(x) takes one argument")
+        return AggItem(name, "percentile", call.args[0], extra=0.5)
+    if f in ("covar_pop", "covar_samp", "corr"):
+        if len(call.args) != 2:
+            raise SqlError(f"{f}(y, x) needs two arguments")
+        return AggItem(name, f, call.args[0], extra=call.args[1])
     if f == "percentile":
         if len(call.args) != 2 or not isinstance(call.args[1], Lit):
             raise SqlError("percentile(x, p) needs a literal p")

@@ -59,6 +59,12 @@ HOLISTIC = {
     "percentile", "array_agg", "string_agg", "count_distinct",
     "sum_distinct", "avg_distinct",
 }
+# two-column statistical aggregates (ENGINE EXTENSION): the second
+# argument expression rides in AggItem.extra; rows where EITHER side is
+# NULL are excluded (SQL-standard pairwise semantics)
+_TWO_ARG = ("covar_pop", "covar_samp", "corr")
+# sample-variance family shares the population partials (Σx, Σx², n)
+_VAR_FAMILY = ("stddev", "variance", "stddev_samp", "var_samp")
 _CONST_KEY = "__gk"
 
 
@@ -142,6 +148,10 @@ class PartialAggregator:
         self.val_kernels: list[Optional[Kernel]] = [
             compile_expr(a.arg, ctx) if a.arg is not None else None for a in plan.aggs
         ]
+        self.val2_kernels: list[Optional[Kernel]] = [
+            compile_expr(a.extra, ctx) if a.func in _TWO_ARG else None
+            for a in plan.aggs
+        ]
         # pyarrow block-level aggregation spec
         self.pa_aggs: list[tuple[Any, str]] = []
         seen: set[tuple[Any, str]] = set()
@@ -166,10 +176,27 @@ class PartialAggregator:
             if a.func in ("bool_and", "bool_or"):
                 v = v.cast(pa.int8())
             cols[f"__a{i}"] = v
-            if a.func in ("stddev", "variance"):
+            if a.func in _VAR_FAMILY:
                 f = v.cast(pa.float64())
                 cols[f"__a{i}"] = f
                 cols[f"__a{i}sq"] = pc.multiply(f, f)
+            elif a.func in _TWO_ARG:
+                x = v.cast(pa.float64())
+                y = _as_array(self.val2_kernels[i](batch), n).cast(
+                    pa.float64()
+                )
+                # pairwise NULL semantics: drop the row from BOTH sides
+                # when either is NULL, so count(x) counts valid pairs
+                valid = pc.and_(pc.is_valid(x), pc.is_valid(y))
+                nf = pa.scalar(None, pa.float64())
+                x = pc.if_else(valid, x, nf)
+                y = pc.if_else(valid, y, nf)
+                cols[f"__a{i}"] = x
+                cols[f"__a{i}y"] = y
+                cols[f"__a{i}xy"] = pc.multiply(x, y)
+                if a.func == "corr":
+                    cols[f"__a{i}sq"] = pc.multiply(x, x)
+                    cols[f"__a{i}ysq"] = pc.multiply(y, y)
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -192,8 +219,15 @@ def _partial_specs(i: int, a: AggItem) -> list[tuple[Any, str]]:
         return [(v, "max")]
     if f == "avg":
         return [(v, "sum"), (v, "count")]
-    if f in ("stddev", "variance"):
+    if f in _VAR_FAMILY:
         return [(v, "sum"), (f"{v}sq", "sum"), (v, "count")]
+    if f in ("covar_pop", "covar_samp"):
+        return [(v, "sum"), (f"{v}y", "sum"), (f"{v}xy", "sum"), (v, "count")]
+    if f == "corr":
+        return [
+            (v, "sum"), (f"{v}y", "sum"), (f"{v}xy", "sum"),
+            (f"{v}sq", "sum"), (f"{v}ysq", "sum"), (v, "count"),
+        ]
     raise ValueError(f"{f} is not an associative aggregate")
 
 
@@ -318,18 +352,61 @@ def _finalize_one(batch: pa.Table, i: int, a: AggItem) -> pa.Array:
             # integer division (aggregate_execution.rs:473-489)
             return pc.divide(s, c.cast(pa.int64()))
         return pc.divide(s, c.cast(pa.float64()))
-    if f in ("stddev", "variance"):
+    if f in _VAR_FAMILY:
         s = _chunk(batch[f"{v}_sum"]).cast(pa.float64())
         sq = _chunk(batch[f"{v}sq_sum"]).cast(pa.float64())
         n = _chunk(batch[f"{v}_count"]).cast(pa.float64())
-        var = pc.divide(pc.subtract(sq, pc.divide(pc.multiply(s, s), n)), n)
+        # sample forms divide by n-1, NULL below two observations
+        denom = (
+            n
+            if f in ("stddev", "variance")
+            else pc.if_else(
+                pc.greater(n, 1.0),
+                pc.subtract(n, 1.0),
+                pa.scalar(None, pa.float64()),
+            )
+        )
+        var = pc.divide(
+            pc.subtract(sq, pc.divide(pc.multiply(s, s), n)), denom
+        )
         # clamp tiny negative fp residue; skip_nulls=False keeps the NULL of
         # an all-null group (default max_element_wise would coerce it to 0.0
         # — caught by the aggregate property suite)
         var = pc.max_element_wise(
             var, pa.scalar(0.0), options=pc.ElementWiseAggregateOptions(skip_nulls=False)
         )
-        return pc.sqrt(var) if f == "stddev" else var
+        return pc.sqrt(var) if f in ("stddev", "stddev_samp") else var
+    if f in _TWO_ARG:
+        sx = _chunk(batch[f"{v}_sum"]).cast(pa.float64())
+        sy = _chunk(batch[f"{v}y_sum"]).cast(pa.float64())
+        sxy = _chunk(batch[f"{v}xy_sum"]).cast(pa.float64())
+        n = _chunk(batch[f"{v}_count"]).cast(pa.float64())
+        nnull = pa.scalar(None, pa.float64())
+        npos = pc.if_else(pc.greater(n, 0.0), n, nnull)
+        cov_num = pc.subtract(sxy, pc.divide(pc.multiply(sx, sy), npos))
+        if f == "covar_pop":
+            return pc.divide(cov_num, npos)
+        if f == "covar_samp":
+            return pc.divide(
+                cov_num,
+                pc.if_else(pc.greater(n, 1.0), pc.subtract(n, 1.0), nnull),
+            )
+        # corr: cov / (σx·σy); zero variance on either side ⇒ NULL
+        sqx = _chunk(batch[f"{v}sq_sum"]).cast(pa.float64())
+        sqy = _chunk(batch[f"{v}ysq_sum"]).cast(pa.float64())
+        zero = pa.scalar(0.0)
+        opts = pc.ElementWiseAggregateOptions(skip_nulls=False)
+        vx = pc.max_element_wise(
+            pc.subtract(sqx, pc.divide(pc.multiply(sx, sx), npos)), zero,
+            options=opts,
+        )
+        vy = pc.max_element_wise(
+            pc.subtract(sqy, pc.divide(pc.multiply(sy, sy), npos)), zero,
+            options=opts,
+        )
+        den = pc.sqrt(pc.multiply(vx, vy))
+        den = pc.if_else(pc.greater(den, 0.0), den, nnull)
+        return pc.divide(cov_num, den)
     raise ValueError(f"{f} not associative")
 
 
@@ -360,6 +437,11 @@ class GroupEvaluator:
             else None
             for a in plan.aggs
         ]
+        # two-column aggregates: the second argument rides as __a{i}y
+        self.val2_kernels = [
+            compile_expr(a.extra, ctx) if a.func in _TWO_ARG else None
+            for a in plan.aggs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -374,6 +456,9 @@ class GroupEvaluator:
         for i, ok in enumerate(self.ord_kernels):
             if ok is not None:
                 cols[f"__ao{i}"] = _as_array(ok(batch), n)
+        for i, v2 in enumerate(self.val2_kernels):
+            if v2 is not None:
+                cols[f"__a{i}y"] = _as_array(v2(batch), n)
         return pa.table(cols)
 
 
@@ -440,13 +525,36 @@ def _holistic_value(group: pa.Table, i: int, a: AggItem) -> Any:
             q = -((-s) // len(vals)) if s < 0 else s // len(vals)
             return pa.array([q], pa.int64())
         return pa.array([s / len(vals)], pa.float64())
-    if f in ("stddev", "variance"):
+    if f in _VAR_FAMILY:
         vals = col.drop_null().cast(pa.float64()).to_numpy(zero_copy_only=False)
-        if len(vals) == 0:
+        n = len(vals)
+        samp = f in ("stddev_samp", "var_samp")
+        if n == 0 or (samp and n < 2):
             return pa.array([None], pa.float64())
-        var = float(np.mean(vals * vals) - np.mean(vals) ** 2)
-        var = max(var, 0.0)
-        return pa.array([math.sqrt(var) if f == "stddev" else var], pa.float64())
+        var = max(float(np.mean(vals * vals) - np.mean(vals) ** 2), 0.0)
+        if samp:
+            var = var * n / (n - 1)
+        return pa.array(
+            [math.sqrt(var) if f in ("stddev", "stddev_samp") else var],
+            pa.float64(),
+        )
+    if f in _TWO_ARG:
+        y = _chunk(group[f"__a{i}y"])
+        valid = pc.and_(pc.is_valid(col), pc.is_valid(y))
+        x = col.filter(valid).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        yv = y.filter(valid).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        n = len(x)
+        if n == 0 or (f == "covar_samp" and n < 2):
+            return pa.array([None], pa.float64())
+        cov = float(np.mean(x * yv) - np.mean(x) * np.mean(yv))
+        if f == "covar_pop":
+            return pa.array([cov], pa.float64())
+        if f == "covar_samp":
+            return pa.array([cov * n / (n - 1)], pa.float64())
+        vx = max(float(np.mean(x * x) - np.mean(x) ** 2), 0.0)
+        vy = max(float(np.mean(yv * yv) - np.mean(yv) ** 2), 0.0)
+        den = math.sqrt(vx * vy)
+        return pa.array([cov / den if den > 0 else None], pa.float64())
     if f == "percentile":
         # sort, take index (p*len) truncated; OOB ⇒ NULL (:540-543,578-591)
         vals = col.drop_null().sort()

@@ -1396,3 +1396,81 @@ def test_derived_tables_execute(ray_session):
         source=["a=1", "b=2", "a=3", "c=4", "a=5", "b=6"],
     )
     assert rows == [{"k": "a", "n": 3}, {"k": "b", "n": 2}]
+
+
+def test_sql_stats_aggregates(ray_session):
+    """stddev_samp/var_samp/stddev_pop/var_pop, two-column
+    covar_pop/covar_samp/corr (pairwise NULL semantics), MEDIAN — vs
+    DuckDB on the associative combiner path AND the holistic map_groups
+    path (mixed with percentile); degenerate inputs give NULL."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    k = rng.integers(0, 5, n)
+    t = pa.table(
+        {
+            "k": k.astype("int64"),
+            "x": pa.array(rng.normal(0, 10, n), type=pa.float64()),
+            "y": pa.array(rng.normal(5, 2, n) + k, type=pa.float64()),
+        }
+    )
+    nullmask = pa.array(rng.random(n) < 0.1)
+    t = t.set_column(
+        1, "x", pc.if_else(nullmask, pa.scalar(None, pa.float64()), t["x"])
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    sql = (
+        "SELECT k, round(stddev_samp(x), 7) AS ss, round(var_samp(x), 7) AS vs, "
+        "round(stddev_pop(x), 7) AS sp, round(var_pop(x), 7) AS vp, "
+        "round(covar_pop(x, y), 7) AS cp, round(covar_samp(x, y), 7) AS cs2, "
+        "round(corr(x, y), 7) AS cr FROM t GROUP BY k"
+    )
+    got = sorted(run_sql(sql, src).take_all(), key=lambda r: r["k"])
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = sorted(con.execute(sql).fetchall())
+    for g, e in zip(got, exp):
+        gv = (g["k"], g["ss"], g["vs"], g["sp"], g["vp"], g["cp"], g["cs2"], g["cr"])
+        assert all(abs(a - b) < 1e-6 for a, b in zip(gv, e)), (gv, e)
+
+    # holistic path: mixed with percentile forces GroupEvaluator/map_groups
+    sqlh = (
+        "SELECT k, round(corr(x, y), 7) AS cr, round(var_samp(x), 7) AS vs, "
+        "percentile(x, 0.5) AS p FROM t GROUP BY k"
+    )
+    goth = sorted(run_sql(sqlh, src).take_all(), key=lambda r: r["k"])
+    for g, gh in zip(got, goth):
+        assert abs(g["cr"] - gh["cr"]) < 1e-9
+        assert abs(g["vs"] - gh["vs"]) < 1e-9
+
+    # expression second argument binds through the normal path
+    ge = run_sql("SELECT round(covar_pop(x, y + 1.0), 7) AS c FROM t", src).take_all()
+    we = con.execute("SELECT round(covar_pop(x, y + 1.0), 7) FROM t").fetchone()
+    assert abs(ge[0]["c"] - we[0]) < 1e-6
+    con.close()
+
+    # degenerate: single observation / no valid pairs ⇒ NULL
+    e2 = pa.table({"x": pa.array([1.0, None]), "y": pa.array([None, 2.0])})
+    g3 = run_sql(
+        "SELECT covar_samp(x, y) AS c, var_samp(x) AS v, corr(x, y) AS r, "
+        "stddev_samp(x) AS s FROM t",
+        {"t": ray.data.from_arrow(e2)},
+    ).take_all()
+    assert g3 == [{"c": None, "v": None, "r": None, "s": None}]
+
+    # median ≡ percentile 0.5 (engine truncation-index semantics)
+    gm = run_sql("SELECT median(x) AS m, percentile(x, 0.5) AS p FROM t", src).take_all()
+    assert gm[0]["m"] == gm[0]["p"]
+
+    # arity errors
+    with pytest.raises(SqlError):
+        parse_query("SELECT corr(x) AS c FROM t")
+    with pytest.raises(SqlError):
+        parse_query("SELECT median(x, 0.3) AS m FROM t")
