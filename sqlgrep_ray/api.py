@@ -88,9 +88,9 @@ def _rewrite_cols(e: Expr, fn) -> Expr:
     return e
 
 
-def _rebind_plan(plan, bind_expr, join):
+def _rebind_plan(plan, bind_expr, join, extra_joins=()):
     """Apply a column-binding rewrite to every expression slot of a
-    Select/Aggregate plan and attach the join spec (shared by the
+    Select/Aggregate plan and attach the join spec(s) (shared by the
     TableDef-backed ``compile_query`` path and the dataset-bound
     ``run_sql`` path)."""
     if isinstance(plan, SelectPlan):
@@ -105,6 +105,11 @@ def _rebind_plan(plan, bind_expr, join):
             where=bind_expr(plan.where),
             qualify=bind_expr(plan.qualify),
             join=join,
+            extra_joins=tuple(extra_joins),
+            win_inputs=tuple(
+                (nm, bind_expr(e))
+                for nm, e in getattr(plan, "win_inputs", ())
+            ),
         )
     return dataclasses.replace(
         plan,
@@ -129,6 +134,7 @@ def _rebind_plan(plan, bind_expr, join):
         where=bind_expr(plan.where),
         having=bind_expr(plan.having),
         join=join,
+        extra_joins=tuple(extra_joins),
     )
 
 
@@ -154,19 +160,42 @@ def _bind_dataset_query(
     unqualified name found on the right but not the left resolves to the
     qualified joined column (mirrors ``Tables.compile_query``)."""
     join = None
-    prefix = ""
-    right_cols: list[str] = []
+    extra_joins: list[JoinSpec] = []
+    # per-join bind info: visible names → prefix, and the prefixed
+    # right-column sets for unqualified-name resolution
+    bind_joins: list[tuple[set, str, list]] = []
     if q.join_table is not None:
         right = _materialize_right(resolve_join(q.join_table))
         # the visible name (alias when given) prefixes joined columns
         prefix = f"{q.join_alias or q.join_table}."
-        right_cols = right.column_names
+        bind_joins.append(
+            ({q.join_table, q.join_alias} - {None}, prefix, right.column_names)
+        )
         join = JoinSpec(
             right=right,
             left_key=q.join_left_col,
             right_key=q.join_right_col,
             how=q.join_how if q.join_how in ("left", "right") else "inner",
             right_prefix=prefix,
+        )
+    for jtable, jfile, jalias, jleft, jright, jhow in getattr(
+        q, "extra_joins", ()
+    ):
+        if jfile is not None:
+            raise SqlError(
+                "::'file' bindings are not supported on chained joins"
+            )
+        right = _materialize_right(resolve_join(jtable))
+        prefix = f"{jalias or jtable}."
+        bind_joins.append(({jtable, jalias} - {None}, prefix, right.column_names))
+        extra_joins.append(
+            JoinSpec(
+                right=right,
+                left_key=jleft,
+                right_key=jright,
+                how=jhow if jhow == "left" else "inner",
+                right_prefix=prefix,
+            )
         )
 
     left_names_cache: list = []
@@ -186,21 +215,22 @@ def _bind_dataset_query(
             t, col = n.split(".", 1)
             if t == q.table or t == q.table_alias:
                 return Col(col)
-            if q.join_table is not None and t in (q.join_table, q.join_alias):
-                return Col(prefix + col)
+            for names, prefix, _cols in bind_joins:
+                if t in names:
+                    return Col(prefix + col)
             return c
-        if (
-            q.join_table is not None
-            and n in right_cols
-            and n not in left_names()
-        ):
-            return Col(prefix + n)
+        if bind_joins and n not in left_names():
+            # unqualified name found on a joined side resolves to its
+            # prefixed output column (first match in declaration order)
+            for names, prefix, rcols in bind_joins:
+                if n in rcols:
+                    return Col(prefix + n)
         return c
 
     def bind_expr(e: Optional[Expr]) -> Optional[Expr]:
         return None if e is None else _rewrite_cols(e, bind)
 
-    return _rebind_plan(q.plan, bind_expr, join)
+    return _rebind_plan(q.plan, bind_expr, join, extra_joins)
 
 
 def _plan_exprs(plan) -> list:
@@ -731,10 +761,16 @@ class Tables:
         """Compile sql → (Query, bound plan builder). Returns a closure
         ``run(ds) -> Dataset`` plus the parse stage pre-applied."""
         q = parse_query(sql)
-        if not isinstance(q, Query) or q.in_subqueries or q.corr_scalars:
+        if (
+            not isinstance(q, Query)
+            or q.in_subqueries
+            or q.corr_scalars
+            or q.derived
+            or q.extra_joins
+        ):
             raise SqlError(
-                "compile_query takes a single SELECT without subqueries; "
-                "use execute_query for WITH / UNION / IN (SELECT …)"
+                "compile_query takes a single SELECT without subqueries, "
+                "derived tables or multi-join chains; use execute_query"
             )
         return self._compile_parsed(q, join_source, text_col)
 
@@ -831,6 +867,7 @@ class Tables:
             or stmt.in_subqueries
             or stmt.corr_scalars
             or stmt.derived
+            or stmt.extra_joins
             or _has_scalar_subs(stmt.plan)
         ):
             return self._execute_multi(stmt, source, join_source, text_col)
@@ -890,7 +927,9 @@ class Tables:
                 if _has_scalar_subs(plan):
                     plan = _substitute_scalar_subs(plan, run_member)
                 return run_plan(parsed, plan)
-            if m.in_subqueries or m.corr_scalars or (
+            if m.in_subqueries or m.corr_scalars or getattr(
+                m, "extra_joins", ()
+            ) or (
                 m.join_table is not None and m.join_table in env
             ):
                 # the FROM stream needs pre-plan stages (subquery

@@ -2286,6 +2286,104 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_range_frames(sf_dir: str) -> Result:
+    """RANGE frames with FOLLOWING bounds (round-5 extension): value-
+    offset windows both directions over a numeric order column —
+    ``RANGE BETWEEN x PRECEDING AND y FOLLOWING``, ``CURRENT ROW AND y
+    FOLLOWING`` (start = first peer), ``UNBOUNDED PRECEDING AND y
+    FOLLOWING``, ``x PRECEDING AND UNBOUNDED FOLLOWING``. The frame end
+    is a second vectorized per-row binary search (window.range_end),
+    mirroring range_start; identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT event_id, "
+        "SUM(user_id) OVER (PARTITION BY event_type ORDER BY event_id "
+        "RANGE BETWEEN 50 PRECEDING AND 20 FOLLOWING) AS s, "
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id "
+        "RANGE BETWEEN CURRENT ROW AND 30 FOLLOWING) AS c, "
+        "round(AVG(user_id) OVER (PARTITION BY event_type ORDER BY event_id "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING), 6) AS a "
+        "FROM ev",
+        {"ev": _t(sf_dir, "events", ["event_id", "event_type", "user_id"])},
+    )
+
+
+SQL_SQL_RANGE_FRAMES = """
+SELECT event_id,
+  CAST(SUM(user_id) OVER (PARTITION BY event_type ORDER BY event_id
+       RANGE BETWEEN 50 PRECEDING AND 20 FOLLOWING) AS BIGINT) AS s,
+  COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id
+       RANGE BETWEEN CURRENT ROW AND 30 FOLLOWING) AS c,
+  round(AVG(user_id) OVER (PARTITION BY event_type ORDER BY event_id
+       RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING), 6) AS a
+FROM events
+"""
+
+
+def q_sql_multi_join(sf_dir: str) -> Result:
+    """Multi-join chains (round-5 extension): FROM customer JOIN nation
+    JOIN region — each further JOIN is one more broadcast map_batches
+    stage over the stream (Query.extra_joins → runner loop), no
+    intermediate materialization; a chained ON may reference an earlier
+    join's columns through its prefixed stream name. The identical SQL
+    runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT r.r_name AS region, n.n_name AS nation_name, "
+        "COUNT(*) AS n, MIN(c.c_acctbal) AS min_bal "
+        "FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name, n.n_name",
+        {
+            "customer": _t(
+                sf_dir, "customer", ["c_nationkey", "c_acctbal"]
+            ),
+            "nation": _t(sf_dir, "nation", None),
+            "region": _t(sf_dir, "region", None),
+        },
+    )
+
+
+SQL_SQL_MULTI_JOIN = """
+SELECT r.r_name AS region, n.n_name AS nation_name,
+       COUNT(*) AS n, MIN(c.c_acctbal) AS min_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def q_sql_window_expr(sf_dir: str) -> Result:
+    """Expression arguments to window functions (round-5 extension):
+    ``SUM(a*b) OVER …`` / ``LAG(a+1) OVER …`` — the expression lifts
+    into ONE hidden pre-window column (__wv*) computed by a streaming
+    map_batches BEFORE the bucket exchange (sqlfront convert_query
+    lift → runner.run_select), so the window kernels stay plain-column
+    and the exchange ships the evaluated value, not its inputs."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT event_id, "
+        "SUM(user_id * 2) OVER (PARTITION BY event_type ORDER BY event_id) AS s, "
+        "LAG(user_id + 1) OVER (PARTITION BY event_type ORDER BY event_id) AS lg "
+        "FROM ev",
+        {"ev": _t(sf_dir, "events", ["event_id", "event_type", "user_id"])},
+    )
+
+
+SQL_SQL_WINDOW_EXPR = """
+SELECT event_id,
+  CAST(SUM(user_id * 2) OVER (PARTITION BY event_type ORDER BY event_id)
+       AS BIGINT) AS s,
+  LAG(user_id + 1) OVER (PARTITION BY event_type ORDER BY event_id) AS lg
+FROM events
+"""
+
+
 def q_sql_stats_agg(sf_dir: str) -> Result:
     """Statistical aggregate family (round-5 extension): sample
     stddev/variance ((n−1), NULL below two observations), two-column
@@ -4199,6 +4297,9 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_scalar_ext2": q_sql_scalar_ext2,
     "sql_derived_alias": q_sql_derived_alias,
     "sql_stats_agg": q_sql_stats_agg,
+    "sql_window_expr": q_sql_window_expr,
+    "sql_multi_join": q_sql_multi_join,
+    "sql_range_frames": q_sql_range_frames,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4286,6 +4387,9 @@ ORACLES: dict[str, str] = {
     "sql_scalar_ext2": SQL_SQL_SCALAR_EXT2,
     "sql_derived_alias": SQL_SQL_DERIVED_ALIAS,
     "sql_stats_agg": SQL_SQL_STATS_AGG,
+    "sql_window_expr": SQL_SQL_WINDOW_EXPR,
+    "sql_multi_join": SQL_SQL_MULTI_JOIN,
+    "sql_range_frames": SQL_SQL_RANGE_FRAMES,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

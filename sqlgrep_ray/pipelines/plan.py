@@ -79,6 +79,9 @@ class SelectPlan:
     projections: Optional[tuple[Projection, ...]] = None  # None ⇒ wildcard
     where: Optional[Expr] = None
     join: Optional[JoinSpec] = None
+    # ENGINE EXTENSION: multi-join chains — joins past the first, applied
+    # in declaration order as further broadcast map_batches stages
+    extra_joins: "tuple[JoinSpec, ...]" = ()
     distinct: bool = False
     limit: Optional[int] = None
     # ENGINE EXTENSION: OFFSET m (requires LIMIT) — skip the first m rows
@@ -99,6 +102,12 @@ class SelectPlan:
     # vectorized map_batches (list_flatten + parent-row take), streaming,
     # no shuffle. At most one per SELECT.
     unnest: "Optional[tuple]" = None
+    # ENGINE EXTENSION: hidden pre-window input columns — (name, expr)
+    # pairs evaluated once per batch (streaming map_batches) before the
+    # window exchange, backing expression arguments like
+    # ``SUM(x + 1) OVER …``; pruned from the final projection like
+    # ``__win*`` outputs.
+    win_inputs: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -146,6 +155,9 @@ class AggregatePlan:
     aggs: tuple[AggItem, ...] = ()
     where: Optional[Expr] = None
     join: Optional[JoinSpec] = None
+    # ENGINE EXTENSION: multi-join chains — joins past the first, applied
+    # in declaration order as further broadcast map_batches stages
+    extra_joins: "tuple[JoinSpec, ...]" = ()
     having: Optional[Expr] = None
     distinct: bool = False
     limit: Optional[int] = None

@@ -91,11 +91,17 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
         if unnest is not None:
             cols.discard(unnest[0])
             walk(unnest[1])
+        # hidden pre-window input columns: the real input need is the
+        # backing expression's columns, not the __wv* name
+        win_input_names = set()
+        for nm, e in getattr(plan, "win_inputs", ()):
+            win_input_names.add(nm)
+            walk(e)
         # window stages: projections/QUALIFY reference the HIDDEN output
         # columns; the inputs are the window's value/partition/order cols
         for w in getattr(plan, "windows", ()):
             cols.discard(w.out_col)
-            if w.value_col:
+            if w.value_col and w.value_col not in win_input_names:
                 cols.add(w.value_col)
             if w.key is not None:  # None = global window (constant key)
                 for k in [w.key] if isinstance(w.key, str) else list(w.key):
@@ -629,6 +635,8 @@ def run_select(
 ) -> "ray.data.Dataset":
     ds_entry = ds  # pre-join/filter input: cheap (often metadata-only)
     ds = _apply_join(ds, plan.join, force_inner=False)
+    for _xj in getattr(plan, "extra_joins", ()):
+        ds = _apply_join(ds, _xj, force_inner=False)
     ds = _apply_where(ds, plan.where, ctx)
 
     windows = getattr(plan, "windows", ())
@@ -647,6 +655,24 @@ def run_select(
             needed = referenced_columns(plan)
             if needed:
                 ds = ds.select_columns(needed)
+
+        # hidden pre-window inputs (expression window arguments): one
+        # streaming map_batches evaluates every __wv* column before the
+        # exchange, so the window kernels see plain columns
+        win_inputs = getattr(plan, "win_inputs", ())
+        if win_inputs:
+            wi_kernels = [
+                (nm, compile_expr(e, ctx)) for nm, e in win_inputs
+            ]
+
+            def _add_win_inputs(t: pa.Table) -> pa.Table:
+                for nm, kern in wi_kernels:
+                    t = t.append_column(nm, _as_array(kern(t), t.num_rows))
+                return t
+
+            ds = ds.map_batches(
+                _add_win_inputs, batch_format="pyarrow", zero_copy_batch=True
+            )
 
         # ONE bucket shuffle per distinct (PARTITION BY, ORDER BY) frame:
         # every window function sharing a frame computes in a single
@@ -1297,6 +1323,10 @@ def _grouping_sets_path(
     and is dropped from the final result (standard SQL output, where both
     look like NULL)."""
     ds = _apply_join(ds, plan.join, force_inner=True)
+    for _xj in getattr(plan, "extra_joins", ()):
+        # chained joins under aggregation get the same OUTER→INNER
+        # downgrade as the first join (execution_engine.rs:227-244)
+        ds = _apply_join(ds, _xj, force_inner=True)
     ds = _apply_where(ds, plan.where, ctx)
 
     kernels = [compile_expr(k.expr, ctx) for k in plan.group_by]
@@ -1390,6 +1420,10 @@ def run_aggregate(
         return _grouping_sets_path(ds, plan, ctx)
     # OUTER degrades to INNER under aggregation (execution_engine.rs:227-244)
     ds = _apply_join(ds, plan.join, force_inner=True)
+    for _xj in getattr(plan, "extra_joins", ()):
+        # chained joins under aggregation get the same OUTER→INNER
+        # downgrade as the first join (execution_engine.rs:227-244)
+        ds = _apply_join(ds, _xj, force_inner=True)
     ds = _apply_where(ds, plan.where, ctx)
 
     if any(a.func == "approx_count_distinct" for a in plan.aggs):

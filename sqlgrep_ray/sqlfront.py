@@ -185,6 +185,11 @@ class Query:
     # alias (when given) becomes the output-column prefix.
     table_alias: Optional[str] = None
     join_alias: Optional[str] = None
+    # Multi-join chains (ENGINE EXTENSION): joins past the first, applied
+    # in declaration order as further broadcast stages. Entries are
+    # (table, file, alias, left_key, right_key, how); a stream-side key
+    # owned by an earlier join is pre-resolved to its prefixed name.
+    extra_joins: tuple = ()
 
 
 @dataclass
@@ -334,13 +339,15 @@ class Parser:
         self.expect_kw("between")
         preceding: Optional[float] = None
         if self.eat_kw("current"):
-            # CURRENT ROW AND <m> FOLLOWING (0-lookback sliding window)
+            # CURRENT ROW AND <m> FOLLOWING (0-lookback sliding window);
+            # for RANGE the start is the first PEER (preceding=0 value
+            # offset — SQL's RANGE CURRENT ROW start)
             self.expect_kw("row")
-            if kind != "rows":
-                raise SqlError(
-                    "RANGE BETWEEN CURRENT ROW AND ... is not supported"
-                )
             self.expect_kw("and")
+            if kind == "range":
+                y = self._parse_range_bound()
+                self.expect_kw("following")
+                return "range", 0.0, y
             t = self.next()
             if t.kind != "number" or isinstance(t.value, float):
                 raise SqlError(
@@ -383,16 +390,17 @@ class Parser:
             if self.eat_kw("current"):
                 self.expect_kw("row")
                 return kind, preceding, None
-            if kind != "rows":
-                raise SqlError(
-                    "bounded RANGE frames end at CURRENT ROW"
-                )
             if self.eat_kw("unbounded"):
-                # n PRECEDING AND UNBOUNDED FOLLOWING: the huge row bound
-                # clamps to the partition end inside the kernel —
-                # min(part_end, pos + _FRAME_UNBOUNDED) == part_end
+                # n PRECEDING AND UNBOUNDED FOLLOWING: the huge bound
+                # clamps to the partition end inside the kernel
                 self.expect_kw("following")
-                return "rows", preceding, _FRAME_UNBOUNDED
+                return kind, preceding, _FRAME_UNBOUNDED
+            if kind == "range":
+                # RANGE x PRECEDING AND y FOLLOWING: value offsets both
+                # ways (round-5 extension; numeric or interval bounds)
+                y = self._parse_range_bound()
+                self.expect_kw("following")
+                return "range", preceding, y
             t = self.next()
             if t.kind != "number" or isinstance(t.value, float):
                 raise SqlError(
@@ -405,13 +413,19 @@ class Parser:
         if self.eat_kw("unbounded"):
             self.expect_kw("following")
             return "full", None, None
-        if self.peek() is not None and self.peek().kind == "number":
+        if self.peek() is not None and (
+            self.peek().kind == "number"
+            or (
+                kind == "range"
+                and (self.at_kw("interval") or self.peek().kind == "string")
+            )
+        ):
             # UNBOUNDED PRECEDING AND m FOLLOWING: huge lookback clamps to
             # the partition start — max(first, pos - _FRAME_UNBOUNDED)
-            if kind != "rows":
-                raise SqlError(
-                    "RANGE frames with a FOLLOWING bound are not supported"
-                )
+            if kind == "range":
+                y = self._parse_range_bound()
+                self.expect_kw("following")
+                return "range", float(_FRAME_UNBOUNDED), y
             t = self.next()
             if isinstance(t.value, float):
                 raise SqlError("ROWS frames need an integer bound")
@@ -420,6 +434,34 @@ class Parser:
         self.expect_kw("current")
         self.expect_kw("row")
         return kind, None, None
+
+    def _parse_range_bound(self) -> float:
+        """A RANGE frame offset: a number (order-VALUE distance) or an
+        ``[INTERVAL] 'H:M:S'`` literal (µs distance over a timestamp
+        order column)."""
+        if self.at_kw("interval") or (
+            self.peek() is not None and self.peek().kind == "string"
+        ):
+            self.eat_kw("interval")
+            t = self.next()
+            if t.kind != "string":
+                raise SqlError(
+                    f"expected an 'H:M:S' interval literal, got {t}"
+                )
+            from sqlgrep_ray.stages.parse import _parse_interval_us
+
+            us = _parse_interval_us(t.value)
+            if us is None:
+                raise SqlError(
+                    f"bad interval literal {t.value!r} (want 'H:M:S')"
+                )
+            return us
+        t = self.next()
+        if t.kind != "number":
+            raise SqlError(
+                f"expected a number or interval before FOLLOWING, got {t}"
+            )
+        return t.value
 
     # -- statements --------------------------------------------------------
 
@@ -763,6 +805,7 @@ class Parser:
             derived=tuple(parts.get("derived") or ()),
             table_alias=parts.get("table_alias"),
             join_alias=parts.get("join_alias"),
+            extra_joins=tuple(parts.get("extra_joins") or ()),
         )
 
     def _parse_select_parts(self) -> dict:
@@ -821,8 +864,12 @@ class Parser:
 
         join_table = join_file = None
         join_left = join_right = join_how = None
-        if self.at_kw("inner", "outer", "full", "left", "right", "join"):
-            join_how = "inner"
+        extra_joins: list[tuple] = []
+        # joined columns of earlier joins ride prefixed "<visible>.<col>";
+        # either spelling (table name or alias) maps to the visible prefix
+        prior_prefix: dict[str, str] = {}
+        while self.at_kw("inner", "outer", "full", "left", "right", "join"):
+            how_i = "inner"
             if self.eat_kw("inner"):
                 pass
             elif self.eat_kw("right"):
@@ -830,28 +877,29 @@ class Parser:
                 # (OUTER/FULL are its spellings of streamed-side left-outer,
                 # join.rs:125-138); all joined-table rows survive, unmatched
                 # ones NULL-extended on the streamed side
-                join_how = "right"
+                how_i = "right"
                 self.eat_kw("outer")
             elif self.eat_kw("outer") or self.eat_kw("full") or self.eat_kw("left"):
-                join_how = "left"
+                how_i = "left"
                 self.eat_kw("outer")
             self.expect_kw("join")
+            jtable_i = jfile_i = jalias_i = None
             if self.at_op("("):
                 # derived join side — JOIN (SELECT …) [AS] a ON …
                 self.expect_op("(")
                 jsub = self.parse_set_query()
                 self.expect_op(")")
                 self.eat_kw("as")
-                join_table = self.expect_ident()
-                derived.append((join_table, jsub))
+                jtable_i = self.expect_ident()
+                derived.append((jtable_i, jsub))
             else:
-                join_table = self.expect_ident()
+                jtable_i = self.expect_ident()
                 if self.eat_op("::"):
                     ftok = self.next()
                     if ftok.kind != "string":
                         raise SqlError("expected file string after ::")
-                    join_file = ftok.value
-                join_alias = opt_alias()
+                    jfile_i = ftok.value
+                jalias_i = opt_alias()
             self.expect_kw("on")
             # ENGINE EXTENSION: composite keys — ON a = x AND b = y
             # (the reference accepts exactly one equality,
@@ -859,19 +907,43 @@ class Parser:
             # pair, either table order accepted
             lcols: list[str] = []
             rcols: list[str] = []
-            jnames = {join_table, join_alias} - {None}
+            jnames = {jtable_i, jalias_i} - {None}
             while True:
                 l_tab, l_col = self._parse_qualified()
                 self.expect_op("=")
                 r_tab, r_col = self._parse_qualified()
                 if l_tab in jnames and r_tab not in jnames:
                     l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
+                # multi-join chains: a stream-side key that belongs to an
+                # EARLIER join rides under its prefixed output name
+                if l_tab in prior_prefix:
+                    l_col = f"{prior_prefix[l_tab]}.{l_col}"
                 lcols.append(l_col)
                 rcols.append(r_col)
                 if not self.eat_kw("and"):
                     break
-            join_left = lcols[0] if len(lcols) == 1 else tuple(lcols)
-            join_right = rcols[0] if len(rcols) == 1 else tuple(rcols)
+            jleft = lcols[0] if len(lcols) == 1 else tuple(lcols)
+            jright = rcols[0] if len(rcols) == 1 else tuple(rcols)
+            if join_table is None and not extra_joins:
+                join_table, join_file = jtable_i, jfile_i
+                join_alias = jalias_i
+                join_left, join_right, join_how = jleft, jright, how_i
+            else:
+                # ENGINE EXTENSION: multi-join chain — each further JOIN
+                # is one more broadcast stage over the stream (no
+                # intermediate materialization; runner applies them in
+                # declaration order)
+                if how_i == "right":
+                    raise SqlError(
+                        "RIGHT JOIN is only supported as the first join "
+                        "of a chain"
+                    )
+                extra_joins.append(
+                    (jtable_i, jfile_i, jalias_i, jleft, jright, how_i)
+                )
+            visible = jalias_i or jtable_i
+            prior_prefix[visible] = visible
+            prior_prefix[jtable_i] = visible
 
         where = self.parse_expr() if self.eat_kw("where") else None
 
@@ -1025,6 +1097,7 @@ class Parser:
             "join_right": join_right, "join_how": join_how,
             "derived": tuple(derived),
             "table_alias": table_alias, "join_alias": join_alias,
+            "extra_joins": tuple(extra_joins),
         }
 
     def _parse_qualified(self) -> tuple[Optional[str], str]:
@@ -1316,11 +1389,14 @@ class Parser:
                         raise SqlError(f"{fname}() takes no arguments")
                     value = ""
                 else:
-                    if not args or not isinstance(args[0], Col):
-                        raise SqlError(
-                            f"{fname}() needs a plain column argument"
-                        )
-                    value = args[0].name
+                    if not args:
+                        raise SqlError(f"{fname}() needs an argument")
+                    # ENGINE EXTENSION: expression arguments — a non-Col
+                    # argument rides as the Expr itself; convert_query
+                    # lifts it into a hidden pre-window input column
+                    value = (
+                        args[0].name if isinstance(args[0], Col) else args[0]
+                    )
                     if fname == "nth_value":
                         if (
                             len(args) != 2
@@ -1418,11 +1494,17 @@ class Parser:
                         if fname != "count":
                             raise SqlError("* only valid in count()")
                         value = ""  # COUNT(*): peer-aware run_count_star
-                    elif len(args) == 1 and isinstance(args[0], Col):
-                        value = args[0].name
+                    elif len(args) == 1:
+                        # plain column, or an expression lifted into a
+                        # hidden pre-window input column by convert_query
+                        value = (
+                            args[0].name
+                            if isinstance(args[0], Col)
+                            else args[0]
+                        )
                     else:
                         raise SqlError(
-                            f"{fname}() OVER needs a plain column argument"
+                            f"{fname}() OVER needs one argument"
                         )
                     self.expect_kw("over")
                     self.expect_op("(")
@@ -2126,6 +2208,8 @@ def convert_query(
             raise SqlError("window functions are not allowed in WHERE")
         specs: list[WindowSpec] = []
         spec_of: dict = {}  # identical OVER calls compute once
+        win_inputs: list[tuple[str, Expr]] = []  # hidden pre-window cols
+        win_input_of: dict = {}  # identical value exprs compute once
 
         def lift(e: Expr) -> Expr:
             for wc in _find_windows(e):
@@ -2133,9 +2217,24 @@ def convert_query(
                 if out is None:
                     out = f"__win{len(specs)}"
                     spec_of[wc] = out
+                    vcol = wc.value_col
+                    if vcol is not None and not isinstance(vcol, str):
+                        # expression argument: evaluate once per batch
+                        # into a hidden column BEFORE the window exchange
+                        if _find_windows(vcol):
+                            raise SqlError(
+                                "window functions cannot nest inside a "
+                                "window argument"
+                            )
+                        hid = win_input_of.get(vcol)
+                        if hid is None:
+                            hid = f"__wv{len(win_inputs)}"
+                            win_input_of[vcol] = hid
+                            win_inputs.append((hid, vcol))
+                        vcol = hid
                     specs.append(
                         WindowSpec(
-                            out, wc.func, wc.value_col, wc.key, wc.order,
+                            out, wc.func, vcol, wc.key, wc.order,
                             wc.offset, wc.frame, wc.default, wc.preceding,
                             wc.following,
                             ignore_nulls=getattr(wc, "ignore_nulls", False),
@@ -2203,6 +2302,7 @@ def convert_query(
             ),
             windows=tuple(specs), qualify=qualify,
             unnest=unnest_slot,
+            win_inputs=tuple(win_inputs),
         )
 
     # aggregate statement

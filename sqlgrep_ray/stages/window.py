@@ -577,6 +577,10 @@ _RUNNING_FUNCS = frozenset(
     {"run_sum", "run_avg", "run_count", "run_count_star", "run_min", "run_max"}
 )
 
+# a RANGE bound at/above this value means UNBOUNDED on that side (the
+# parser's _FRAME_UNBOUNDED, 1 << 62, arrives as a float offset)
+_RANGE_UNBOUNDED = float(1 << 61)
+
 
 def _win_empty_type(f: WinFunc, schema: pa.Schema) -> pa.DataType:
     if f.func in ("lag", "lead", "first_value", "last_value", "nth_value"):
@@ -696,10 +700,15 @@ def partition_windows(
                     "a bounded (m FOLLOWING) frame applies only to "
                     "SUM/AVG/COUNT/COUNT(*) running aggregates"
                 )
-            if f.frame != "rows" or f.preceding is None:
+            if f.frame not in ("rows", "range") or f.preceding is None:
                 raise ValueError(
-                    "m FOLLOWING requires ROWS BETWEEN n PRECEDING AND "
-                    "m FOLLOWING"
+                    "m FOLLOWING requires a ROWS or RANGE frame with an "
+                    "explicit start bound"
+                )
+            if f.frame == "range" and not plain_order:
+                raise ValueError(
+                    "RANGE … FOLLOWING requires a single ascending "
+                    "ORDER BY column"
                 )
             if f.following < 0:
                 raise ValueError("following must be >= 0")
@@ -856,6 +865,49 @@ def partition_windows(
                 lo = np.where(open_ & ~ge, mid + 1, lo)
             range_start_cache[x] = lo
             return lo
+
+        range_end_cache: dict = {}
+
+        def range_end(y) -> np.ndarray:
+            # RANGE y FOLLOWING frame end: per row, the LAST index j in
+            # its partition with o[j] <= o[i] + y — the mirror of
+            # range_start (same vectorized binary search, upward). NULL
+            # order rows (o = +inf) get target inf, so their frame end is
+            # the partition end — the whole NULL peer run, SQL's
+            # NULLs-as-one-peer-group semantics with no special case.
+            cached = range_end_cache.get(y)
+            if cached is not None:
+                return cached
+            oarr2 = g[order_col].combine_chunks()
+            if pa.types.is_timestamp(oarr2.type):
+                oarr2 = oarr2.cast(pa.timestamp("us")).cast(pa.int64())
+            elif not (
+                pa.types.is_integer(oarr2.type)
+                or pa.types.is_floating(oarr2.type)
+            ):
+                raise ValueError(
+                    "RANGE y FOLLOWING needs a numeric or timestamp order "
+                    f"column (got {oarr2.type})"
+                )
+            o = pc.fill_null(oarr2.cast(pa.float64()), np.inf).to_numpy(
+                zero_copy_only=False
+            )
+            target = o + float(y)
+            pe = part_end()
+            # first index in (pos, pe] with o > target, minus one
+            lo = pos.copy()
+            hi = pe + 1
+            while True:
+                open_ = lo < hi
+                if not open_.any():
+                    break
+                mid = (lo + hi) // 2
+                le = o[np.minimum(mid, pe)] <= target
+                lo = np.where(open_ & le, mid + 1, lo)
+                hi = np.where(open_ & ~le, mid, hi)
+            out = lo - 1
+            range_end_cache[y] = out
+            return out
         for f in funcs:
             if f.func in ("lag", "lead") and f.ignore_nulls:
                 # k-th NON-NULL value before/after the current row within
@@ -1023,7 +1075,18 @@ def partition_windows(
                 # min(end, i+m)]; RANGE x PRECEDING → rows in
                 # [range_start, last peer].
                 if f.preceding is not None and f.frame == "range":
-                    out = tie_run_end() - range_start(f.preceding) + 1
+                    j0 = (
+                        first_of_key
+                        if f.preceding >= _RANGE_UNBOUNDED
+                        else range_start(f.preceding)
+                    )
+                    if f.following is None:
+                        j1 = tie_run_end()
+                    elif f.following >= _RANGE_UNBOUNDED:
+                        j1 = part_end()
+                    else:
+                        j1 = range_end(f.following)
+                    out = j1 - j0 + 1
                 elif f.preceding is not None:
                     j1 = (
                         pos
@@ -1087,8 +1150,17 @@ def partition_windows(
                     cum_x = np.r_[np.zeros(1, cum.dtype), cum]
                     cnt_x = np.r_[np.zeros(1, cnt.dtype), cnt]
                     if f.frame == "range":
-                        j0 = range_start(f.preceding)
-                        j1 = tie_run_end()
+                        j0 = (
+                            first_of_key
+                            if f.preceding >= _RANGE_UNBOUNDED
+                            else range_start(f.preceding)
+                        )
+                        if f.following is None:
+                            j1 = tie_run_end()
+                        elif f.following >= _RANGE_UNBOUNDED:
+                            j1 = part_end()
+                        else:
+                            j1 = range_end(f.following)
                     else:
                         j0 = np.maximum(first_of_key, pos - f.preceding)
                         j1 = (

@@ -329,8 +329,13 @@ def test_running_aggregate_errors():
         parse_query("SELECT stddev(v) OVER (PARTITION BY k ORDER BY o) FROM t")
     with pytest.raises(SqlError):  # DISTINCT in window
         parse_query("SELECT sum(DISTINCT v) OVER (PARTITION BY k ORDER BY o) FROM t")
-    with pytest.raises(SqlError):  # expression argument
-        parse_query("SELECT sum(v + 1) OVER (PARTITION BY k ORDER BY o) FROM t")
+    # expression argument (round-5 extension): lifts into a hidden
+    # pre-window input column instead of raising
+    q = parse_query(
+        "SELECT sum(v + 1) OVER (PARTITION BY k ORDER BY o) AS s FROM t"
+    )
+    assert len(q.plan.win_inputs) == 1
+    assert q.plan.windows[0].value_col == q.plan.win_inputs[0][0]
 
 
 def test_rank_dense_rank_with_ties(ray_session):
@@ -1474,3 +1479,249 @@ def test_sql_stats_aggregates(ray_session):
         parse_query("SELECT corr(x) AS c FROM t")
     with pytest.raises(SqlError):
         parse_query("SELECT median(x, 0.3) AS m FROM t")
+
+
+def test_window_expression_arguments(ray_session):
+    """Expression window arguments (round-5 extension): SUM(a*b) OVER,
+    LAG(a+b) OVER, FIRST_VALUE(a-b) OVER — lifted into hidden __wv*
+    pre-window columns (one per distinct expr); vs DuckDB on the
+    partitioned exchange path AND the global ranged path; nesting a
+    window inside a window argument is refused."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(9)
+    n = 400
+    t = pa.table(
+        {
+            "k": rng.integers(0, 4, n).astype("int64"),
+            "o": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 100, n).astype("int64"),
+            "w": rng.integers(1, 10, n).astype("int64"),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = sorted(
+        run_sql(
+            "SELECT k, o, SUM(v * w) OVER (PARTITION BY k ORDER BY o) AS s, "
+            "LAG(v + w) OVER (PARTITION BY k ORDER BY o) AS l, "
+            "FIRST_VALUE(v - w) OVER (PARTITION BY k ORDER BY o) AS f FROM t",
+            src,
+        ).take_all(),
+        key=lambda r: (r["k"], r["o"]),
+    )
+    exp = con.execute(
+        "SELECT k, o, CAST(SUM(v * w) OVER (PARTITION BY k ORDER BY o) AS BIGINT), "
+        "LAG(v + w) OVER (PARTITION BY k ORDER BY o), "
+        "FIRST_VALUE(v - w) OVER (PARTITION BY k ORDER BY o) "
+        "FROM t ORDER BY k, o"
+    ).fetchall()
+    assert [(g["k"], g["o"], g["s"], g["l"], g["f"]) for g in got] == exp
+
+    # global associative auto-route keeps working with an expr arg
+    g2 = sorted(
+        run_sql("SELECT o, SUM(v * 2) OVER (ORDER BY o) AS rs FROM t", src).take_all(),
+        key=lambda r: r["o"],
+    )
+    e2 = con.execute(
+        "SELECT o, CAST(SUM(v * 2) OVER (ORDER BY o) AS BIGINT) FROM t ORDER BY o"
+    ).fetchall()
+    assert [(g["o"], g["rs"]) for g in g2] == e2
+    con.close()
+
+    # identical exprs share ONE hidden input column
+    q = parse_query(
+        "SELECT SUM(v * w) OVER (PARTITION BY k ORDER BY o) AS a, "
+        "AVG(v * w) OVER (PARTITION BY k ORDER BY o) AS b FROM t"
+    )
+    assert len(q.plan.win_inputs) == 1
+    assert all(w.value_col == q.plan.win_inputs[0][0] for w in q.plan.windows)
+
+    # nested window in a window argument is refused
+    with pytest.raises(SqlError, match="nest"):
+        parse_query(
+            "SELECT SUM(LAG(v) OVER (PARTITION BY k ORDER BY o) + 1) "
+            "OVER (PARTITION BY k ORDER BY o) AS x FROM t"
+        )
+
+
+def test_multi_join_chain(ray_session):
+    """Multi-join chains (round-5 extension): each further JOIN is one
+    more broadcast stage (Query.extra_joins). Parse structure, SELECT
+    and GROUP BY paths vs DuckDB, LEFT in chain, chained ON referencing
+    an earlier join, the text-table surface, and the RIGHT-JOIN
+    placement error."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    q = parse_query(
+        "SELECT a FROM t JOIN u ON t.k = u.k JOIN v w ON u.g = w.g "
+        "LEFT JOIN x ON w.h = x.h"
+    )
+    assert q.join_table == "u" and len(q.extra_joins) == 2
+    assert q.extra_joins[0][0] == "v" and q.extra_joins[0][2] == "w"
+    # chained ON key referencing the earlier join rides prefixed
+    assert q.extra_joins[0][3] == "u.g"
+    assert q.extra_joins[1][5] == "left"
+    with pytest.raises(SqlError, match="first join"):
+        parse_query(
+            "SELECT a FROM t JOIN u ON t.k = u.k RIGHT JOIN v ON u.g = v.g"
+        )
+
+    lt = pa.table({"k": [1, 2, 3, 4], "a": ["p", "q", "r", "s"]})
+    ut = pa.table({"k": [1, 2, 3], "g": [10, 20, 10]})
+    vt = pa.table({"g": [10, 20], "lbl": ["x", "y"]})
+    src = {
+        "t": ray.data.from_arrow(lt),
+        "u": ray.data.from_arrow(ut),
+        "v": ray.data.from_arrow(vt),
+    }
+    con = duckdb.connect()
+    for nm, tt in (("t", lt), ("u", ut), ("v", vt)):
+        con.register(nm, tt)
+
+    sql = (
+        "SELECT t.a AS a, v.lbl AS lbl FROM t "
+        "JOIN u ON t.k = u.k JOIN v ON u.g = v.g"
+    )
+    got = sorted((r["a"], r["lbl"]) for r in run_sql(sql, src).take_all())
+    exp = sorted(con.execute(sql).fetchall())
+    assert got == exp
+
+    # LEFT in chain keeps unmatched stream rows
+    sql2 = (
+        "SELECT t.a AS a, v.lbl AS lbl FROM t "
+        "LEFT JOIN u ON t.k = u.k LEFT JOIN v ON u.g = v.g"
+    )
+    got2 = sorted(
+        (r["a"], r["lbl"]) for r in run_sql(sql2, src).take_all()
+    )
+    exp2 = sorted(con.execute(sql2).fetchall())
+    assert got2 == exp2
+
+    # aggregate path with chain + qualified keys by alias or table name
+    sql3 = (
+        "SELECT v.lbl AS lbl, COUNT(*) AS n FROM t "
+        "JOIN u uu ON t.k = uu.k JOIN v ON u.g = v.g GROUP BY v.lbl"
+    )
+    got3 = sorted((r["lbl"], r["n"]) for r in run_sql(sql3, src).take_all())
+    exp3 = sorted(
+        con.execute(
+            "SELECT v.lbl, COUNT(*) FROM t JOIN u uu ON t.k = uu.k "
+            "JOIN v ON uu.g = v.g GROUP BY v.lbl"
+        ).fetchall()
+    )
+    assert got3 == exp3
+    con.close()
+
+    # text-table surface: chain over CTE-bound tables
+    from sqlgrep_ray import Tables
+
+    tb = Tables()
+    tb.add_tables(
+        r"CREATE TABLE ev(line = 'u=(\\d+)', line[1] => uid INT);"
+    )
+    rows = tb.execute_query_rows(
+        "WITH u AS (SELECT 1 AS id, 10 AS g FROM ev WHERE uid = 1), "
+        "g AS (SELECT 10 AS g, 2 AS two FROM ev WHERE uid = 1) "
+        "SELECT ev.uid AS uid, g.two AS two "
+        "FROM ev JOIN u ON ev.uid = u.id JOIN g ON u.g = g.g",
+        source=["u=1", "u=2"],
+    )
+    assert rows == [{"uid": 1, "two": 2}]
+
+
+def test_range_following_frames(ray_session):
+    """RANGE frames with FOLLOWING bounds (round-5 extension): all four
+    new forms vs DuckDB over a tied/gappy numeric order column, the
+    interval form over timestamps, and parse errors for unsupported
+    shapes."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(17)
+    n = 500
+    t = pa.table(
+        {
+            "k": rng.integers(0, 4, n).astype("int64"),
+            "o": rng.integers(0, 150, n).astype("float64"),
+            "v": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    cases = [
+        "SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN 10 PRECEDING AND 5 FOLLOWING)",
+        "COUNT(*) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN 10 PRECEDING AND 5 FOLLOWING)",
+        "AVG(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN CURRENT ROW AND 7 FOLLOWING)",
+        "SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 3 FOLLOWING)",
+        "COUNT(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN 4 PRECEDING AND UNBOUNDED FOLLOWING)",
+    ]
+    for expr in cases:
+        got = sorted(
+            run_sql(f"SELECT k, o, v, {expr} AS w FROM t", src).take_all(),
+            key=lambda r: (r["k"], r["o"], r["v"]),
+        )
+        exp = con.execute(
+            f"SELECT k, o, v, {expr} FROM t ORDER BY k, o, v"
+        ).fetchall()
+        gw = [None if g["w"] is None else round(float(g["w"]), 9) for g in got]
+        ew = [None if e[3] is None else round(float(e[3]), 9) for e in exp]
+        assert gw == ew, expr
+
+    # interval FOLLOWING over timestamps
+    base = dt.datetime(2026, 1, 1)
+    ts = pa.array(
+        [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 3600, n)],
+        pa.timestamp("us"),
+    )
+    t2 = t.append_column("ts", ts)
+    src2 = {"t": ray.data.from_arrow(t2)}
+    con.register("t2", t2)
+    got = sorted(
+        run_sql(
+            "SELECT k, ts, v, SUM(v) OVER (PARTITION BY k ORDER BY ts "
+            "RANGE BETWEEN INTERVAL '0:05:00' PRECEDING AND "
+            "INTERVAL '0:02:00' FOLLOWING) AS w FROM t",
+            src2,
+        ).take_all(),
+        key=lambda r: (r["k"], r["ts"], r["v"]),
+    )
+    exp = con.execute(
+        "SELECT k, ts, v, CAST(SUM(v) OVER (PARTITION BY k ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND "
+        "INTERVAL 2 MINUTE FOLLOWING) AS BIGINT) "
+        "FROM t2 ORDER BY k, ts, v"
+    ).fetchall()
+    assert [g["w"] for g in got] == [e[3] for e in exp]
+    con.close()
+
+    # unsupported: MIN/MAX over RANGE FOLLOWING
+    with pytest.raises(Exception, match="SUM/AVG/COUNT"):
+        run_sql(
+            "SELECT MIN(v) OVER (PARTITION BY k ORDER BY o "
+            "RANGE BETWEEN 4 PRECEDING AND 2 FOLLOWING) AS w FROM t",
+            src,
+        ).take_all()
