@@ -175,7 +175,7 @@ def _bind_dataset_query(
             right=right,
             left_key=q.join_left_col,
             right_key=q.join_right_col,
-            how=q.join_how if q.join_how in ("left", "right") else "inner",
+            how=q.join_how if q.join_how in ("left", "right", "cross") else "inner",
             right_prefix=prefix,
         )
     for jtable, jfile, jalias, jleft, jright, jhow in getattr(
@@ -193,7 +193,7 @@ def _bind_dataset_query(
                 right=right,
                 left_key=jleft,
                 right_key=jright,
-                how=jhow if jhow == "left" else "inner",
+                how=jhow if jhow in ("left", "cross") else "inner",
                 right_prefix=prefix,
             )
         )
@@ -795,7 +795,7 @@ class Tables:
                 right=right,
                 left_key=q.join_left_col,
                 right_key=q.join_right_col,
-                how=q.join_how if q.join_how in ("left", "right") else "inner",
+                how=q.join_how if q.join_how in ("left", "right", "cross") else "inner",
                 right_prefix=prefix,
             )
 

@@ -2286,6 +2286,32 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_cross_join(sf_dir: str) -> Result:
+    """CROSS JOIN (round-5 extension): cartesian product with a small
+    broadcast side (enrich.CrossJoiner — one vectorized repeat-take per
+    batch, right columns tiled; no keys, no shuffle), chained with a
+    further equi-join stage. Identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT r.r_name AS rn, n.n_name AS nn, "
+        "COUNT(*) AS cnt "
+        "FROM region r CROSS JOIN nation n "
+        "GROUP BY r.r_name, n.n_name",
+        {
+            "region": _t(sf_dir, "region", ["r_name"]),
+            "nation": _t(sf_dir, "nation", ["n_name"]),
+        },
+    )
+
+
+SQL_SQL_CROSS_JOIN = """
+SELECT r.r_name AS rn, n.n_name AS nn, COUNT(*) AS cnt
+FROM region r CROSS JOIN nation n
+GROUP BY r.r_name, n.n_name
+"""
+
+
 def q_sql_range_frames(sf_dir: str) -> Result:
     """RANGE frames with FOLLOWING bounds (round-5 extension): value-
     offset windows both directions over a numeric order column —
@@ -4300,6 +4326,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_window_expr": q_sql_window_expr,
     "sql_multi_join": q_sql_multi_join,
     "sql_range_frames": q_sql_range_frames,
+    "sql_cross_join": q_sql_cross_join,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4390,6 +4417,7 @@ ORACLES: dict[str, str] = {
     "sql_window_expr": SQL_SQL_WINDOW_EXPR,
     "sql_multi_join": SQL_SQL_MULTI_JOIN,
     "sql_range_frames": SQL_SQL_RANGE_FRAMES,
+    "sql_cross_join": SQL_SQL_CROSS_JOIN,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

@@ -255,6 +255,16 @@ def _apply_join(
 ) -> "ray.data.Dataset":
     if join is None:
         return ds
+    if join.how == "cross":
+        # CROSS JOIN: cartesian product with the broadcast side —
+        # unaffected by the OUTER→INNER downgrade (no keys, no NULLs)
+        from sqlgrep_ray.stages.enrich import CrossJoiner
+
+        return ds.map_batches(
+            CrossJoiner(join.right, right_prefix=join.right_prefix),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     how = "inner" if force_inner else join.how
     if how == "right":
         # engine extension; under aggregation the same OUTER→INNER

@@ -255,7 +255,8 @@ _ALIAS_STOP = frozenset(
     {
         "where", "group", "having", "order", "limit", "offset", "qualify",
         "union", "intersect", "except", "inner", "left", "right", "full",
-        "outer", "join", "on", "as", "select", "from", "with",
+        "outer", "cross", "join", "on", "using", "as", "select", "from",
+        "with",
     }
 )
 
@@ -868,10 +869,16 @@ class Parser:
         # joined columns of earlier joins ride prefixed "<visible>.<col>";
         # either spelling (table name or alias) maps to the visible prefix
         prior_prefix: dict[str, str] = {}
-        while self.at_kw("inner", "outer", "full", "left", "right", "join"):
+        while self.at_kw(
+            "inner", "outer", "full", "left", "right", "cross", "join"
+        ):
             how_i = "inner"
             if self.eat_kw("inner"):
                 pass
+            elif self.eat_kw("cross"):
+                # ENGINE EXTENSION: CROSS JOIN — cartesian product with a
+                # small broadcast side, no ON clause
+                how_i = "cross"
             elif self.eat_kw("right"):
                 # ENGINE EXTENSION: the reference dialect has no RIGHT JOIN
                 # (OUTER/FULL are its spellings of streamed-side left-outer,
@@ -900,30 +907,23 @@ class Parser:
                         raise SqlError("expected file string after ::")
                     jfile_i = ftok.value
                 jalias_i = opt_alias()
-            self.expect_kw("on")
-            # ENGINE EXTENSION: composite keys — ON a = x AND b = y
-            # (the reference accepts exactly one equality,
-            # parser_tree_converter.rs:207-249); orientation resolved per
-            # pair, either table order accepted
-            lcols: list[str] = []
-            rcols: list[str] = []
-            jnames = {jtable_i, jalias_i} - {None}
-            while True:
-                l_tab, l_col = self._parse_qualified()
-                self.expect_op("=")
-                r_tab, r_col = self._parse_qualified()
-                if l_tab in jnames and r_tab not in jnames:
-                    l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
-                # multi-join chains: a stream-side key that belongs to an
-                # EARLIER join rides under its prefixed output name
-                if l_tab in prior_prefix:
-                    l_col = f"{prior_prefix[l_tab]}.{l_col}"
-                lcols.append(l_col)
-                rcols.append(r_col)
-                if not self.eat_kw("and"):
-                    break
-            jleft = lcols[0] if len(lcols) == 1 else tuple(lcols)
-            jright = rcols[0] if len(rcols) == 1 else tuple(rcols)
+            if how_i == "cross":
+                jleft = jright = None
+            elif self.eat_kw("using"):
+                # USING (k [, …]) sugar — both sides share the column
+                # names; equivalent to ON l.k = r.k AND …
+                self.expect_op("(")
+                ucols = [self.expect_ident()]
+                while self.eat_op(","):
+                    ucols.append(self.expect_ident())
+                self.expect_op(")")
+                jleft = ucols[0] if len(ucols) == 1 else tuple(ucols)
+                jright = jleft
+            else:
+                self.expect_kw("on")
+                jleft, jright = self._parse_on_keys(
+                    jtable_i, jalias_i, prior_prefix
+                )
             if join_table is None and not extra_joins:
                 join_table, join_file = jtable_i, jfile_i
                 join_alias = jalias_i
@@ -1099,6 +1099,34 @@ class Parser:
             "table_alias": table_alias, "join_alias": join_alias,
             "extra_joins": tuple(extra_joins),
         }
+
+    def _parse_on_keys(
+        self, jtable: str, jalias: Optional[str], prior_prefix: dict
+    ) -> tuple:
+        """``ON a = x [AND b = y …]`` — ENGINE EXTENSION composite keys
+        (the reference accepts exactly one equality,
+        parser_tree_converter.rs:207-249); orientation resolved per pair,
+        either table order accepted. A stream-side key that belongs to an
+        EARLIER join of a chain rides under its prefixed output name."""
+        lcols: list[str] = []
+        rcols: list[str] = []
+        jnames = {jtable, jalias} - {None}
+        while True:
+            l_tab, l_col = self._parse_qualified()
+            self.expect_op("=")
+            r_tab, r_col = self._parse_qualified()
+            if l_tab in jnames and r_tab not in jnames:
+                l_tab, l_col, r_tab, r_col = r_tab, r_col, l_tab, l_col
+            if l_tab in prior_prefix:
+                l_col = f"{prior_prefix[l_tab]}.{l_col}"
+            lcols.append(l_col)
+            rcols.append(r_col)
+            if not self.eat_kw("and"):
+                break
+        return (
+            lcols[0] if len(lcols) == 1 else tuple(lcols),
+            rcols[0] if len(rcols) == 1 else tuple(rcols),
+        )
 
     def _parse_qualified(self) -> tuple[Optional[str], str]:
         a = self.expect_ident()

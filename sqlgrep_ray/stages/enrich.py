@@ -40,6 +40,32 @@ def _resolve_right(right: Any) -> pa.Table:
     return right
 
 
+class CrossJoiner:
+    """CROSS JOIN against a small broadcast side (ENGINE EXTENSION) —
+    cartesian product per batch: each left row repeats right.num_rows
+    times (one vectorized ``take``), the right columns tile once per left
+    row. Same broadcast contract as the equi-join: the right side is
+    fully materialized (join.rs 'loaded completely in memory')."""
+
+    def __init__(self, right: Any, right_prefix: str = ""):
+        tbl = _resolve_right(right)
+        self._right = tbl.combine_chunks()
+        self._right_names = [
+            (right_prefix + n if right_prefix else n)
+            for n in tbl.column_names
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, m = batch.num_rows, self._right.num_rows
+        out = batch.take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        )
+        ridx = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+        for name, col in zip(self._right_names, self._right.itercolumns()):
+            out = out.append_column(name, col.take(ridx))
+        return out
+
+
 class BroadcastJoiner:
     """Stateful probe stage: build the hash index once per actor."""
 

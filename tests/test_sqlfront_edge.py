@@ -517,11 +517,13 @@ def test_window_frame_clause_parse():
     )
     assert qr.plan.windows[0].frame == "range"
     assert qr.plan.windows[0].preceding == 2
-    with pytest.raises(SqlError):  # RANGE frames still end at CURRENT ROW
-        parse_query(
-            "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
-            "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s FROM t"
-        )
+    # RANGE … FOLLOWING supported since the round-5 range_end kernel
+    qrf = parse_query(
+        "SELECT SUM(v) OVER (PARTITION BY k ORDER BY o "
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s FROM t"
+    )
+    assert qrf.plan.windows[0].frame == "range"
+    assert qrf.plan.windows[0].following == 2
 
 
 def test_qualify_parse_and_errors():
@@ -1725,3 +1727,76 @@ def test_range_following_frames(ray_session):
             "RANGE BETWEEN 4 PRECEDING AND 2 FOLLOWING) AS w FROM t",
             src,
         ).take_all()
+
+
+def test_cross_join(ray_session):
+    """CROSS JOIN (round-5 extension): cartesian product with a small
+    broadcast side, aliases, chaining with equi-joins, aggregation over
+    the product — vs DuckDB. `cross` never parses as a bare table
+    alias."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    q = parse_query("SELECT a FROM l CROSS JOIN r")
+    assert q.join_how == "cross" and q.join_left_col is None
+    q2 = parse_query("SELECT a FROM l JOIN r ON l.a = r.b CROSS JOIN s")
+    assert q2.extra_joins[0][5] == "cross"
+
+    lt = pa.table({"a": [1, 2, 3], "x": ["p", "q", "r"]})
+    rt = pa.table({"b": [1, 2], "y": ["u", "v"]})
+    src = {"l": ray.data.from_arrow(lt), "r": ray.data.from_arrow(rt)}
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    got = sorted(
+        (r["a"], r["b"], r["y"]) for r in run_sql(
+            "SELECT l.a AS a, r.b AS b, r.y AS y FROM l CROSS JOIN r", src
+        ).take_all()
+    )
+    exp = sorted(con.execute("SELECT l.a, r.b, r.y FROM l CROSS JOIN r").fetchall())
+    assert got == exp and len(got) == 6
+
+    # aggregate over the product
+    g3 = sorted(
+        (r["a"], r["n"]) for r in run_sql(
+            "SELECT l.a AS a, COUNT(*) AS n FROM l CROSS JOIN r GROUP BY l.a",
+            src,
+        ).take_all()
+    )
+    assert g3 == [(1, 2), (2, 2), (3, 2)]
+
+    # chained cross + equi
+    g4 = run_sql(
+        "SELECT COUNT(*) AS n FROM l CROSS JOIN r JOIN r r2 ON l.a = r2.b",
+        src,
+    ).take_all()
+    e4 = con.execute(
+        "SELECT COUNT(*) FROM l CROSS JOIN r JOIN r r2 ON l.a = r2.b"
+    ).fetchone()
+    assert g4[0]["n"] == e4[0]
+    con.close()
+
+
+def test_join_using_sugar(ray_session):
+    """JOIN … USING (k [, …]) — sugar for ON l.k = r.k AND …; executes
+    through the same broadcast path (right columns stay prefixed)."""
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    q = parse_query("SELECT a FROM l JOIN r USING (k, j)")
+    assert q.join_left_col == ("k", "j") and q.join_right_col == ("k", "j")
+
+    lt = pa.table({"k": [1, 2, 3], "a": ["p", "q", "r"]})
+    rt = pa.table({"k": [1, 2], "w": [10, 20]})
+    got = sorted(
+        (r["a"], r["w"]) for r in run_sql(
+            "SELECT l.a AS a, r.w AS w FROM l JOIN r USING (k)",
+            {"l": ray.data.from_arrow(lt), "r": ray.data.from_arrow(rt)},
+        ).take_all()
+    )
+    assert got == [("p", 10), ("q", 20)]
