@@ -522,6 +522,151 @@ _FUNCS["chr"] = _pyrow_str(lambda n: chr(int(n)), pa.string())
 _FUNCS["to_hex"] = _pyrow_str(lambda n: format(int(n), "X"), pa.string())
 
 
+def _regexp_replace_builder(args: list["Kernel"], ctx: "CompileCtx"):
+    """regexp_replace(s, pattern, replacement[, 'g']) — RE2 via
+    pc.replace_substring_regex. DuckDB default replaces the FIRST match;
+    the 'g' flag replaces all."""
+    if len(args) not in (3, 4):
+        raise ValueError("regexp_replace(s, pattern, replacement[, 'g'])")
+    sk, pk, rk = args[0], args[1], args[2]
+    fk = args[3] if len(args) == 4 else None
+
+    def k(t: pa.Table) -> Any:
+        pat = _lit_str(pk(t), "regexp_replace")
+        rep = _lit_str(rk(t), "regexp_replace")
+        n = 1
+        if fk is not None:
+            flags = _lit_str(fk(t), "regexp_replace")
+            if "g" in flags:
+                n = -1
+        return pc.replace_substring_regex(
+            _as_array(sk(t), t.num_rows), pattern=pat,
+            replacement=rep, max_replacements=n,
+        )
+
+    return k
+
+
+_FUNCS["regexp_replace"] = _regexp_replace_builder
+
+
+def _regexp_extract_builder(args: list["Kernel"], ctx: "CompileCtx"):
+    """regexp_extract(s, pattern) — the whole first match, '' when none
+    (DuckDB 2-arg semantics). Vectorized: the pattern wraps in one named
+    group for pc.extract_regex (so the user pattern may not define named
+    groups of its own — RE2 numbered groups inside are fine)."""
+    if len(args) != 2:
+        raise ValueError("regexp_extract(s, pattern) takes two arguments")
+    sk, pk = args
+
+    def k(t: pa.Table) -> Any:
+        pat = _lit_str(pk(t), "regexp_extract")
+        s = _as_array(sk(t), t.num_rows)
+        hit = pc.extract_regex(s, pattern=f"(?P<__m>{pat})")
+        out = pc.struct_field(hit, "__m")
+        # DuckDB: no match ⇒ '' (not NULL) — but a NULL input stays NULL
+        return pc.if_else(
+            pc.is_valid(s), pc.fill_null(out, ""), pa.scalar(None, pa.string())
+        )
+
+    return k
+
+
+_FUNCS["regexp_extract"] = _regexp_extract_builder
+
+
+def _concat_ws_builder(args: list["Kernel"], ctx: "CompileCtx"):
+    """concat_ws(sep, v1, v2, …) — join non-NULL values with sep
+    (DuckDB/Postgres skip-NULL semantics; one Arrow kernel)."""
+    if len(args) < 2:
+        raise ValueError("concat_ws(sep, v1, …) needs a separator + values")
+    sepk, vks = args[0], args[1:]
+
+    def k(t: pa.Table) -> Any:
+        sep = _lit_str(sepk(t), "concat_ws")
+        n = t.num_rows
+        # vectorized skip-NULL fold (pyarrow's null_handling="skip" DROPS
+        # rows whose every value is NULL — observed on 16.x — so the
+        # element-wise kernel can't be used directly): accumulate
+        # result + has-any flags, one if_else pass per argument
+        sep_arr = pa.array([sep] * n) if n else pa.array([], pa.string())
+        res = pa.array([""] * n) if n else pa.array([], pa.string())
+        has = pa.array([False] * n) if n else pa.array([], pa.bool_())
+        for vk in vks:
+            v = _as_array(vk(t), n).cast(pa.string())
+            valid = pc.is_valid(v)
+            filled = pc.fill_null(v, "")
+            joined = pc.binary_join_element_wise(res, filled, sep_arr)
+            res = pc.if_else(
+                valid, pc.if_else(has, joined, filled), res
+            )
+            has = pc.or_(has, valid)
+        return res
+
+    return k
+
+
+_FUNCS["concat_ws"] = _concat_ws_builder
+
+
+def _date_part_builder(args: list["Kernel"], ctx: "CompileCtx"):
+    """date_part('part', ts) — dispatches to the EXTRACT kernel family."""
+    if len(args) != 2:
+        raise ValueError("date_part('part', ts) takes two arguments")
+    pk, tk = args
+
+    def k(t: pa.Table) -> Any:
+        part = _lit_str(pk(t), "date_part").lower()
+        fn = _FUNCS.get(f"timestamp_extract_{part}")
+        if fn is None:
+            raise ValueError(f"date_part: unknown part {part!r}")
+        return fn([tk], ctx)(t)
+
+    return k
+
+
+_FUNCS["date_part"] = _date_part_builder
+
+
+def _part_shortcut(part: str):
+    def builder(args: list["Kernel"], ctx: "CompileCtx"):
+        if len(args) != 1:
+            raise ValueError(f"{part}(ts) takes one argument")
+        return _FUNCS[f"timestamp_extract_{part}"](args, ctx)
+
+    return builder
+
+
+def _levenshtein(a: str, b: str) -> int:
+    # classic two-row DP; an off-hot-path utility (SURVEY §M10 allows
+    # the per-row fallback)
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+for _p in ("year", "month", "day", "hour", "minute", "second"):
+    _FUNCS[_p] = _part_shortcut(_p)
+_FUNCS["char_length"] = _FUNCS["length"]
+_FUNCS["character_length"] = _FUNCS["length"]
+# instr(haystack, needle) ≡ strpos (registered later in the module —
+# resolve lazily)
+_FUNCS["instr"] = lambda args, ctx: _FUNCS["strpos"](args, ctx)
+_FUNCS["levenshtein"] = _pyrow_str(_levenshtein, pa.int64())
+# strftime(ts, fmt) — C-format render (per-row utility fallback)
+_FUNCS["strftime"] = _pyrow_str(
+    lambda ts, fmt: ts.strftime(fmt), pa.string()
+)
+
+
 def _lit_str(v: Any, fname: str) -> str:
     if isinstance(v, pa.Scalar):
         v = v.as_py()

@@ -2286,6 +2286,65 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_scalar_ext3(sf_dir: str) -> Result:
+    """Round-5 scalar batch 3: regexp_replace (first-match default, 'g'
+    flag — pc.replace_substring_regex), regexp_extract (whole first
+    match, '' on no-match, NULL stays NULL — pc.extract_regex via one
+    named wrap group), concat_ws (skip-NULL join,
+    pc.binary_join_element_wise), instr ≡ strpos, levenshtein (per-row
+    DP utility, SURVEY §M10 fallback). Identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT doc_id, "
+        "regexp_replace(source, '[0-9]+', '#', 'g') AS rr, "
+        "regexp_replace(lang, '[aeiou]', '*') AS r1, "
+        "regexp_extract(source, '[0-9]+') AS re, "
+        "concat_ws('-', lang, source) AS cw, "
+        "instr(source, '1') AS ip, "
+        "levenshtein(lang, 'en') AS lv "
+        "FROM docs WHERE mod(doc_id, 43) = 0",
+        {"docs": _t(sf_dir, "documents", ["doc_id", "lang", "source"])},
+    )
+
+
+SQL_SQL_SCALAR_EXT3 = """
+SELECT doc_id,
+       regexp_replace(source, '[0-9]+', '#', 'g') AS rr,
+       regexp_replace(lang, '[aeiou]', '*') AS r1,
+       regexp_extract(source, '[0-9]+') AS re,
+       concat_ws('-', lang, source) AS cw,
+       instr(source, '1') AS ip,
+       levenshtein(lang, 'en') AS lv
+FROM documents WHERE mod(doc_id, 43) = 0
+"""
+
+
+def q_sql_date_parts(sf_dir: str) -> Result:
+    """date_part('part', ts) + year/month/day/hour/minute/second
+    shortcuts (dispatch into the EXTRACT kernel family) and strftime
+    (per-row C-format render). Identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d, "
+        "hour(ts) AS h, minute(ts) AS mi, second(ts) AS s, "
+        "date_part('hour', ts) AS dp, "
+        "strftime(ts, '%Y-%m-%d %H:%M') AS sf "
+        "FROM ev WHERE mod(event_id, 53) = 0",
+        {"ev": _t(sf_dir, "events", ["event_id", "ts"])},
+    )
+
+
+SQL_SQL_DATE_PARTS = """
+SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+       date_part('hour', ts) AS dp,
+       strftime(ts, '%Y-%m-%d %H:%M') AS sf
+FROM events WHERE mod(event_id, 53) = 0
+"""
+
+
 def q_sql_cross_join(sf_dir: str) -> Result:
     """CROSS JOIN (round-5 extension): cartesian product with a small
     broadcast side (enrich.CrossJoiner — one vectorized repeat-take per
@@ -4327,6 +4386,8 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_multi_join": q_sql_multi_join,
     "sql_range_frames": q_sql_range_frames,
     "sql_cross_join": q_sql_cross_join,
+    "sql_scalar_ext3": q_sql_scalar_ext3,
+    "sql_date_parts": q_sql_date_parts,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4418,6 +4479,8 @@ ORACLES: dict[str, str] = {
     "sql_multi_join": SQL_SQL_MULTI_JOIN,
     "sql_range_frames": SQL_SQL_RANGE_FRAMES,
     "sql_cross_join": SQL_SQL_CROSS_JOIN,
+    "sql_scalar_ext3": SQL_SQL_SCALAR_EXT3,
+    "sql_date_parts": SQL_SQL_DATE_PARTS,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

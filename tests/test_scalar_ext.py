@@ -261,3 +261,57 @@ def test_list_contains_vs_duckdb():
     # alias + empty-table path
     e = Parser("SELECT list_contains(l, 1) AS r FROM t").parse_query().plan.projections[0].expr
     assert compile_expr(e, CompileCtx())(t.slice(0, 0)).to_pylist() == []
+
+
+def test_scalar_batch3_vs_duckdb(ray_session):
+    """Round-5 batch 3 vs DuckDB: regexp_replace first/global,
+    regexp_extract ('' on no-match, NULL input stays NULL), concat_ws
+    (skip-NULL), instr, levenshtein, date_part + part shortcuts,
+    strftime; char_length ≡ length (no DuckDB twin)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table(
+        {
+            "s": ["hello world", "abc123def456", None, "no digits", ""],
+            "a": ["x", None, "z", "w", None],
+            "b": ["1", "2", None, "4", None],
+            "ts": pa.array(
+                [dt.datetime(2026, 3, 14, 9, 26, 53)] * 5, pa.timestamp("us")
+            ),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = (
+        "SELECT regexp_replace(s, '[0-9]+', '#', 'g') AS rr, "
+        "regexp_replace(s, 'o', '0') AS r1, "
+        "regexp_extract(s, '[0-9]+') AS re, "
+        "concat_ws('-', a, b) AS cw, "
+        "instr(s, 'world') AS ip, "
+        "levenshtein(a, b) AS lv, "
+        "year(ts) AS y, month(ts) AS mo, day(ts) AS d, "
+        "hour(ts) AS h, minute(ts) AS mi, second(ts) AS sec, "
+        "date_part('minute', ts) AS dp, "
+        "strftime(ts, '%Y/%m/%d %H:%M:%S') AS sf FROM t"
+    )
+    got = run_sql(sql, src).take_all()
+    exp = con.execute(sql).fetchall()
+    cols = ("rr", "r1", "re", "cw", "ip", "lv", "y", "mo", "d", "h", "mi",
+            "sec", "dp", "sf")
+    for g, e in zip(got, exp):
+        assert tuple(g[c] for c in cols) == e
+    con.close()
+
+    g2 = run_sql("SELECT char_length(s) AS cl FROM t", src).take_all()
+    assert [g["cl"] for g in g2] == [11, 12, None, 9, 0]
+
+    # bad part errors clearly
+    with pytest.raises(Exception, match="unknown part"):
+        run_sql("SELECT date_part('century', ts) AS c FROM t", src).take_all()
