@@ -1032,9 +1032,14 @@ class Parser:
                 while self.eat_op(","):
                     group_by.append(self.parse_expr())
                 # integer literals are 1-based SELECT ordinals (standard
-                # SQL, same as ORDER BY)
+                # SQL, same as ORDER BY); bare names matching a SELECT
+                # alias resolve to that projection's expression
+                # (DuckDB/Postgres GROUP BY alias)
                 group_by = [
-                    _select_ordinal(g, projections, "GROUP BY")
+                    _select_alias(
+                        _select_ordinal(g, projections, "GROUP BY"),
+                        projections,
+                    )
                     for g in group_by
                 ]
 
@@ -2118,6 +2123,18 @@ def _select_ordinal(e, projections, where: str):
                 f"(1..{len(projections)})"
             )
         return projections[e.value - 1][1]
+    return e
+
+
+def _select_alias(e, projections):
+    """Bare name in GROUP BY matching a SELECT alias → that projection's
+    expression (ENGINE EXTENSION, DuckDB/Postgres alias resolution). A
+    genuine input column of the same name would shadow the alias in
+    Postgres — unknowable at parse time here; the alias wins, documented."""
+    if isinstance(e, Col) and "." not in e.name and projections is not None:
+        for alias, pe in projections:
+            if alias == e.name and pe != e:
+                return pe
     return e
 
 

@@ -1800,3 +1800,29 @@ def test_join_using_sugar(ray_session):
         ).take_all()
     )
     assert got == [("p", 10), ("q", 20)]
+
+
+def test_group_by_select_alias(ray_session):
+    """GROUP BY <select alias> (round-5 extension): a bare name matching
+    a SELECT alias resolves to that projection's expression; composes
+    with HAVING alias references and expression keys."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    q = parse_query("SELECT upper(x) AS u, COUNT(*) AS n FROM t GROUP BY u")
+    assert q.plan.group_by[0].expr == parse_query(
+        "SELECT upper(x) AS u FROM t"
+    ).plan.projections[0].expr
+
+    t = pa.table({"lang": ["en", "de", "EN", "de"], "v": [1, 2, 3, 4]})
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = "SELECT upper(lang) AS l, COUNT(*) AS n FROM t GROUP BY l"
+    got = sorted((r["l"], r["n"]) for r in run_sql(sql, src).take_all())
+    exp = sorted(con.execute(sql).fetchall())
+    assert got == exp
+    con.close()
