@@ -280,3 +280,31 @@ def test_asymmetric_unbounded_frames_match_duckdb(ray_session, data, n, m):
     exp = _oracle(tbl, sql)
     for col in ["uf", "up", "ua"]:
         _eq(got[col], exp[col])
+
+
+@settings(max_examples=15, deadline=None)
+@given(window_data(), st.integers(min_value=0, max_value=4),
+       st.integers(min_value=0, max_value=4))
+def test_range_following_frames_match_duckdb(ray_session, data, x, y):
+    """Round-5 RANGE … FOLLOWING kernels (window.range_end): value-offset
+    frames both directions over a TIED order column — x PRECEDING AND y
+    FOLLOWING, CURRENT ROW AND y FOLLOWING, UNBOUNDED↔bounded — for
+    SUM/AVG/COUNT(*) vs DuckDB."""
+    keys, vals, ties = data
+    tbl = _table(keys, vals, ties)
+    sql = (
+        "SELECT k, o, "
+        f"SUM(v) OVER (PARTITION BY k ORDER BY t "
+        f"RANGE BETWEEN {x} PRECEDING AND {y} FOLLOWING) AS a, "
+        f"AVG(v) OVER (PARTITION BY k ORDER BY t "
+        f"RANGE BETWEEN CURRENT ROW AND {y} FOLLOWING) AS b, "
+        f"COUNT(*) OVER (PARTITION BY k ORDER BY t "
+        f"RANGE BETWEEN UNBOUNDED PRECEDING AND {y} FOLLOWING) AS c, "
+        f"COUNT(v) OVER (PARTITION BY k ORDER BY t "
+        f"RANGE BETWEEN {x} PRECEDING AND UNBOUNDED FOLLOWING) AS d "
+        "FROM x"
+    )
+    got = _run(tbl, sql)
+    want = _oracle(tbl, sql)
+    for c in ("a", "b", "c", "d"):
+        _eq(got[c], want[c])
