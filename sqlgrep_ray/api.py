@@ -560,6 +560,12 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
         ds = env.get(name, default)
         if ds is None:
             raise SqlError(f"unknown table {name!r}")
+        if isinstance(ds, str):
+            # path-valued source (join side / generic use): plain clean
+            # read — broadcast sides materialize fully anyway
+            from sqlgrep_ray.sources import read_parquet_clean
+
+            return read_parquet_clean(ds)
         return ds
 
     if isinstance(stmt, WithQuery):
@@ -576,7 +582,17 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
         env = dict(env)
         for alias, sub in stmt.derived:
             env[alias] = _run_sql_stmt(sub, env, default)
-    src = resolve(stmt.table)
+    raw_src = env.get(stmt.table, default)
+    if isinstance(raw_src, str):
+        # path-valued FROM source: prune at the read — referenced
+        # columns only + pushable WHERE atoms as a pyarrow.dataset
+        # filter (row-group statistics pruning); the engine re-applies
+        # the full WHERE, so pushdown is bandwidth-only
+        from sqlgrep_ray.sources.pushdown import scan_parquet_for_query
+
+        src = scan_parquet_for_query(raw_src, stmt)
+    else:
+        src = resolve(stmt.table)
     run_sub = lambda s: _run_sql_stmt(s, env, default)  # noqa: E731
     if stmt.in_subqueries or stmt.corr_scalars:
         src = _apply_in_subqueries(src, stmt, run_sub)

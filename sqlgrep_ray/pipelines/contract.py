@@ -2286,6 +2286,34 @@ FROM documents GROUP BY source
 """
 
 
+def q_pushdown_scan(sf_dir: str) -> Result:
+    """Parquet scan pushdown (round-5): PATH-valued sources in run_sql
+    read ONLY the referenced columns and push the pushable WHERE subset
+    into the scan as a pyarrow.dataset filter (row-group statistics
+    pruning; sources/pushdown.py). The engine re-applies the full WHERE
+    — pushdown is bandwidth-only, results are bit-identical. This entry
+    runs the whole query from path strings."""
+    import os as _os
+
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT lang, COUNT(*) AS n, MAX(n_chars) AS mx FROM docs "
+        "WHERE n_chars > 150 AND lang IN ('en', 'de', 'fr') "
+        "AND source IS NOT NULL "
+        "GROUP BY lang",
+        {"docs": _os.path.join(sf_dir, "documents.parquet")},
+    )
+
+
+SQL_PUSHDOWN_SCAN = """
+SELECT lang, COUNT(*) AS n, MAX(n_chars) AS mx FROM documents
+WHERE n_chars > 150 AND lang IN ('en', 'de', 'fr')
+  AND source IS NOT NULL
+GROUP BY lang
+"""
+
+
 def q_sql_scalar_ext3(sf_dir: str) -> Result:
     """Round-5 scalar batch 3: regexp_replace (first-match default, 'g'
     flag — pc.replace_substring_regex), regexp_extract (whole first
@@ -4388,6 +4416,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_cross_join": q_sql_cross_join,
     "sql_scalar_ext3": q_sql_scalar_ext3,
     "sql_date_parts": q_sql_date_parts,
+    "pushdown_scan": q_pushdown_scan,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4481,6 +4510,7 @@ ORACLES: dict[str, str] = {
     "sql_cross_join": SQL_SQL_CROSS_JOIN,
     "sql_scalar_ext3": SQL_SQL_SCALAR_EXT3,
     "sql_date_parts": SQL_SQL_DATE_PARTS,
+    "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,
