@@ -36,6 +36,7 @@ from sqlgrep_ray.api import (  # noqa: F401
     ReadLinesIterator,
     Tables,
 )
+from sqlgrep_ray.explain import explain_sql  # noqa: F401
 from sqlgrep_ray.sqlfront import parse, parse_query, parse_table_defs  # noqa: F401
 
 __version__ = "0.1.0"

@@ -161,6 +161,14 @@ def main(argv=None) -> int:
 
     def run_one(sql: str) -> int:
         t0 = time.time()
+        stripped = sql.lstrip()
+        if stripped.lower().startswith("explain"):
+            # EXPLAIN <query>: render the logical plan + physical
+            # strategy (ENGINE EXTENSION) — nothing executes
+            from sqlgrep_ray.explain import explain_sql
+
+            print(explain_sql(stripped[len("explain"):]))
+            return 0
         source = args.inputs[0] if args.inputs else None
         if stdin_lines is not None:
             result = tables.execute_query(sql, source=stdin_lines)
