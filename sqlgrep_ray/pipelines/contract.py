@@ -2286,6 +2286,34 @@ FROM documents GROUP BY source
 """
 
 
+def q_sql_window_expr_key(sf_dir: str) -> Result:
+    """Expression PARTITION BY keys (round-5): a non-column key lifts
+    into the same hidden __wv* pre-window input as expression window
+    arguments, so the bucket exchange partitions on the evaluated value
+    (e.g. one frame per day: PARTITION BY date_trunc('day', ts))."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT event_id, "
+        "SUM(user_id) OVER (PARTITION BY date_trunc('day', ts) "
+        "ORDER BY event_id) AS s, "
+        "ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts) "
+        "ORDER BY event_id) AS rn "
+        "FROM ev",
+        {"ev": _t(sf_dir, "events", ["event_id", "ts", "user_id"])},
+    )
+
+
+SQL_SQL_WINDOW_EXPR_KEY = """
+SELECT event_id,
+  CAST(SUM(user_id) OVER (PARTITION BY date_trunc('day', ts)
+       ORDER BY event_id) AS BIGINT) AS s,
+  ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+       ORDER BY event_id) AS rn
+FROM events
+"""
+
+
 def q_pushdown_scan(sf_dir: str) -> Result:
     """Parquet scan pushdown (round-5): PATH-valued sources in run_sql
     read ONLY the referenced columns and push the pushable WHERE subset
@@ -4417,6 +4445,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_scalar_ext3": q_sql_scalar_ext3,
     "sql_date_parts": q_sql_date_parts,
     "pushdown_scan": q_pushdown_scan,
+    "sql_window_expr_key": q_sql_window_expr_key,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,
@@ -4511,6 +4540,7 @@ ORACLES: dict[str, str] = {
     "sql_scalar_ext3": SQL_SQL_SCALAR_EXT3,
     "sql_date_parts": SQL_SQL_DATE_PARTS,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
+    "sql_window_expr_key": SQL_SQL_WINDOW_EXPR_KEY,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

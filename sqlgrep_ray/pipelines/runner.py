@@ -105,7 +105,8 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
                 cols.add(w.value_col)
             if w.key is not None:  # None = global window (constant key)
                 for k in [w.key] if isinstance(w.key, str) else list(w.key):
-                    cols.add(k)
+                    if k not in win_input_names:
+                        cols.add(k)
             if isinstance(w.order, str):
                 cols.add(w.order)
             else:  # composite/DESC/NULLS ordering: ((col, desc[, nf]), …)

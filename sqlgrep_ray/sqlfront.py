@@ -1105,6 +1105,14 @@ class Parser:
             "extra_joins": tuple(extra_joins),
         }
 
+    def _parse_partition_key(self):
+        """One PARTITION BY entry: a plain column name, or an EXPRESSION
+        (ENGINE EXTENSION) — a non-Col expression returns the Expr node
+        and convert_query lifts it into a hidden pre-window input column
+        (same __wv* machinery as expression window arguments)."""
+        e = self.parse_expr()
+        return e.name if isinstance(e, Col) else e
+
     def _parse_on_keys(
         self, jtable: str, jalias: Optional[str], prior_prefix: dict
     ) -> tuple:
@@ -1487,9 +1495,9 @@ class Parser:
                 key = None  # no PARTITION BY: one GLOBAL partition
                 if self.eat_kw("partition"):
                     self.expect_kw("by")
-                    pkeys = [self.expect_ident()]
+                    pkeys = [self._parse_partition_key()]
                     while self.eat_op(","):
-                        pkeys.append(self.expect_ident())
+                        pkeys.append(self._parse_partition_key())
                     key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                 self.expect_kw("order")
                 self.expect_kw("by")
@@ -1544,9 +1552,9 @@ class Parser:
                     key = None  # no PARTITION BY: one GLOBAL partition
                     if self.eat_kw("partition"):
                         self.expect_kw("by")
-                        pkeys = [self.expect_ident()]
+                        pkeys = [self._parse_partition_key()]
                         while self.eat_op(","):
-                            pkeys.append(self.expect_ident())
+                            pkeys.append(self._parse_partition_key())
                         key = pkeys[0] if len(pkeys) == 1 else tuple(pkeys)
                     self.expect_kw("order")
                     self.expect_kw("by")
@@ -2256,6 +2264,21 @@ def convert_query(
         win_inputs: list[tuple[str, Expr]] = []  # hidden pre-window cols
         win_input_of: dict = {}  # identical value exprs compute once
 
+        def hidden_input(expr: Expr) -> str:
+            # expression window argument / PARTITION BY key: evaluate
+            # once per batch into a hidden column BEFORE the exchange
+            if _find_windows(expr):
+                raise SqlError(
+                    "window functions cannot nest inside a window "
+                    "argument or PARTITION BY key"
+                )
+            hid = win_input_of.get(expr)
+            if hid is None:
+                hid = f"__wv{len(win_inputs)}"
+                win_input_of[expr] = hid
+                win_inputs.append((hid, expr))
+            return hid
+
         def lift(e: Expr) -> Expr:
             for wc in _find_windows(e):
                 out = spec_of.get(wc)
@@ -2264,22 +2287,18 @@ def convert_query(
                     spec_of[wc] = out
                     vcol = wc.value_col
                     if vcol is not None and not isinstance(vcol, str):
-                        # expression argument: evaluate once per batch
-                        # into a hidden column BEFORE the window exchange
-                        if _find_windows(vcol):
-                            raise SqlError(
-                                "window functions cannot nest inside a "
-                                "window argument"
-                            )
-                        hid = win_input_of.get(vcol)
-                        if hid is None:
-                            hid = f"__wv{len(win_inputs)}"
-                            win_input_of[vcol] = hid
-                            win_inputs.append((hid, vcol))
-                        vcol = hid
+                        vcol = hidden_input(vcol)
+                    key = wc.key
+                    if isinstance(key, tuple):
+                        key = tuple(
+                            k if isinstance(k, str) else hidden_input(k)
+                            for k in key
+                        )
+                    elif key is not None and not isinstance(key, str):
+                        key = hidden_input(key)
                     specs.append(
                         WindowSpec(
-                            out, wc.func, vcol, wc.key, wc.order,
+                            out, wc.func, vcol, key, wc.order,
                             wc.offset, wc.frame, wc.default, wc.preceding,
                             wc.following,
                             ignore_nulls=getattr(wc, "ignore_nulls", False),

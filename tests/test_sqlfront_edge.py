@@ -1826,3 +1826,62 @@ def test_group_by_select_alias(ray_session):
     exp = sorted(con.execute(sql).fetchall())
     assert got == exp
     con.close()
+
+
+def test_window_expression_partition_keys(ray_session):
+    """Expression PARTITION BY keys (round-5): non-column keys lift into
+    hidden __wv* inputs; mixed plain+expression composite keys; vs
+    DuckDB; shared exprs dedupe to one hidden column."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(21)
+    n = 300
+    base = dt.datetime(2026, 1, 1)
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [base + dt.timedelta(hours=int(h))
+                 for h in rng.integers(0, 96, n)],
+                pa.timestamp("us"),
+            ),
+            "o": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 50, n).astype("int64"),
+            "k": rng.integers(0, 3, n).astype("int64"),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    got = sorted(
+        run_sql(
+            "SELECT o, SUM(v) OVER (PARTITION BY date_trunc('day', ts) "
+            "ORDER BY o) AS s, "
+            "ROW_NUMBER() OVER (PARTITION BY mod(k, 2), "
+            "date_trunc('day', ts) ORDER BY o) AS rn FROM t",
+            src,
+        ).take_all(),
+        key=lambda r: r["o"],
+    )
+    exp = con.execute(
+        "SELECT o, CAST(SUM(v) OVER (PARTITION BY date_trunc('day', ts) "
+        "ORDER BY o) AS BIGINT), "
+        "ROW_NUMBER() OVER (PARTITION BY mod(k, 2), date_trunc('day', ts) "
+        "ORDER BY o) FROM t ORDER BY o"
+    ).fetchall()
+    assert [(g["o"], g["s"], g["rn"]) for g in got] == exp
+    con.close()
+
+    # one hidden input per distinct expression, shared across functions
+    q = parse_query(
+        "SELECT SUM(v) OVER (PARTITION BY mod(k, 2) ORDER BY o) AS a, "
+        "COUNT(v) OVER (PARTITION BY mod(k, 2) ORDER BY o) AS b, "
+        "AVG(v + 1) OVER (PARTITION BY mod(k, 2) ORDER BY o) AS c FROM t"
+    )
+    assert len(q.plan.win_inputs) == 2  # mod(k,2) and v+1
