@@ -4350,10 +4350,13 @@ GROUP BY f.doc_id
 QUERIES: dict[str, Callable[[str], Result]] = {
     # Registry order controls driver verification: CORRECTNESS runs the
     # FIRST 50 entries. Round-5 rotation (VERDICT r4 #4): the 7 entries
-    # never driver-checked through r4 lead, then the round-5 additions
-    # (sql_global_running; bpe_counts newly hash-oracled; winnow_pairs
-    # re-checked after the bucket-sizing change), the 4 flagship heads,
-    # the 4 entries last checked in r1, and the stalest r3 greens.
+    # never driver-checked through r4 lead, then the round-5 early
+    # additions (sql_global_running; bpe_counts newly hash-oracled;
+    # winnow_pairs re-checked after the bucket-sizing change), the
+    # round-5 LATE additions (distinct/statistical aggregates, derived
+    # tables, multi-join/cross-join, window expression args/keys, RANGE
+    # FOLLOWING, scalar batches, scan pushdown — none driver-checked
+    # yet), the 4 flagship heads, and the stalest earlier greens.
     # -- never driver-checked through r4 --
     "latency_quantiles": q_latency_quantiles,
     "conv_latency_p90": q_conv_latency_p90,
@@ -4371,6 +4374,19 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_corr_scalar": q_sql_corr_scalar,
     "sql_approx_distinct": q_sql_approx_distinct,
     "sql_mode": q_sql_mode,
+    # -- round-5 late additions (never driver-checked) --
+    "sql_sum_avg_distinct": q_sql_sum_avg_distinct,
+    "sql_scalar_ext2": q_sql_scalar_ext2,
+    "sql_derived_alias": q_sql_derived_alias,
+    "sql_stats_agg": q_sql_stats_agg,
+    "sql_window_expr": q_sql_window_expr,
+    "sql_multi_join": q_sql_multi_join,
+    "sql_range_frames": q_sql_range_frames,
+    "sql_cross_join": q_sql_cross_join,
+    "sql_scalar_ext3": q_sql_scalar_ext3,
+    "sql_date_parts": q_sql_date_parts,
+    "pushdown_scan": q_pushdown_scan,
+    "sql_window_expr_key": q_sql_window_expr_key,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -4434,18 +4450,6 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_dialect_sugar": q_sql_dialect_sugar,
     "sql_multikey_join": q_sql_multikey_join,
     "sql_distinct_agg": q_sql_distinct_agg,
-    "sql_sum_avg_distinct": q_sql_sum_avg_distinct,
-    "sql_scalar_ext2": q_sql_scalar_ext2,
-    "sql_derived_alias": q_sql_derived_alias,
-    "sql_stats_agg": q_sql_stats_agg,
-    "sql_window_expr": q_sql_window_expr,
-    "sql_multi_join": q_sql_multi_join,
-    "sql_range_frames": q_sql_range_frames,
-    "sql_cross_join": q_sql_cross_join,
-    "sql_scalar_ext3": q_sql_scalar_ext3,
-    "sql_date_parts": q_sql_date_parts,
-    "pushdown_scan": q_pushdown_scan,
-    "sql_window_expr_key": q_sql_window_expr_key,
     "bloom_semi_orders": q_bloom_semi_orders,
     "bloom_anti_orders": q_bloom_anti_orders,
     "cms_event_counts": q_cms_event_counts,

@@ -108,9 +108,12 @@ def referenced_columns(plan: Plan) -> Optional[list[str]]:
                     if k not in win_input_names:
                         cols.add(k)
             if isinstance(w.order, str):
-                cols.add(w.order)
+                if w.order not in win_input_names:
+                    cols.add(w.order)
             else:  # composite/DESC/NULLS ordering: ((col, desc[, nf]), …)
-                cols.update(c[0] for c in w.order)
+                cols.update(
+                    c[0] for c in w.order if c[0] not in win_input_names
+                )
     else:
         for k in plan.group_by:
             walk(k.expr)

@@ -1625,7 +1625,10 @@ class Parser:
         else a tuple of (col, descending[, nulls_first]) entries."""
         entries: list[tuple] = []
         while True:
-            c = self.expect_ident()
+            ce = self.parse_expr()
+            # ENGINE EXTENSION: expression order keys lift into hidden
+            # __wv* pre-window inputs like expression PARTITION BY keys
+            c = ce.name if isinstance(ce, Col) else ce
             desc = bool(self.eat_kw("desc"))
             if not desc:
                 self.eat_kw("asc")
@@ -2296,9 +2299,23 @@ def convert_query(
                         )
                     elif key is not None and not isinstance(key, str):
                         key = hidden_input(key)
+                    order = wc.order
+                    if isinstance(order, tuple):
+                        # composite/DESC entries: (col_or_expr, desc[, nf])
+                        order = tuple(
+                            (
+                                o[0]
+                                if isinstance(o[0], str)
+                                else hidden_input(o[0]),
+                            )
+                            + tuple(o[1:])
+                            for o in order
+                        )
+                    elif order is not None and not isinstance(order, str):
+                        order = hidden_input(order)  # bare expression key
                     specs.append(
                         WindowSpec(
-                            out, wc.func, vcol, key, wc.order,
+                            out, wc.func, vcol, key, order,
                             wc.offset, wc.frame, wc.default, wc.preceding,
                             wc.following,
                             ignore_nulls=getattr(wc, "ignore_nulls", False),

@@ -1885,3 +1885,61 @@ def test_window_expression_partition_keys(ray_session):
         "AVG(v + 1) OVER (PARTITION BY mod(k, 2) ORDER BY o) AS c FROM t"
     )
     assert len(q.plan.win_inputs) == 2  # mod(k,2) and v+1
+
+
+def test_window_expression_order_keys(ray_session):
+    """Expression ORDER BY keys inside OVER (round-5): bare single-
+    ascending expr, composite with DESC, and a value-RANGE frame over an
+    expression order — all via the hidden __wv* lift; vs DuckDB."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    rng = np.random.default_rng(23)
+    n = 200
+    t = pa.table(
+        {
+            "k": rng.integers(0, 3, n).astype("int64"),
+            "o": rng.integers(0, 40, n).astype("int64"),
+            "j": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 50, n).astype("int64"),
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    got = sorted(
+        run_sql(
+            "SELECT j, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o * 2 + j) AS rn, "
+            "SUM(v) OVER (PARTITION BY k ORDER BY mod(o, 7) DESC, j) AS s "
+            "FROM t",
+            src,
+        ).take_all(),
+        key=lambda r: r["j"],
+    )
+    exp = con.execute(
+        "SELECT j, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o * 2 + j), "
+        "CAST(SUM(v) OVER (PARTITION BY k ORDER BY mod(o, 7) DESC, j) AS BIGINT) "
+        "FROM t ORDER BY j"
+    ).fetchall()
+    assert [(g["j"], g["rn"], g["s"]) for g in got] == exp
+
+    # value-RANGE frame over an expression order key
+    g2 = sorted(
+        run_sql(
+            "SELECT j, SUM(v) OVER (PARTITION BY k ORDER BY o + 0 "
+            "RANGE BETWEEN 5 PRECEDING AND 3 FOLLOWING) AS s FROM t",
+            src,
+        ).take_all(),
+        key=lambda r: r["j"],
+    )
+    e2 = con.execute(
+        "SELECT j, CAST(SUM(v) OVER (PARTITION BY k ORDER BY o + 0 "
+        "RANGE BETWEEN 5 PRECEDING AND 3 FOLLOWING) AS BIGINT) "
+        "FROM t ORDER BY j"
+    ).fetchall()
+    assert [(g["j"], g["s"]) for g in g2] == e2
+    con.close()
