@@ -156,3 +156,50 @@ def test_bloom_cms_setops_empty(ray_session):
         ).count()
         == 0
     )
+
+
+def test_round5_features_empty(ray_session, tmp_path):
+    """Round-5 additions over ZERO rows: stats/distinct aggregates
+    (global group parity: empty ⇒ zero rows), derived tables, multi-join
+    chains, CROSS JOIN, expression windows, RANGE FOLLOWING frames, and
+    a pushed-down scan of an empty parquet file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    et = pa.table(
+        {
+            "k": pa.array([], pa.string()),
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+        }
+    )
+    empty = ray.data.from_arrow(et)
+    src = {"t": empty, "u": empty}
+    # global stats aggregate: zero rows (reference global-group parity)
+    assert run_sql(
+        "SELECT corr(x, y) AS r, var_samp(x) AS v, SUM(DISTINCT x) AS s "
+        "FROM t", src,
+    ).count() == 0
+    # grouped: zero groups
+    assert run_sql(
+        "SELECT k, covar_pop(x, y) AS c FROM t GROUP BY k", src
+    ).count() == 0
+    # derived + chain + cross over empties
+    assert run_sql(
+        "SELECT d.k AS k FROM (SELECT k, x FROM t) d "
+        "JOIN u ON d.x = u.x CROSS JOIN u", src,
+    ).count() == 0
+    # expression window + RANGE FOLLOWING over nothing
+    assert run_sql(
+        "SELECT SUM(x * 2) OVER (PARTITION BY k ORDER BY mod(x, 3) "
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s FROM t", src,
+    ).count() == 0
+    # pushdown over an empty parquet file
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(et, p)
+    assert run_sql(
+        "SELECT k FROM t WHERE x > 5 AND k IN ('a')", {"t": p}
+    ).count() == 0
