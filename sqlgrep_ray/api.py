@@ -556,16 +556,22 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
     Datasets; ``default`` is the fallback for unknown FROM names (the
     single-dataset convenience), or None to make them an error."""
 
+    join_col_map: dict = {}
+
     def resolve(name: str) -> "ray.data.Dataset":
         ds = env.get(name, default)
         if ds is None:
             raise SqlError(f"unknown table {name!r}")
         if isinstance(ds, str):
-            # path-valued source (join side / generic use): plain clean
-            # read — broadcast sides materialize fully anyway
+            # path-valued source: clean read, column-pruned for join
+            # sides when attribution succeeded (join_col_map) — the
+            # broadcast ships only the key + referenced columns
             from sqlgrep_ray.sources import read_parquet_clean
 
-            return read_parquet_clean(ds)
+            cols = join_col_map.get(name)
+            return read_parquet_clean(
+                ds, **({"columns": cols} if cols else {})
+            )
         return ds
 
     if isinstance(stmt, WithQuery):
@@ -582,6 +588,21 @@ def _run_sql_stmt(stmt, env: dict, default) -> "ray.data.Dataset":
         env = dict(env)
         for alias, sub in stmt.derived:
             env[alias] = _run_sql_stmt(sub, env, default)
+    # path-valued JOIN sides: per-table column pruning (key + attributed
+    # references) before the broadcast materialization
+    jsides = []
+    if stmt.join_table is not None:
+        jsides.append((stmt.join_table, stmt.join_alias, stmt.join_right_col))
+    for jt, _jf, ja, _jl, jr, _jh in getattr(stmt, "extra_joins", ()):
+        jsides.append((jt, ja, jr))
+    for jt, ja, jr in jsides:
+        v = env.get(jt, default)
+        if isinstance(v, str) and jr is not None:
+            from sqlgrep_ray.sources.pushdown import join_side_columns
+
+            cols = join_side_columns(v, stmt, jt, ja, jr)
+            if cols:
+                join_col_map[jt] = cols
     raw_src = env.get(stmt.table, default)
     if isinstance(raw_src, str):
         # path-valued FROM source: prune at the read — referenced

@@ -116,6 +116,50 @@ def where_to_ds_filter(e: Optional[Expr], columns: "set[str]"):
     return None
 
 
+def join_side_columns(path: str, q, jtable: str, jalias, right_key):
+    """Column list for a path-valued JOIN side: the join key(s) plus
+    every reference that attributes to this side — ``<visible>.col``
+    qualified names, and unqualified names present in the file's schema
+    (an over-approximation: a shared name resolving to the LEFT side
+    costs one extra broadcast column, never correctness). Returns None
+    (full read) for wildcard projections or when a qualified reference
+    names a column the file lacks (the engine's normal error should
+    surface, not a scan error)."""
+    import pyarrow.parquet as pq
+
+    from sqlgrep_ray.pipelines.runner import referenced_columns
+
+    refs = list(referenced_columns(q.plan) or ())
+    if not refs and q.plan.__class__.__name__ == "SelectPlan" and (
+        q.plan.projections is None
+    ):
+        return None  # wildcard: every column may surface
+    # LATER joins' stream-side keys ride the prefixed output of THIS
+    # side ("c.c_nationkey" probes the c-join's output) — they never
+    # appear in plan expressions, only in the Query's key lists
+    for jl in [q.join_left_col] + [
+        x[3] for x in getattr(q, "extra_joins", ())
+    ]:
+        if jl is None:
+            continue
+        refs.extend([jl] if isinstance(jl, str) else list(jl))
+    schema_names = set(pq.read_schema(path).names)
+    want = set(
+        [right_key] if isinstance(right_key, str) else list(right_key)
+    )
+    prefixes = tuple(
+        f"{t}." for t in (jtable, jalias) if t
+    )
+    for r in refs:
+        if r.startswith(prefixes):
+            want.add(r.split(".", 1)[1])
+        elif "." not in r and r in schema_names:
+            want.add(r)
+    if not want.issubset(schema_names):
+        return None
+    return sorted(want)
+
+
 def scan_parquet_for_query(path: str, q) -> "object":
     """Read ``path`` for a (still unbound) single-table query: referenced
     columns only, pushable WHERE atoms pushed into the scan. Own-table

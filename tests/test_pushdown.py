@@ -81,3 +81,56 @@ def test_scan_matches_engine_where(ray_session, tmp_path):
     sql3 = "SELECT * FROM t WHERE x >= 4"
     g3 = run_sql(sql3, {"t": p}).take_all()
     assert sorted(r["x"] for r in g3) == [4, 6]
+
+
+def test_join_side_column_pruning(ray_session, tmp_path):
+    """Path-valued JOIN sides broadcast only (key + attributed columns);
+    chained stream-side keys (c.k probing the c-join output) are
+    included; results identical to full reads."""
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+    from sqlgrep_ray.sources.pushdown import join_side_columns
+
+    lt = pa.table({"a": [1, 2, 3, 4], "g": [10, 10, 20, 30]})
+    rt = pa.table(
+        {
+            "b": [1, 2, 3],
+            "big": ["x" * 10, "y" * 10, "z" * 10],
+            "w": [100, 200, 300],
+            "g2": [10, 20, 20],
+        }
+    )
+    st = pa.table({"g3": [10, 20], "lbl": ["p", "q"], "junk": [0, 1]})
+    pr, ps = str(tmp_path / "r.parquet"), str(tmp_path / "s.parquet")
+    pq.write_table(rt, pr)
+    pq.write_table(st, ps)
+    sql = (
+        "SELECT l.a AS a, r.w AS w, s.lbl AS lbl FROM l "
+        "JOIN r ON l.a = r.b JOIN s ON r.g2 = s.g3"
+    )
+    q = parse_query(sql)
+    # r needs b (key), w (ref), g2 (chained stream key) — NOT big
+    assert join_side_columns(pr, q, "r", None, q.join_right_col) == [
+        "b", "g2", "w",
+    ]
+    # s needs g3 (key), lbl (ref) — NOT junk
+    assert join_side_columns(ps, q, "s", None, q.extra_joins[0][4]) == [
+        "g3", "lbl",
+    ]
+    src = {"l": ray.data.from_arrow(lt), "r": pr, "s": ps}
+    got = sorted(
+        (r["a"], r["w"], r["lbl"]) for r in run_sql(sql, src).take_all()
+    )
+    full = sorted(
+        (r["a"], r["w"], r["lbl"])
+        for r in run_sql(
+            sql,
+            {
+                "l": ray.data.from_arrow(lt),
+                "r": ray.data.from_arrow(rt),
+                "s": ray.data.from_arrow(st),
+            },
+        ).take_all()
+    )
+    assert got == full and len(got) == 3
