@@ -709,6 +709,27 @@ def _f_concat(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     return k
 
 
+@register_function("concat_op")
+def _f_concat_op(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """The ``||`` operator — NULL-propagating concatenation (SQL
+    standard / DuckDB: ``'a' || NULL IS NULL``, unlike CONCAT()).
+    Non-string inputs cast to string first (int || str works)."""
+
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        vals = []
+        for a in args:
+            v = _as_array(a(t), n)
+            if not (
+                pa.types.is_string(v.type) or pa.types.is_large_string(v.type)
+            ):
+                v = v.cast(pa.string())
+            vals.append(v)
+        return pc.binary_join_element_wise(*vals, "")
+
+    return k
+
+
 def _f_substring(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     """substring(s, start[, len]) — 1-based SQL start, codepoint units
     (matches length()'s char-count convention); start/len literals."""

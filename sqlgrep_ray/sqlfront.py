@@ -103,6 +103,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>\d+\.\d+|\d+)
   | (?P<string>'(?:\\.|[^'\\])*')
   | (?P<dcolon>::)
+  | (?P<concat>\|\|)
   | (?P<arrow>=>)
   | (?P<ne><>|!=)
   | (?P<le><=) | (?P<ge>>=)
@@ -236,7 +237,7 @@ _PRECEDENCE = {
     "or": 1, "and": 2,
     "=": 4, "!=": 4, "<>": 4, "<": 4, "<=": 4, ">": 4, ">=": 4,
     "is": 4, "in": 4, "like": 4, "ilike": 4, "between": 4,
-    "+": 5, "-": 5, "*": 6, "/": 6,
+    "+": 5, "-": 5, "||": 5, "*": 6, "/": 6,
 }
 # Row bound standing in for UNBOUNDED on one side of a bounded ROWS
 # frame: far beyond any real partition length (row positions are block-
@@ -1227,6 +1228,10 @@ class Parser:
             right = self.parse_expr(prec + 1)
             if opname in ("and", "or"):
                 left = Bin(opname, left, right)
+            elif opname == "||":
+                # SQL concatenation operator — NULL-propagating (unlike
+                # CONCAT(), which replaces NULL with '' — DuckDB parity)
+                left = Func("concat_op", (left, right))
             else:
                 left = Bin(_CMP_OPS[opname], left, right)
         return left

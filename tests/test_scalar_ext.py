@@ -315,3 +315,34 @@ def test_scalar_batch3_vs_duckdb(ray_session):
     # bad part errors clearly
     with pytest.raises(Exception, match="unknown part"):
         run_sql("SELECT date_part('century', ts) AS c FROM t", src).take_all()
+
+
+def test_concat_operator_vs_duckdb(ray_session):
+    """`||` — NULL-propagating concatenation (unlike CONCAT's ''-fill),
+    left-assoc chaining, binds tighter than comparison, int||str casts."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    q = Parser("SELECT a || b || 'x' AS c FROM t").parse_query()
+    e = q.plan.projections[0].expr
+    assert e.name == "concat_op" and e.args[0].name == "concat_op"
+
+    t = pa.table({"a": ["x", None, "z"], "b": ["1", "2", None], "n": [7, 8, 9]})
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = (
+        "SELECT a || b AS c, a || '-' || b AS d, n || a AS e, "
+        "(a || b = 'x1') AS f FROM t"
+    )
+    got = run_sql(sql, src).take_all()
+    exp = con.execute(sql).fetchall()
+    # engine comparisons are NULL⇒false where DuckDB keeps NULL — compare
+    # f as truthiness
+    assert [(g["c"], g["d"], g["e"], bool(g["f"])) for g in got] == [
+        (a, b, c, bool(d)) for a, b, c, d in exp
+    ]
+    con.close()
