@@ -709,6 +709,29 @@ def _f_concat(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     return k
 
 
+@register_function("if")
+def _f_if(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """IF(cond, a, b) — CASE sugar; NULL condition takes the else branch
+    (SQL CASE parity)."""
+    if len(args) != 3:
+        raise ValueError("if(cond, then, else) takes three arguments")
+
+    def k(t: pa.Table) -> Any:
+        n = t.num_rows
+        cond = pc.fill_null(_as_array(args[0](t), n).cast(pa.bool_()), False)
+        return pc.if_else(cond, _as_array(args[1](t), n), _as_array(args[2](t), n))
+
+    return k
+
+
+@register_function("ifnull")
+def _f_ifnull(args: list[Kernel], ctx: CompileCtx) -> Kernel:
+    """IFNULL(a, b) ≡ COALESCE(a, b)."""
+    if len(args) != 2:
+        raise ValueError("ifnull(a, b) takes two arguments")
+    return _FUNCS["coalesce"](args, ctx)
+
+
 @register_function("concat_op")
 def _f_concat_op(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     """The ``||`` operator — NULL-propagating concatenation (SQL

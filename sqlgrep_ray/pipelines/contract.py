@@ -2342,6 +2342,36 @@ GROUP BY lang
 """
 
 
+def q_sql_concat_op(sf_dir: str) -> Result:
+    """The `||` concatenation operator (round-5: NULL-propagating,
+    left-assoc, binds tighter than comparison; non-strings cast) plus
+    the IF/IFNULL aliases. Identical SQL runs on DuckDB."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT doc_id, lang || ':' || source AS tag, "
+        "doc_id || '#' || lang AS idtag, "
+        "IF(n_chars > 300, 'long', 'short') AS sz, "
+        "IFNULL(lang, '??') AS lg "
+        "FROM docs WHERE mod(doc_id, 47) = 0",
+        {
+            "docs": _t(
+                sf_dir, "documents",
+                ["doc_id", "lang", "source", "n_chars"],
+            )
+        },
+    )
+
+
+SQL_SQL_CONCAT_OP = """
+SELECT doc_id, lang || ':' || source AS tag,
+       doc_id || '#' || lang AS idtag,
+       IF(n_chars > 300, 'long', 'short') AS sz,
+       IFNULL(lang, '??') AS lg
+FROM documents WHERE mod(doc_id, 47) = 0
+"""
+
+
 def q_sql_scalar_ext3(sf_dir: str) -> Result:
     """Round-5 scalar batch 3: regexp_replace (first-match default, 'g'
     flag — pc.replace_substring_regex), regexp_extract (whole first
@@ -4387,6 +4417,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_date_parts": q_sql_date_parts,
     "pushdown_scan": q_pushdown_scan,
     "sql_window_expr_key": q_sql_window_expr_key,
+    "sql_concat_op": q_sql_concat_op,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -4545,6 +4576,7 @@ ORACLES: dict[str, str] = {
     "sql_date_parts": SQL_SQL_DATE_PARTS,
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "sql_window_expr_key": SQL_SQL_WINDOW_EXPR_KEY,
+    "sql_concat_op": SQL_SQL_CONCAT_OP,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,
