@@ -709,6 +709,73 @@ def _f_concat(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     return k
 
 
+def _try_cast_builder(target: str):
+    """TRY_CAST(x AS T) — NULL where the conversion fails (ENGINE
+    EXTENSION, DuckDB parity). String sources coerce vectorized
+    (pandas to_numeric/to_datetime errors='coerce' — one C call per
+    batch); non-string sources delegate to the engine's strict cast
+    (numeric↔numeric conversions don't fail there)."""
+
+    def builder(args: list["Kernel"], ctx: "CompileCtx") -> "Kernel":
+        if len(args) != 1:
+            raise ValueError("try_cast takes one argument")
+        (ak,) = args
+
+        def k(t: pa.Table) -> Any:
+            import pandas as pd
+
+            from sqlgrep_ray.schema import parse_type_name
+
+            arr = _as_array(ak(t), t.num_rows)
+            is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(
+                arr.type
+            )
+            if target == "string":
+                return _cast_value(arr, parse_type_name("string"), t.num_rows)
+            if is_str and target in ("int", "float"):
+                num = pd.to_numeric(
+                    arr.to_pandas(), errors="coerce"
+                ).to_numpy(dtype="float64", na_value=np.nan)
+                nan = np.isnan(num)
+                if target == "float":
+                    return pa.array(num, mask=nan)
+                # round half away from zero (DuckDB TRY_CAST parity —
+                # unlike the engine's strict :: cast, which truncates)
+                rounded = np.where(
+                    num >= 0, np.floor(num + 0.5), np.ceil(num - 0.5)
+                )
+                return pa.array(
+                    np.where(nan, 0, rounded).astype(np.int64), mask=nan
+                )
+            if is_str and target == "timestamp":
+                # format="mixed": per-element inference — without it
+                # pandas≥2 locks the format of the first non-null value
+                ts = pd.to_datetime(
+                    arr.to_pandas(), errors="coerce", format="mixed"
+                )
+                return pa.Array.from_pandas(ts).cast(pa.timestamp("us"))
+            if is_str and target == "bool":
+                low = pc.utf8_lower(arr)
+                true = pc.is_in(low, value_set=pa.array(["true", "t", "1"]))
+                false = pc.is_in(low, value_set=pa.array(["false", "f", "0"]))
+                return pc.if_else(
+                    true,
+                    pa.scalar(True),
+                    pc.if_else(
+                        false, pa.scalar(False), pa.scalar(None, pa.bool_())
+                    ),
+                )
+            return _cast_value(arr, parse_type_name(target), t.num_rows)
+
+        return k
+
+    return builder
+
+
+for _tgt in ("int", "float", "string", "timestamp", "bool"):
+    _FUNCS[f"try_cast_{_tgt}"] = _try_cast_builder(_tgt)
+
+
 @register_function("if")
 def _f_if(args: list[Kernel], ctx: CompileCtx) -> Kernel:
     """IF(cond, a, b) — CASE sugar; NULL condition takes the else branch

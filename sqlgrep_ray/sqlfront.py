@@ -1327,13 +1327,17 @@ class Parser:
             except ValueError:
                 raise SqlError(f"invalid {lname.upper()} literal {s!r}")
             return Lit(v)
-        if lname == "cast" and self.at_op("("):
-            # standard CAST(expr AS TYPE) — sugar for the dialect's ::
+        if lname in ("cast", "try_cast") and self.at_op("("):
+            # standard CAST(expr AS TYPE) — sugar for the dialect's ::;
+            # TRY_CAST returns NULL where the conversion fails (ENGINE
+            # EXTENSION, DuckDB parity) via a coercing kernel
             self.expect_op("(")
             e = self.parse_expr()
             self.expect_kw("as")
             vt = self._parse_type()
             self.expect_op(")")
+            if lname == "try_cast":
+                return Func(f"try_cast_{str(vt).lower()}", (e,))
             return Cast(e, vt)
         if lname == "exists" and self.at_op("("):
             # [NOT] EXISTS (SELECT …): NOT composes via the unary NOT

@@ -346,3 +346,39 @@ def test_concat_operator_vs_duckdb(ray_session):
         (a, b, c, bool(d)) for a, b, c, d in exp
     ]
     con.close()
+
+
+def test_try_cast_vs_duckdb(ray_session):
+    """TRY_CAST(x AS T) — NULL on conversion failure (ENGINE EXTENSION,
+    DuckDB parity incl. round-half-away string→INT); string sources
+    coerce vectorized, non-strings delegate to the strict cast."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table(
+        {
+            "s": ["12", "3.5", "-4.5", "x", None, " 7 ", "1e3"],
+            "d": [
+                "2026-01-02", "bad", None, "2026-02-03 04:05:06", "",
+                "2026-03-04", "2026-12-31 23:59:59",
+            ],
+            "b": ["true", "F", "1", "nope", None, "0", "T"],
+            "n": [1.9, -1.9, 0.0, 2.5, None, 7.0, -3.0],
+        }
+    )
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = (
+        "SELECT TRY_CAST(s AS INT) AS i, TRY_CAST(s AS DOUBLE) AS f, "
+        "TRY_CAST(d AS TIMESTAMP) AS ts, TRY_CAST(b AS BOOL) AS bo, "
+        "TRY_CAST(n AS TEXT) AS st FROM t"
+    )
+    got = run_sql(sql, src).take_all()
+    exp = con.execute(sql).fetchall()
+    for g, e in zip(got, exp):
+        assert (g["i"], g["f"], g["ts"], g["bo"]) == e[:4], (g, e)
+    con.close()
