@@ -2342,6 +2342,32 @@ GROUP BY lang
 """
 
 
+def q_sql_try_cast(sf_dir: str) -> Result:
+    """TRY_CAST(x AS T) (round-5 extension, DuckDB parity): NULL where
+    the conversion fails; string sources coerce vectorized (one pandas
+    C call per batch), round-half-away string→INT like DuckDB. Exercised
+    over the documents props-free columns via string round-trips."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT doc_id, "
+        "TRY_CAST(lang AS INT) AS li, "
+        "TRY_CAST(CAST(n_chars AS TEXT) AS INT) AS ni, "
+        "TRY_CAST(CAST(n_chars AS TEXT) AS DOUBLE) AS nf "
+        "FROM docs WHERE mod(doc_id, 59) = 0",
+        {"docs": _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])},
+    )
+
+
+SQL_SQL_TRY_CAST = """
+SELECT doc_id,
+       TRY_CAST(lang AS INT) AS li,
+       TRY_CAST(CAST(n_chars AS TEXT) AS INT) AS ni,
+       TRY_CAST(CAST(n_chars AS TEXT) AS DOUBLE) AS nf
+FROM documents WHERE mod(doc_id, 59) = 0
+"""
+
+
 def q_sql_concat_op(sf_dir: str) -> Result:
     """The `||` concatenation operator (round-5: NULL-propagating,
     left-assoc, binds tighter than comparison; non-strings cast) plus
@@ -4418,6 +4444,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "pushdown_scan": q_pushdown_scan,
     "sql_window_expr_key": q_sql_window_expr_key,
     "sql_concat_op": q_sql_concat_op,
+    "sql_try_cast": q_sql_try_cast,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -4577,6 +4604,7 @@ ORACLES: dict[str, str] = {
     "pushdown_scan": SQL_PUSHDOWN_SCAN,
     "sql_window_expr_key": SQL_SQL_WINDOW_EXPR_KEY,
     "sql_concat_op": SQL_SQL_CONCAT_OP,
+    "sql_try_cast": SQL_SQL_TRY_CAST,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,
