@@ -2342,6 +2342,41 @@ GROUP BY lang
 """
 
 
+def q_sql_any_all(sf_dir: str) -> Result:
+    """Quantified comparisons (round-5 extension): x <op> ANY/ALL
+    (SELECT …) rewrite onto MIN/MAX scalar subqueries (evaluate-once
+    literals) or the exact IN-subquery semi/anti-join — no per-row
+    subquery execution anywhere. Empty-set ALL diverges (engine
+    NULL⇒false; the oracle set is non-empty by construction)."""
+    from sqlgrep_ray.api import run_sql
+
+    return run_sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > ALL "
+        "(SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT' "
+        "AND o_custkey < 50) "
+        "AND o_custkey = ANY (SELECT c_custkey FROM customer "
+        "WHERE c_acctbal > 9000)",
+        {
+            "orders": _t(
+                sf_dir, "orders",
+                ["o_orderkey", "o_totalprice", "o_orderpriority", "o_custkey"],
+            ),
+            "customer": _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        },
+    )
+
+
+SQL_SQL_ANY_ALL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > ALL
+  (SELECT o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+   AND o_custkey < 50)
+  AND o_custkey = ANY (SELECT c_custkey FROM customer
+                       WHERE c_acctbal > 9000)
+"""
+
+
 def q_sql_try_cast(sf_dir: str) -> Result:
     """TRY_CAST(x AS T) (round-5 extension, DuckDB parity): NULL where
     the conversion fails; string sources coerce vectorized (one pandas
@@ -4445,6 +4480,7 @@ QUERIES: dict[str, Callable[[str], Result]] = {
     "sql_window_expr_key": q_sql_window_expr_key,
     "sql_concat_op": q_sql_concat_op,
     "sql_try_cast": q_sql_try_cast,
+    "sql_any_all": q_sql_any_all,
     # -- flagship (always in the window) --
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_sink_role_counts": q_flagship_sink_role_counts,
@@ -4605,6 +4641,7 @@ ORACLES: dict[str, str] = {
     "sql_window_expr_key": SQL_SQL_WINDOW_EXPR_KEY,
     "sql_concat_op": SQL_SQL_CONCAT_OP,
     "sql_try_cast": SQL_SQL_TRY_CAST,
+    "sql_any_all": SQL_SQL_ANY_ALL,
     "bloom_semi_orders": SQL_BLOOM_SEMI_ORDERS,
     "bloom_anti_orders": SQL_BLOOM_ANTI_ORDERS,
     "cms_event_counts": SQL_CMS_EVENT_COUNTS,

@@ -1225,6 +1225,31 @@ class Parser:
                 continue
 
             self.next()
+            if (
+                opname in ("=", "!=", "<>", "<", "<=", ">", ">=")
+                and self.at_kw("any", "all", "some")
+                and self.peek(1) is not None
+                and self.peek(1).kind == "op"
+                and self.peek(1).value == "("
+            ):
+                # ENGINE EXTENSION: quantified comparison — x <op>
+                # ANY/ALL (SELECT v …) rewrites onto the evaluate-once
+                # scalar-subquery machinery (MIN/MAX bounds) or the
+                # exact IN-subquery semi/anti-join. Engine NULL⇒false
+                # semantics apply: an EMPTY set makes ALL false (SQL
+                # says true) and set NULLs never match — documented.
+                quant = self.next().value.lower()
+                self.expect_op("(")
+                if not self.at_kw("select", "with"):
+                    raise SqlError(
+                        f"{quant.upper()} requires a subquery"
+                    )
+                sub = self.parse_query()
+                self.expect_op(")")
+                left = _quantified_cmp(
+                    left, _CMP_OPS[opname], quant, sub
+                )
+                continue
             right = self.parse_expr(prec + 1)
             if opname in ("and", "or"):
                 left = Bin(opname, left, right)
@@ -2144,6 +2169,72 @@ def _select_ordinal(e, projections, where: str):
             )
         return projections[e.value - 1][1]
     return e
+
+
+def _agg_wrap_subquery(sub, func: str) -> "ScalarSubquery":
+    """Wrap a plain single-column SELECT subquery in a global MIN/MAX
+    aggregate (the quantified-comparison bound) — evaluated once by the
+    scalar-subquery machinery."""
+    import dataclasses
+
+    if not isinstance(sub, Query):
+        raise SqlError("ANY/ALL takes a plain SELECT subquery")
+    plan = sub.plan
+    if (
+        not isinstance(plan, SelectPlan)
+        or plan.windows
+        or plan.distinct
+        or plan.limit is not None
+        or plan.projections is None
+        or len(plan.projections) != 1
+    ):
+        raise SqlError(
+            "ANY/ALL subquery must be a plain single-column SELECT "
+            "(no DISTINCT / windows / LIMIT)"
+        )
+    p0 = plan.projections[0]
+    nplan = AggregatePlan(
+        group_by=(),
+        aggs=(AggItem("__q", func, p0.expr),),
+        where=plan.where,
+        join=plan.join,
+        extra_joins=getattr(plan, "extra_joins", ()),
+    )
+    return ScalarSubquery(dataclasses.replace(sub, plan=nplan))
+
+
+def _quantified_cmp(left: Expr, op: str, quant: str, sub) -> Expr:
+    """``x <op> ANY/ALL (SELECT v …)`` → MIN/MAX-bound comparisons or
+    the exact IN-subquery path:
+
+    * ``< / <= ALL`` ⇒ x <op> MIN(v);  ``> / >= ALL`` ⇒ x <op> MAX(v)
+    * ``< / <= ANY`` ⇒ x <op> MAX(v);  ``> / >= ANY`` ⇒ x <op> MIN(v)
+    * ``= ANY`` ⇒ IN (subquery);  ``!= ALL`` ⇒ NOT IN (subquery)
+    * ``= ALL`` ⇒ x = MIN(v) AND x = MAX(v); ``!= ANY`` ⇒ the negation
+      shape (x != MIN(v) OR x != MAX(v))
+
+    Engine NULL⇒false comparisons make the EMPTY-set ALL false (SQL:
+    true) and ignore NULL set members — documented divergence in line
+    with every other engine comparison."""
+    if quant == "some":
+        quant = "any"
+    if op == "eq" and quant == "any":
+        return InSubquery(left, sub, negated=False)
+    if op == "ne" and quant == "all":
+        return InSubquery(left, sub, negated=True)
+    lo = _agg_wrap_subquery(sub, "min")
+    hi = _agg_wrap_subquery(sub, "max")
+    if op == "eq":  # = ALL: every element equals x
+        return Bin("and", Bin("eq", left, lo), Bin("eq", left, hi))
+    if op == "ne":  # != ANY: some element differs from x
+        return Bin("or", Bin("ne", left, lo), Bin("ne", left, hi))
+    bound = {
+        ("lt", "all"): lo, ("le", "all"): lo,
+        ("gt", "all"): hi, ("ge", "all"): hi,
+        ("lt", "any"): hi, ("le", "any"): hi,
+        ("gt", "any"): lo, ("ge", "any"): lo,
+    }[(op, quant)]
+    return Bin(op, left, bound)
 
 
 def _select_alias(e, projections):

@@ -180,3 +180,47 @@ CREATE TABLE flags(line = 'flag:(\\w+)', line[1] => fk TEXT);
     assert sorted((r["k"], r["nd"]) for r in rows) == [
         ("a", 2), ("b", 1), ("c", 1),
     ]
+
+
+def test_quantified_comparisons(ray_session):
+    """x <op> ANY/ALL/SOME (SELECT …) (round-5): all seven operator
+    shapes vs DuckDB; MIN/MAX bounds evaluate ONCE; = ANY/!= ALL ride
+    the exact IN-subquery path; empty-set ALL documents the NULL⇒false
+    divergence (engine false, SQL true)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    lt = pa.table({"x": [1, 3, 5, 7, 9]})
+    rt = pa.table({"v": [3, 5, 6]})
+    src = {"l": ray.data.from_arrow(lt), "r": ray.data.from_arrow(rt)}
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    for q in [
+        "SELECT x FROM l WHERE x > ALL (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x < ALL (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x >= ANY (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x < SOME (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x = ANY (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x != ALL (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x != ANY (SELECT v FROM r)",
+        "SELECT x FROM l WHERE x = ALL (SELECT v FROM r WHERE v = 5)",
+    ]:
+        got = sorted(r["x"] for r in run_sql(q, src).take_all())
+        exp = sorted(r[0] for r in con.execute(q).fetchall())
+        assert got == exp, (q, got, exp)
+    con.close()
+
+    # documented divergence: empty-set ALL is FALSE here (SQL: TRUE)
+    empty_all = run_sql(
+        "SELECT x FROM l WHERE x > ALL (SELECT v FROM r WHERE v > 100)",
+        src,
+    ).take_all()
+    assert empty_all == []
+
+    # unsupported subquery shapes error clearly
+    with pytest.raises(SqlError, match="single-column"):
+        parse_query("SELECT x FROM l WHERE x > ALL (SELECT v, v FROM r)")
