@@ -24,8 +24,10 @@ import time
 
 _SQL_KEYWORDS = [
     "SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT",
-    "DISTINCT", "INNER JOIN", "OUTER JOIN", "ON", "AND", "OR", "NOT", "IN",
-    "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE", "END", "AS",
+    "DISTINCT", "INNER JOIN", "OUTER JOIN", "CROSS JOIN", "ON", "USING",
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "AS", "EXPLAIN", "WITH", "UNION", "QUALIFY", "OVER",
+    "PARTITION BY", "BETWEEN", "EXISTS", "ANY", "ALL",
     "count", "sum", "min", "max", "avg", "stddev", "variance", "percentile",
     "array_agg", "string_agg", "bool_and", "bool_or",
 ]

@@ -62,7 +62,12 @@ def fmt_expr(e: Any) -> str:
         return f"CAST({fmt_expr(e.operand)} AS {e.vtype})"
     if isinstance(e, Index):
         return f"{fmt_expr(e.operand)}[{fmt_expr(e.index)}]"
-    return type(e).__name__
+    nm = type(e).__name__
+    if nm == "ScalarSubquery":
+        return "(scalar subquery — evaluated once)"
+    if nm == "ExistsSubquery":
+        return ("NOT " if getattr(e, "negated", False) else "") + "EXISTS (…)"
+    return nm
 
 
 def _explain_query(q, out: list, indent: str) -> None:
