@@ -609,7 +609,10 @@ class Parser:
             self.expect_op("[")
             self.expect_op("]")
             depth += 1
-        return parse_type_name(base + "[]" * depth)
+        try:
+            return parse_type_name(base + "[]" * depth)
+        except ValueError as e:
+            raise SqlError(str(e)) from None
 
     def _parse_literal_value(self) -> Any:
         t = self.next()
@@ -2337,6 +2340,8 @@ def _agg_item_of(call: AggCall, name: str) -> AggItem:
         )
     if not call.args:
         raise SqlError(f"{f}() needs an argument")
+    if len(call.args) != 1:
+        raise SqlError(f"{f}() takes exactly one argument")
     return AggItem(
         name, f, call.args[0],
         order=getattr(call, "agg_order", None),

@@ -1943,3 +1943,18 @@ def test_window_expression_order_keys(ray_session):
     ).fetchall()
     assert [(g["j"], g["s"]) for g in g2] == e2
     con.close()
+
+
+def test_error_message_hygiene():
+    """Malformed queries raise SqlError with actionable text — never a
+    raw ValueError from deeper layers."""
+    cases = [
+        ("SELECT SUM(a, b) AS s FROM t", "exactly one argument"),
+        ("SELECT CAST(a AS NOPE) AS x FROM t", "unknown type"),
+        ("SELECT TRY_CAST(a AS NOPE) AS x FROM t", "unknown type"),
+        ("SELECT a FROM t WHERE a > ALL (1, 2)", "requires a subquery"),
+        ("SELECT a FROM (SELECT a FROM t)", "end of input"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(SqlError, match=msg):
+            parse_query(sql)
