@@ -826,6 +826,15 @@ class Parser:
                 alias = None
                 if self.eat_kw("as"):
                     alias = self.expect_ident()
+                else:
+                    # bare alias (standard SQL): any ident that cannot
+                    # start the next clause
+                    t_ = self.peek()
+                    if (
+                        t_ is not None and t_.kind == "ident"
+                        and t_.value.lower() not in _ALIAS_STOP
+                    ):
+                        alias = self.expect_ident()
                 projections.append((alias, e))
                 if not self.eat_op(","):
                     break
@@ -1187,6 +1196,13 @@ class Parser:
             if opname == "is":
                 self.next()
                 negated = self.eat_kw("not")
+                if self.eat_kw("distinct"):
+                    # IS [NOT] DISTINCT FROM ≡ the engine's null-safe
+                    # (in)equality with the polarity flipped
+                    self.expect_kw("from")
+                    right = self.parse_expr(prec + 1)
+                    left = Bin("is" if negated else "is_not", left, right)
+                    continue
                 right = self.parse_expr(prec + 1)
                 left = Bin("is_not" if negated else "is", left, right)
                 continue
@@ -1687,9 +1703,16 @@ class Parser:
         return tuple(entries)
 
     def _parse_case(self) -> Expr:
+        # simple form — CASE <operand> WHEN v THEN … — desugars each
+        # WHEN into the searched form's equality (ENGINE EXTENSION)
+        operand: Optional[Expr] = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
         whens: list[tuple[Expr, Expr]] = []
         while self.eat_kw("when"):
             cond = self.parse_expr()
+            if operand is not None:
+                cond = Bin("eq", operand, cond)
             self.expect_kw("then")
             val = self.parse_expr()
             whens.append((cond, val))

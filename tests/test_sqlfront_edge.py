@@ -1958,3 +1958,41 @@ def test_error_message_hygiene():
     for sql, msg in cases:
         with pytest.raises(SqlError, match=msg):
             parse_query(sql)
+
+
+def test_bare_alias_simple_case_is_distinct(ray_session):
+    """Round-5 idiom closers: bare projection aliases (`COUNT(*) n`),
+    simple CASE (`CASE a WHEN 1 THEN …` — desugars to searched-form
+    equalities), IS [NOT] DISTINCT FROM (null-safe (in)equality) — vs
+    DuckDB with NULLs in play."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    q = parse_query("SELECT a x, COUNT(*) n FROM t GROUP BY a")
+    assert [k.name for k in q.plan.group_by] == ["x"]
+    assert q.plan.aggs[0].name == "n"
+    qc = parse_query("SELECT CASE a WHEN 1 THEN 'x' END c FROM t")
+    w = qc.plan.projections[0].expr.whens[0][0]
+    assert isinstance(w, Bin) and w.op == "eq"
+
+    t = pa.table({"a": [1, 2, None, 2], "b": [1, None, None, 3]})
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    for sql in [
+        "SELECT a x, COUNT(*) n FROM t GROUP BY a",
+        "SELECT CASE a WHEN 1 THEN 'one' WHEN 2 THEN 'two' "
+        "ELSE 'other' END c FROM t",
+        "SELECT a, b FROM t WHERE a IS DISTINCT FROM b",
+        "SELECT a, b FROM t WHERE a IS NOT DISTINCT FROM b",
+    ]:
+        got = sorted(
+            (tuple(r.values()) for r in run_sql(sql, src).take_all()), key=key
+        )
+        exp = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=key)
+        assert got == exp, sql
+    con.close()
