@@ -1409,6 +1409,47 @@ class Parser:
             hay = self.parse_expr()
             self.expect_op(")")
             return Func("strpos", (hay, needle))
+        if lname == "substring" and self.at_op("("):
+            # standard SUBSTRING(s FROM start [FOR len]) — sugar for
+            # the comma form (both accepted)
+            self.expect_op("(")
+            sarg = self.parse_expr()
+            if self.eat_kw("from"):
+                args = [sarg, self.parse_expr()]
+                if self.eat_kw("for"):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return Func("substring", tuple(args))
+            args = [sarg]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return Func("substring", tuple(args))
+        if lname == "trim" and self.at_op("("):
+            # standard TRIM([BOTH|LEADING|TRAILING] [chars] FROM s) —
+            # sugar for trim/ltrim/rtrim(s[, chars]) (both accepted)
+            self.expect_op("(")
+            side_map = {"both": "trim", "leading": "ltrim",
+                        "trailing": "rtrim"}
+            if self.at_kw("both", "leading", "trailing"):
+                side = side_map[self.next().value.lower()]
+                chars = None if self.at_kw("from") else self.parse_expr()
+                self.expect_kw("from")
+                s_ = self.parse_expr()
+                self.expect_op(")")
+                return Func(
+                    side, (s_,) if chars is None else (s_, chars)
+                )
+            first = self.parse_expr()
+            if self.eat_kw("from"):
+                s_ = self.parse_expr()
+                self.expect_op(")")
+                return Func("trim", (s_, first))
+            args = [first]
+            while self.eat_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return Func("trim", tuple(args))
         if lname == "array" and self.at_op("["):
             self.expect_op("[")
             items = []

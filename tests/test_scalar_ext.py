@@ -382,3 +382,30 @@ def test_try_cast_vs_duckdb(ray_session):
     for g, e in zip(got, exp):
         assert (g["i"], g["f"], g["ts"], g["bo"]) == e[:4], (g, e)
     con.close()
+
+
+def test_standard_substring_trim_forms(ray_session):
+    """Standard-SQL forms — SUBSTRING(s FROM start [FOR len]) and
+    TRIM([BOTH|LEADING|TRAILING] [chars] FROM s) — desugar to the
+    existing comma-form kernels; both spellings accepted; vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from sqlgrep_ray.api import run_sql
+
+    t = pa.table({"s": ["xxhello worldxx", "abc", None, "  pad  "]})
+    src = {"t": ray.data.from_arrow(t)}
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in [
+        "SELECT SUBSTRING(s FROM 3) AS a, SUBSTRING(s FROM 3 FOR 5) AS b, "
+        "SUBSTRING(s, 2, 3) AS c FROM t",
+        "SELECT TRIM(BOTH 'x' FROM s) AS a, TRIM(LEADING 'x' FROM s) AS b, "
+        "TRIM(TRAILING 'x' FROM s) AS c, TRIM('x' FROM s) AS d, "
+        "TRIM(s) AS e FROM t",
+    ]:
+        got = [tuple(r.values()) for r in run_sql(sql, src).take_all()]
+        exp = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == exp, sql
+    con.close()
